@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the catalog's queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+One SparkSession for the whole run (JVM startup amortized —
+BASELINE.md); each query is timed over a no-op write so the full plan
+executes without driver-side collection costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gcpdatapipelines_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+
+def run_once(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("bench")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            run_once(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

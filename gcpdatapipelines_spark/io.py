@@ -1,0 +1,169 @@
+"""Sources (SURVEY.md §2.1, S1-S6) and sinks (§2.2, K1-K5).
+
+The reference reads CSV line-by-line into per-row Python dicts
+(reference csv_to_bq.py:14-20, read_csv_no_pandas.py:7-28) and writes
+to BigQuery tables (csv_to_bq.py:45-48). Here every source is a
+DataFrame reader whose schema reaches the scan (so Catalyst prunes
+columns and pushes filters down to the parquet/CSV footer), and every
+sink is a DataFrame writer. BigQuery `project:dataset.table` ids map to
+warehouse paths / saved tables.
+
+Schema declaration supports all three reference modes (SURVEY.md §1.3):
+fixed compact-string schemas ('ID:INTEGER,CLASS:STRING'), inferred
+header schemas, and dynamically computed schemas (which in Spark simply
+flow with the DataFrame — no side-input plumbing needed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Reference compact-string schema types (csv_to_bq.py:7) -> Spark DDL types.
+# BigQuery INTEGER is 64-bit, FLOAT is float64 (SURVEY.md §1.2).
+_BQ_TO_SPARK = {
+    "STRING": "STRING",
+    "INTEGER": "BIGINT",
+    "FLOAT": "DOUBLE",
+    "TIMESTAMP": "TIMESTAMP",
+    "BOOLEAN": "BOOLEAN",
+    "BYTES": "BINARY",
+}
+
+
+def bq_string_schema_to_ddl(compact: str) -> str:
+    """'ID:INTEGER,CLASS:STRING,SALES:FLOAT' -> 'ID BIGINT, CLASS STRING, ...'.
+
+    Parity with the reference's compact schema strings
+    (reference csv_to_bq.py:7, pipeline_csv_bq_template.py:11) and its
+    string<->dict schema converters (data_transpose.ipynb cells 44-47).
+    """
+    parts = []
+    for field in compact.split(","):
+        name, _, typ = field.strip().partition(":")
+        parts.append(f"{name} {_BQ_TO_SPARK[typ.strip().upper()]}")
+    return ", ".join(parts)
+
+
+def bq_dict_schema_to_ddl(fields: list[dict]) -> str:
+    """JSON-dict schema ({'name','type','mode'} per field, reference
+    csv_to_bq_NYC.py:10-33) -> Spark DDL string. REQUIRED/NULLABLE modes
+    map to NOT NULL / nullable."""
+    parts = []
+    for f in fields:
+        ddl = f"{f['name']} {_BQ_TO_SPARK[f['type'].upper()]}"
+        if f.get("mode", "NULLABLE").upper() == "REQUIRED":
+            ddl += " NOT NULL"
+        parts.append(ddl)
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """S1/S5: CSV read. With ``schema`` (DDL or compact BQ string) the
+    reference's split+zip parse (csv_to_bq.py:14-20) collapses into the
+    scan itself; with ``infer`` the header-becomes-schema mode of
+    read_csv_no_pandas.py:18-24 is matched."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        if ":" in schema and " " not in schema.split(",")[0].strip():
+            schema = bq_string_schema_to_ddl(schema)
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+# columns stored as parquet TIMESTAMP(NANOS): surfaced as int64 nanos
+# under spark.sql.legacy.parquet.nanosAsLong and converted to
+# TimestampType (us) here — same truncation DuckDB applies on read.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2: table scan (BigQuery table -> warehouse parquet)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    """Load fixture tables and register each as a temp view so both the
+    DataFrame API and ``spark.sql`` (S3) address them by name."""
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def from_rows(spark: SparkSession, rows, schema=None) -> DataFrame:
+    """S4: in-memory literal source (beam.Create equivalent,
+    reference data_transpose.py:93-95)."""
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def write_append(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """K1: WRITE_APPEND / CREATE_IF_NEEDED (reference csv_to_bq.py:45-48)."""
+    df.write.mode("append").format(fmt).save(path)
+
+
+def write_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """K2: WRITE_TRUNCATE (reference csv_to_bq_NYC.py:138-150)."""
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_text(df: DataFrame, path: str, suffix: str = ".csv") -> None:
+    """K4: WriteToText with suffix (reference pipeline.py:69-71). Spark
+    writes a directory of part files; suffix parity via option."""
+    if suffix == ".csv":
+        df.write.mode("overwrite").option("header", "true").csv(path)
+    else:
+        df.write.mode("overwrite").text(path)
+
+
+def write_fanout(df: DataFrame, raw_path: str, agg_df: DataFrame, agg_path: str) -> None:
+    """K5: multi-sink fan-out — one source written raw AND aggregated
+    (reference csv_to_bq_NYC.py:128-150). ``df.cache()`` so the source
+    is scanned once; at 100 TB the cache would instead be a first-write
+    then re-read, but the two-actions-one-lineage shape is identical."""
+    df.cache()
+    try:
+        write_overwrite(df, raw_path)
+        write_overwrite(agg_df, agg_path)
+    finally:
+        df.unpersist()

@@ -1,0 +1,70 @@
+"""Row transforms (SURVEY.md §2.3, P1-P11).
+
+Every per-element Python DoFn in the reference reduces to a built-in
+column expression here — JVM-side, inside whole-stage codegen, no
+Python on the hot path. Citations point at the reference DoFn each
+helper replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_csv_line(df: DataFrame, line_col: str, names: list[str]) -> DataFrame:
+    """P1: split+zip dict parse (reference csv_to_bq.py:14-20) as a
+    single split + positional projection. Prefer schema'd CSV read (S1);
+    this exists for already-loaded raw lines."""
+    parts = F.split(F.col(line_col), ",")
+    return df.select(*[parts.getItem(i).alias(n) for i, n in enumerate(names)])
+
+
+def project(df: DataFrame, *cols: str) -> DataFrame:
+    """P2: column projection (reference csv_to_bq_NYC.py:58-62). Catalyst
+    prunes the scan to exactly these columns."""
+    return df.select(*cols)
+
+
+def duration_seconds(start: Column, end: Column, fmt: str = "yyyy-MM-dd'T'HH:mm:ss") -> Column:
+    """P3: strptime + timedelta.total_seconds (reference pipeline.py:11-20)
+    as built-in timestamp arithmetic. Works on string or timestamp cols."""
+    start_ts = F.to_timestamp(start, fmt) if fmt else start
+    end_ts = F.to_timestamp(end, fmt) if fmt else end
+    return (F.unix_timestamp(end_ts) - F.unix_timestamp(start_ts)).cast("double")
+
+
+def add_scalar(df: DataFrame, col: str, amount) -> DataFrame:
+    """P4: scalar arithmetic map (reference AddTen,
+    .ipynb_checkpoints/data_transpose-checkpoint.py:40-44)."""
+    return df.withColumn(col, F.col(col) + F.lit(amount))
+
+
+def reshape(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P5: rename/reshape to sink row (reference covertToTableRow,
+    csv_to_bq_NYC.py:72-93): {out_name: in_expr}."""
+    return df.select(*[F.expr(expr).alias(name) for name, expr in mapping.items()])
+
+
+def filter_eq_ci(df: DataFrame, col: str, value: str) -> DataFrame:
+    """P6/P9: case-insensitive equality filter
+    (reference Flask_app/main.py:25-29)."""
+    return df.filter(F.lower(F.col(col)) == value.lower())
+
+
+def point_lookup(df: DataFrame, key_col: str, key: str) -> DataFrame:
+    """P7: point lookup by key (reference Fast_API/main.py:31-36);
+    missing key yields an empty frame, caller supplies defaults."""
+    return filter_eq_ci(df, key_col, key).limit(1)
+
+
+def to_csv_line(df: DataFrame, *cols: str, out: str = "line") -> DataFrame:
+    """P8: ','.join serialization (reference pipeline.py:63)."""
+    return df.select(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(out))
+
+
+def composite_key(*cols: str, sep: str = "") -> Column:
+    """P10: string-concat composite key (reference
+    data_transpose_working_1.py:115-118). Kept for name parity; real
+    grouping should use multi-column groupBy directly."""
+    return F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])

@@ -1,0 +1,564 @@
+"""Driver-facing query catalog: one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB-oracle SQL twin.
+
+Contract (see /root/repo/__spark_entry__.py): every Spark query and its
+oracle must produce identical column names (the driver sorts columns by
+name and value-hashes); computed columns are therefore aliased
+identically on both sides, and floating-point aggregates are rounded
+identically on both sides so the hashes agree.
+
+Each function takes (spark, sf_dir) and returns a DataFrame. Functions
+deliberately route through the operator modules so the catalog also
+exercises the library surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import read_table
+from .operators import agg as A
+from .operators import joins as J
+from .operators import rows as P
+from .operators import windows as W
+from .operators.pivot import transpose
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composites (SURVEY.md §7 Phase 0)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_nation_rollup",
+    """
+    SELECT n_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def flagship_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's count-per-group + enrichment analytics
+    (csv_to_bq_NYC.py:132-136 + the J2 dimension join) re-based onto the
+    TPC-H-ish fixtures: scan -> 3 joins -> grouped agg. nation/customer
+    are dimension-sided; at scale AQE broadcasts them so the lineitem
+    fact never shuffles for the joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "visit_duration_by_nation",
+    """
+    WITH sess AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_s
+        FROM events GROUP BY user_id
+    )
+    SELECT n_name,
+           count(*) AS n_users,
+           round(avg(dur_s), 4) AS avg_duration_s
+    FROM sess
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def visit_duration_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's log-analytics flagship (pipeline.py:44-71):
+    per-visitor duration (P3), enrichment join (J1, was an HTTP call per
+    line — here a broadcast dim join), mean per country (A2)."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sess = ev.groupBy("user_id").agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)).alias("dur_s")
+    )
+    enriched = J.broadcast_enrich(
+        sess, c.select("c_custkey", "c_nationkey"), sess.user_id == c.c_custkey
+    ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    return enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial+final hash
+    aggregate (Beam combiner lifting analogue, SURVEY.md §2.4). Filter
+    is pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01 00:00:00")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row transforms (P*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_projection_filter",
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000.0",
+)
+def p2_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: projection + filter; .explain shows only 3 columns read and
+    the predicate in PushedFilters (the reference did this manually at
+    csv_to_bq_NYC.py:58-62)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000.0)
+    return P.project(c, "c_custkey", "c_mktsegment")
+
+
+@register(
+    "p3_event_duration",
+    """
+    SELECT user_id,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS session_seconds
+    FROM events GROUP BY user_id
+    """,
+)
+def p3_event_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: strptime + timedelta (reference pipeline.py:11-20) as
+    timestamp arithmetic over the events fixture."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)).alias(
+            "session_seconds"
+        )
+    )
+
+
+@register(
+    "p4_add_scalar",
+    "SELECT p_partkey, p_retailprice + 10.0 AS adjusted_price FROM part",
+)
+def p4_add_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: scalar arithmetic map (reference AddTen)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return P.add_scalar(p, "p_retailprice", 10.0).withColumnRenamed(
+        "p_retailprice", "adjusted_price"
+    )
+
+
+@register(
+    "p5_reshape",
+    """
+    SELECT o_orderkey AS order_id,
+           upper(o_orderstatus) AS status,
+           round(o_totalprice * 0.9, 4) AS discounted
+    FROM orders
+    """,
+)
+def p5_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: rename/reshape to sink row (reference covertToTableRow,
+    csv_to_bq_NYC.py:72-93)."""
+    o = _t(spark, sf_dir, "orders")
+    return P.reshape(
+        o,
+        {
+            "order_id": "o_orderkey",
+            "status": "upper(o_orderstatus)",
+            "discounted": "round(o_totalprice * 0.9, 4)",
+        },
+    )
+
+
+@register(
+    "p6_ci_filter",
+    "SELECT c_custkey, c_name FROM customer WHERE lower(c_mktsegment) = 'building'",
+)
+def p6_ci_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9: case-insensitive equality filter
+    (reference Flask_app/main.py:25-29)."""
+    return P.filter_eq_ci(_t(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "p8_csv_serialize",
+    "SELECT concat_ws(',', n_nationkey, n_name, n_regionkey) AS line FROM nation",
+)
+def p8_csv_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: ','.join CSV serialization (reference pipeline.py:63)."""
+    return P.to_csv_line(_t(spark, sf_dir, "nation"), "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "p10_composite_key",
+    """
+    SELECT concat_ws('|', l_orderkey, l_linenumber) AS row_key, l_partkey
+    FROM lineitem
+    """,
+)
+def p10_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: string-concat composite key
+    (reference data_transpose_working_1.py:115-118)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        P.composite_key("l_orderkey", "l_linenumber", sep="|").alias("row_key"), "l_partkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_per_key",
+    "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment",
+)
+def a1_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: CountCombineFn per key (reference csv_to_bq_NYC.py:132-136)."""
+    return A.count_per_key(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+@register(
+    "a2_mean_per_key",
+    """
+    SELECT c_nationkey, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a2_mean_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: MeanCombineFn per key (reference pipeline.py:62)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+
+
+@register(
+    "a4_distinct_in_group",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a4_distinct_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: UniqueList — distinct values within group (reference
+    data_transpose.py:45-48), serialized sorted for a stable hash."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities")
+    )
+
+
+@register(
+    "a5_collect_all",
+    "SELECT string_agg(r_name, ',' ORDER BY r_name) AS all_regions FROM region",
+)
+def a5_collect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: CombineGlobally ToList (reference data_transpose.py:110-114)
+    — single global fold over schema-sized data."""
+    r = _t(spark, sf_dir, "region")
+    return r.agg(F.array_join(F.sort_array(F.collect_list("r_name")), ",").alias("all_regions"))
+
+
+@register(
+    "a7_distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a7_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: whole-row Distinct (reference schema_generator.ipynb cell 23)."""
+    return A.distinct_rows(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J*) and set ops (U*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_enrich",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast hash equi-join (reference pipeline.py:31-36,54-61
+    side-input dict probe)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return J.broadcast_enrich(s, n, s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "j2_enrich_ci",
+    """
+    WITH agg AS (
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    ), dim AS (
+        SELECT upper(n_name) AS dim_name, n_regionkey FROM nation
+    )
+    SELECT n_name, n_customers, n_regionkey
+    FROM agg LEFT JOIN dim ON lower(n_name) = lower(dim_name)
+    """,
+)
+def j2_enrich_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: aggregate-then-enrich with case-insensitive keys — the
+    reference's per-key HTTP lookup (csv_to_bq_NYC.py:64-93) replaced by
+    a broadcast dimension join on lower() keys (Flask_app/main.py:26)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    fact = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    dim = n.select(F.upper("n_name").alias("dim_name"), "n_regionkey")
+    return J.enrich_ci(fact, dim, "n_name", "dim_name").select(
+        "n_name", "n_customers", "n_regionkey"
+    )
+
+
+@register(
+    "j3_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (general-engine surface, SURVEY.md §2.5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return J.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (general-engine surface)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return J.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "u1_union_by_name",
+    """
+    SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: Flatten / union-all (reference data_transpose.py:110-111)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# The flagship pivot (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register("pivot_returnflag")
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 dynamic pivot: lineitem keyed by l_linestatus, pivoted on
+    l_returnflag, summing l_extendedprice. Deterministic agg=sum is used
+    for the oracle (the reference's dict-merge arbitrary pick maps to
+    agg='first', exercised in unit tests instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = transpose(li, ["l_linestatus"], ["l_returnflag"], ["l_extendedprice"], agg="sum")
+    return wide.select(
+        "l_linestatus",
+        *[
+            F.round(F.col(c), 2).alias(c)
+            for c in wide.columns
+            if c != "l_linestatus"
+        ],
+    )
+
+
+# rounded variant of transpose_oracle_sql(...) so the value-hash is
+# float-stable; the unrounded generator is unit-tested separately
+ORACLE_SQL["pivot_returnflag"] = """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS "A_l_extendedprice",
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS "N_l_extendedprice",
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS "R_l_extendedprice"
+    FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register(
+    "pivot_multikey",
+    """
+    SELECT o_orderstatus, year(o_orderdate) AS o_year,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT_n",
+           count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH_n",
+           count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM_n",
+           count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED_n",
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW_n"
+    FROM orders GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+)
+def pivot_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multi-key pivot (the reference anticipated
+    --keyFields=id,locid, data_transpose_working_1.py:150-152): two key
+    columns, counting per priority."""
+    o = _t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    wide = transpose(
+        o.withColumn("n", F.lit(1)),
+        ["o_orderstatus", "o_year"],
+        ["o_orderpriority"],
+        ["n"],
+        agg="count",
+        pivot_values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+    return wide
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / limit / event-time (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_rank_orders",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def w1_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer. One shuffle on the
+    partition key, per-partition sort only — no global sort."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    ranked = W.rank_per_key(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], "rnk"
+    )
+    return ranked.filter(F.col("rnk") <= 3)
+
+
+@register(
+    "w2_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def w2_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject physical plan (k rows per
+    partition merged on the driver), never a full sort."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return W.top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@register(
+    "w3_event_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w3_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling event-time window over the events fixture
+    (SURVEY.md §2.8): window(ts, '1 hour') + grouped agg — the batch
+    analogue of the streaming rollup."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(SPARK_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE_SQL)

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference delegates execution to the Beam runner (no engine of its
+own — SURVEY.md §4.1); here the equivalent "runner" is one
+well-configured SparkSession. Settings chosen so the same code runs on
+local[N] for tests and on a 1000-executor cluster unchanged:
+
+- AQE on: runtime re-planning (coalesce post-shuffle partitions,
+  dynamically switch to broadcast joins, split skewed partitions).
+  This automates the reference's hand-rolled broadcast side-input join
+  (reference pipeline.py:61) and its manual project-then-shuffle.
+- Arrow on: columnar Python<->JVM transfer for the few Pandas-UDF paths.
+- shuffle.partitions default sized by env (32 locally); on a real
+  cluster AQE coalesces from a higher initial number, so this is a
+  floor not a tuning knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gcpdatapipelines_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a cluster, pass ``master=None`` and let spark-submit decide; in
+    tests/bench we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read as
+        # int64 nanos and convert at the source (io.read_table), matching
+        # the ns->us truncation every us-based engine applies
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

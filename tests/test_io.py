@@ -1,0 +1,85 @@
+"""Sources/sinks (S*/K*) and schema-mode tests (SURVEY.md §1.3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import io
+
+
+def test_bq_string_schema_to_ddl():
+    # reference compact schema csv_to_bq.py:7
+    assert (
+        io.bq_string_schema_to_ddl("ID:INTEGER,CLASS:STRING,SALES:FLOAT")
+        == "ID BIGINT, CLASS STRING, SALES DOUBLE"
+    )
+
+
+def test_bq_dict_schema_to_ddl():
+    # reference JSON-dict schema csv_to_bq_NYC.py:10-33
+    fields = [
+        {"name": "id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "price", "type": "FLOAT", "mode": "NULLABLE"},
+    ]
+    assert io.bq_dict_schema_to_ddl(fields) == "id STRING NOT NULL, price DOUBLE"
+
+
+def test_csv_declared_schema_roundtrip(spark, tmp_path):
+    """S1 + K4: schema'd CSV read replaces the reference's split+zip
+    parse; write with header and read back."""
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("ID,CLASS,SALES\n1,AAA,1.5\n2,BBB,2.5\n")
+    df = io.read_csv(spark, p, schema="ID:INTEGER,CLASS:STRING,SALES:FLOAT")
+    assert df.schema.simpleString() == "struct<ID:bigint,CLASS:string,SALES:double>"
+    assert df.count() == 2
+
+    out = str(tmp_path / "out")
+    io.write_text(df, out, suffix=".csv")
+    back = io.read_csv(spark, out, header=True, infer=True)
+    assert back.count() == 2
+
+
+def test_csv_inferred_schema(spark, tmp_path):
+    """S5: header-inferred mode (reference read_csv_no_pandas.py:18-24)."""
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = io.read_csv(spark, p, infer=True)
+    assert df.columns == ["a", "b"]
+    assert dict(df.dtypes)["a"] == "int"
+
+
+def test_append_vs_overwrite(spark, tmp_path):
+    """K1 vs K2 write modes (WRITE_APPEND / WRITE_TRUNCATE)."""
+    df = spark.range(5)
+    p = str(tmp_path / "t")
+    io.write_append(df, p)
+    io.write_append(df, p)
+    assert spark.read.parquet(p).count() == 10
+    io.write_overwrite(df, p)
+    assert spark.read.parquet(p).count() == 5
+
+
+def test_fanout(spark, tmp_path):
+    """K5: one cached source, two sinks (reference csv_to_bq_NYC.py:128-150)."""
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+    agg = df.groupBy("k").count()
+    raw, aggp = str(tmp_path / "raw"), str(tmp_path / "agg")
+    io.write_fanout(df, raw, agg, aggp)
+    assert spark.read.parquet(raw).count() == 100
+    assert spark.read.parquet(aggp).count() == 3
+
+
+def test_load_tables_registers_views(spark, sf_dir):
+    tables = io.load_tables(spark, sf_dir, names=("region", "nation"))
+    assert set(tables) == {"region", "nation"}
+    assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    """TIMESTAMP(NANOS) parquet surfaces as a proper TimestampType."""
+    ev = io.read_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -1,0 +1,27 @@
+"""Local replica of the driver's DuckDB-oracle gate (SURVEY.md §5.2) at
+sf0.001 for speed; tools/check_oracle.py runs the same compare at
+sf0.01 (what the driver uses)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+from tools.check_oracle import compare, duck_con
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_matches_oracle(spark, con, name):
+    spark_pd = QUERIES[name](spark, SF_SMOKE).toPandas()
+    duck_pd = con.sql(ORACLES[name]).df()
+    problems = compare(spark_pd, duck_pd)
+    assert not problems, problems

@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, column names
+(sorted), and order-insensitive values — flagging anything the driver's
+value-hash would flag. Run while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from gcpdatapipelines_spark.io import TABLES
+from gcpdatapipelines_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"row count {len(spark_pd)} != oracle {len(duck_pd)}")
+    s_cols, d_cols = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns {s_cols} != oracle {d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pd), normalize(duck_pd)
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv64 = sv.astype(np.float64)
+            dv64 = dv.astype(np.float64)
+            both_nan = np.isnan(sv64) & np.isnan(dv64)
+            exact = np.array_equal(sv64, dv64, equal_nan=True)
+            if not exact:
+                diff = np.where(both_nan, 0.0, np.abs(sv64 - dv64))
+                bad = int(np.sum(diff > 0))
+                problems.append(
+                    f"col {c}: {bad} values differ, max abs diff {np.nanmax(diff):.3e} "
+                    f"(hash WOULD MISMATCH — values not bit-identical)"
+                )
+        else:
+            if not np.array_equal(sv, dv):
+                idx = np.nonzero(sv != dv)[0][:3]
+                problems.append(
+                    f"col {c}: mismatch at rows {idx.tolist()}: "
+                    f"spark={sv[idx].tolist()} oracle={dv[idx].tolist()}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pd = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_pd)} rows (no oracle; rows-only check) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(spark_pd) == 0:
+                print(f"      WARNING: zero rows")
+            continue
+        try:
+            duck_pd = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(spark_pd, duck_pd)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(spark_pd)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{n_fail} failures / {len(only) if only else len(qs)} checked")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
