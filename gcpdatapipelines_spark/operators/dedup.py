@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its only dedup surface is a sketched
+beam.Distinct, schema_generator.ipynb cell 23 — SURVEY.md §2.6); these
+are the north-star extensions. All tiers are pure DataFrame ops — no
+Python on the hot path — and each is designed for the 100 TB regime:
+
+- exact:        one hash-aggregate shuffle on the dedup key.
+- normalized:   same, after a whitespace/punct/case normalization, so
+                formatting-only variants collapse (md5 content
+                fingerprint doubles as a compact join key).
+- n-gram Jaccard: shingle -> explode distinct -> self-join on shingle
+                -> per-pair intersection counts. The self-join is
+                shuffle-partitioned by shingle; a document-frequency
+                cap drops stop-shingles that would create join skew.
+- MinHash+LSH:  64-perm signatures via xxhash64 (JVM-side), banded
+                into (band, band_hash) buckets; only bucket collisions
+                are candidate pairs, so the pair space never
+                materializes O(n^2). Candidates are then verified with
+                the exact Jaccard.
+- SimHash:      64-bit signature from token hashes; near-dup pairs via
+                16-bit chunk banding (Hamming<=3 guarantee by pigeonhole
+                over 4 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact + normalized
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id representative per duplicate group.
+    Deterministic (unlike dropDuplicates' arbitrary pick) and a single
+    partial-agg shuffle on the dedup key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+
+
+def normalize_text(col):
+    """Canonical text form: lowercase, strip non-alphanumerics to single
+    spaces, trim. Collapses formatting-only near-duplicates."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def content_fingerprint(col):
+    """md5 of the normalized text — a compact dedup/join key. md5 keeps
+    the oracle checkable (DuckDB md5 produces the identical hex)."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized-fingerprint dedup: group by md5(normalized text)."""
+    return (
+        df.withColumn("fp", content_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def tokens(col):
+    """Lowercased alphanumeric tokens, empties removed. Both sides of
+    the oracle (Spark split / DuckDB string_split_regex) produce this
+    identical list."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != "")
+
+
+def _shingle_expr(tok_col: str, n: int):
+    """Distinct word n-grams of the token array (n tokens joined by a
+    space); docs shorter than n tokens yield their whole text as the
+    single shingle."""
+    toks = F.col(tok_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) rows, one per distinct n-gram per document."""
+    return (
+        df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, F.explode(_shingle_expr("__toks", n)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    ``max_df`` (scale knob): drop shingles appearing in more than
+    max_df documents before the self-join — stop-shingles contribute
+    negligible Jaccard signal but dominate join skew at scale. Leave
+    None for oracle-exact semantics.
+
+    Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded to
+    6 digits for hash-stable comparison.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(sz1, "id_1")
+        .join(sz2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_perm: int = 64
+) -> DataFrame:
+    """num_perm-wide MinHash signature per document.
+
+    Each "permutation" is xxhash64(shingle, seed s) (the standard
+    hash-with-seed approximation of a random permutation); the
+    signature element is the min over the document's shingles —
+    computed as num_perm JVM-side min-aggregates, map-side combined, so
+    the shuffle carries one row per document."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        id_col,
+        *[F.xxhash64("shingle", F.lit(s)).alias(f"h{s}") for s in range(num_perm)],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_perm)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"h{s}" for s in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with exact
+    n-gram Jaccard.
+
+    bands=16 over 64 perms -> rows-per-band r=4; collision probability
+    1-(1-j^4)^16 puts the S-curve midpoint near j~0.5. Only documents
+    sharing a (band, band-hash) bucket are paired — the candidate set
+    is bucket-local, never O(n^2). The verify step re-scores candidates
+    with the exact Jaccard so false positives drop out; output equals
+    the exact-Jaccard pair set restricted to LSH candidates."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    Classic scheme: each distinct token votes +1/-1 on each bit of its
+    xxhash64; the signature bit is the sign of the vote sum. Expressed
+    as 64 conditional-sum aggregates — JVM-side, map-side combined."""
+    tok = df.select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    h = tok.withColumn("th", F.xxhash64("tok"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    # fold sign bits back into one BIGINT (bit 63 via signed shift)
+    sig = votes.select(
+        id_col,
+        F.aggregate(
+            F.array(
+                *[
+                    F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    for b in range(64)
+                ]
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
+    chunk banding: any pair within Hamming 3 of a 64-bit hash must agree
+    on at least one of 4 disjoint 16-bit chunks (pigeonhole), so only
+    chunk-bucket collisions are candidate pairs."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("piece"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cp"),
+    ).select(id_col, "simhash", "cp.chunk", "cp.piece")
+
+    left = chunks.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "chunk", "piece"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "chunk", "piece"
+    )
+    cand = (
+        left.join(right, ["chunk", "piece"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Multimodal-column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched Pandas iterators (mapInPandas) —
+the one place Python belongs, because codec work is per-blob native
+code, not relational. The Spark-side contract (schema, batch shape,
+partition sizing) is real and tested; the codec call itself is stubbed
+behind ``decode_fn`` because media libraries are not available in this
+environment — swap ``fake_decode`` for a Pillow/ffmpeg call and
+nothing else changes.
+
+Scale design:
+- blobs travel once: mapInPandas streams Arrow batches, so a 100 MB
+  partition of blobs never materializes as Python row objects.
+- ``repartition_for_blobs`` sizes partitions by cumulative payload
+  bytes, not row count — media rows are wildly non-uniform and a
+  row-count split would OOM executors on the fat tail.
+- derived features (dims, duration, fingerprints) are plain columns
+  afterwards: filter/join/agg on them is ordinary relational work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id BIGINT, kind STRING, payload BINARY, meta MAP<STRING, STRING>"
+)
+
+DECODED_SCHEMA = (
+    "asset_id BIGINT, kind STRING, n_bytes INT, checksum STRING, "
+    "width INT, height INT, duration_s DOUBLE"
+)
+
+
+def fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a real codec. Derives pseudo
+    width/height/duration from the payload digest so tests are stable.
+    Replace with Pillow / soundfile / ffmpeg in production."""
+    if payload is None:
+        return {"n_bytes": 0, "checksum": None, "width": None, "height": None, "duration_s": None}
+    digest = hashlib.sha256(payload).hexdigest()
+    w = int(digest[:4], 16) % 4096
+    h = int(digest[4:8], 16) % 4096
+    dur = (int(digest[8:12], 16) % 36000) / 100.0
+    return {
+        "n_bytes": len(payload),
+        "checksum": digest[:16],
+        "width": w if kind == "image" else None,
+        "height": h if kind == "image" else None,
+        "duration_s": dur if kind in ("audio", "video") else None,
+    }
+
+
+def decode_assets(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Decode/feature-extract binary assets via Arrow-batched
+    mapInPandas. One output row per asset; batches stream, nothing
+    collects."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_fn(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            yield out
+
+    return assets.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample_stub(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling plumbing: explodes each video asset into
+    (asset_id, frame_idx, frame_ts_s) rows using the decoded duration.
+    The actual frame extraction is the codec stub's job; the explode +
+    schema + partitioning is the Spark-side work being exercised."""
+    decoded = decode_assets(assets).filter(F.col("kind") == "video")
+    return decoded.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("duration_s") / every_s).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_s", F.col("frame_idx") * every_s)
+
+
+def repartition_for_blobs(
+    assets: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Partition by cumulative payload size instead of row count:
+    estimates total bytes from a size column and repartitions so each
+    partition holds ~target bytes of media."""
+    sized = assets.withColumn("__sz", F.octet_length("payload"))
+    total = sized.agg(F.sum("__sz")).collect()[0][0] or 0
+    n_parts = max(1, int(total / target_partition_bytes) + 1)
+    return sized.repartition(n_parts).drop("__sz")
+
+
+def text_to_fake_assets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fabricate a deterministic assets table from the documents
+    fixture (no media files ship with the testdata): payload = utf-8
+    bytes, kind cycles image/audio/video."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )

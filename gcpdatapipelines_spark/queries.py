@@ -556,6 +556,281 @@ def w3_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n_events", "total_value")
 
 
+# ---------------------------------------------------------------------------
+# North-star: deduplication (documents fixture)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id representative per identical text."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-md5 fingerprint dedup: formatting-only variants
+    collapse; md5 hex is identical across Spark and DuckDB so the
+    fingerprints themselves are oracle-checked."""
+    from .operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(l) - 4),
+                       i -> array_to_string(l[i:i+4], ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS shingle
+        FROM toks
+    ), sz AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(n_inter * 1.0 / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sz s1 ON id_1 = s1.doc_id
+    JOIN sz s2 ON id_2 = s2.doc_id
+    WHERE n_inter * 1.0 / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-5-gram Jaccard >= 0.5 (exact set
+    semantics; the MinHash query below approximates this at scale)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs verified by exact
+    Jaccard >= 0.5. Recall vs dedup_ngram_jaccard is unit-tested; the
+    driver records a rows-only check (hash fns are engine-specific)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.5
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming <= 3) via 16-bit chunk
+    banding."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search (embeddings fixture)
+# ---------------------------------------------------------------------------
+
+_SIM_SQL_COS = (
+    "round(list_inner_product(q_vec, vec) / "
+    "(sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(vec, vec))), 6)"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), scored AS (
+        SELECT q_id, vec_id, {_SIM_SQL_COS} AS sim
+        FROM q CROSS JOIN v WHERE q_id <> vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors — the exact ANN
+    baseline. Query side broadcast; scoring via built-in higher-order
+    functions (JVM, no Python)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(emb, qs, k=10)
+
+
+@register(
+    "sim_embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           round(list_inner_product(a.vec, b.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) *
+                  sqrt(list_inner_product(b.vec, b.vec))), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.vec, b.vec) /
+          (sqrt(list_inner_product(a.vec, a.vec)) *
+           sqrt(list_inner_product(b.vec, b.vec))) >= 0.4
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (sim >= 0.4). The fixture
+    embeddings carry no planted near-dups — max pair cosine is ~0.51 —
+    so the threshold selects the top-similar tail; at 0.95 the operator
+    would be vacuously empty."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("sim_ivf_topk")  # rows-only: ANN candidate set is engine-defined
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 (nlist=16, nprobe=4) — the scale path;
+    recall vs brute force is unit-tested rather than oracle-checked."""
+    from .operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assignments, centroids = ivf_build(emb, nlist=16)
+    return ivf_topk(assignments, centroids, qs, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis (documents fixture)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+           round(length(text) * 1.0 /
+                 greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 4)
+               AS chars_per_word
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char/word/token counts (BPE-ish regex tokens)."""
+    from .operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 /
+                 greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+                 greatest(length(text), 1), 6) AS digit_ratio,
+           round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|for)\\b')) * 1.0 /
+                 greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6)
+               AS stopword_ratio,
+           CAST(length(text) >= 100
+                AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 /
+                    greatest(length(text), 1) < 0.1
+                AND len(regexp_extract_all(text, '[0-9]')) * 1.0 /
+                    greatest(length(text), 1) < 0.3 AS INT) AS keep
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality signals + keep flag."""
+    from .operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_langid",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|for)\\b')) AS en_hits,
+            len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|ein|nicht|mit)\\b')) AS de_hits,
+            len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|un|une|pour)\\b')) AS fr_hits,
+            len(regexp_extract_all(lower(text), '\\b(el|la|los|y|es|un|una|por)\\b')) AS es_hits,
+            len(regexp_extract_all(text, '[一-鿿]')) AS zh_hits
+        FROM documents
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+           CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'de'
+                WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'fr'
+                WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language ID with per-language hit counts."""
+    from .operators.text import lang_scores
+
+    return lang_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal plumbing (fabricated binary assets)
+# ---------------------------------------------------------------------------
+
+
+@register("mm_decode_features")  # rows-only: mapInPandas stub, not SQL
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset decode via Arrow-batched mapInPandas: fabricates a
+    binary assets table from documents, runs the (stubbed) codec, and
+    returns typed features. Exercises the real Spark plumbing — binary
+    schema, Arrow batches, derived feature columns."""
+    from .operators.multimodal import decode_assets, text_to_fake_assets
+
+    assets = text_to_fake_assets(_t(spark, sf_dir, "documents"))
+    return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

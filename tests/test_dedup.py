@@ -1,0 +1,79 @@
+"""Dedup operator semantics: exact, fingerprint, n-gram Jaccard,
+MinHash-LSH recall, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators import dedup as D
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, ["aaa", "bbb", "aaa", "aaa"])
+    out = {r["text"]: r for r in D.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out["aaa"]["doc_id"] == 0 and out["aaa"]["n_copies"] == 3
+    assert out["bbb"]["n_copies"] == 1
+
+
+def test_fingerprint_collapses_formatting(spark):
+    df = _docs(spark, ["Hello,  World!", "hello world", "other text"])
+    out = D.fingerprint_dedup(df, "text", "doc_id").collect()
+    assert len(out) == 2  # the two formatting variants share a fingerprint
+    groups = {r["doc_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2
+
+
+def test_ngram_jaccard_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content with no overlap whatsoever in any way"
+    df = _docs(spark, [base, near, far])
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_1"], p["id_2"]) == (0, 1) and 0.3 <= p["jaccard"] < 1.0
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(spark, ["same words here exactly", "same words here exactly"])
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_recall_on_fixture(spark):
+    """LSH candidates must recover the high-similarity pairs the exact
+    Jaccard finds (the S-curve guarantees j>=0.8 pairs collide w.h.p.)."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_1"], r["id_2"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.8).collect()
+    }
+    lsh = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 5, threshold=0.8).collect()
+    }
+    assert lsh <= exact or not exact  # verified candidates never exceed exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} below 0.9 ({len(exact)} true pairs)"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "unrelated thing"])
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    assert sig[0] == sig[1]
+    pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert {(p["id_1"], p["id_2"]) for p in pairs} == {(0, 1)}
+
+
+def test_simhash_deterministic(spark):
+    df = _docs(spark, ["some stable content for hashing"])
+    a = D.simhash(df, "doc_id", "text").collect()[0]["simhash"]
+    b = D.simhash(df, "doc_id", "text").collect()[0]["simhash"]
+    assert a == b

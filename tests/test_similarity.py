@@ -1,0 +1,72 @@
+"""Similarity-search semantics: brute-force exactness, IVF recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+def test_brute_force_known_nearest(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ]
+    )
+    qs = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.brute_force_topk(vecs, qs, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2]
+    assert out[0]["sim"] <= 1.0
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([Row(v=[3.0, 4.0])])
+    val = df.select(F.round(S.cosine(F.col("v"), F.col("v")), 6).alias("c")).collect()[0]["c"]
+    assert val == 1.0
+
+
+def test_embedding_neardup_threshold(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 0.001]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ]
+    )
+    pairs = S.embedding_neardup_pairs(vecs, threshold=0.99).collect()
+    assert {(p["id_1"], p["id_2"]) for p in pairs} == {(0, 1)}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=4/nlist=8 must recover a decent fraction of the
+    exact top-10 on the fixture embeddings (recall floor deliberately
+    loose — the centroid sample is a stand-in, not k-means)."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, qs, k=10).collect()
+    }
+    assignments, centroids = S.ivf_build(emb, nlist=8)
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in S.ivf_topk(assignments, centroids, qs, k=10, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall@10 {recall:.2f} unexpectedly low"
+
+
+def test_ivf_assignment_covers_all_vectors(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    assignments, centroids = S.ivf_build(emb, nlist=8)
+    assert assignments.count() == emb.count()
+    assert centroids.count() == 8

@@ -1,0 +1,64 @@
+"""Text-analysis operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from gcpdatapipelines_spark.operators import text as T
+
+
+def _one(spark, text):
+    return spark.createDataFrame([Row(doc_id=0, text=text)])
+
+
+def test_token_stats_counts(spark):
+    out = T.token_stats(_one(spark, "Hello world, 42 times!"), "doc_id", "text").collect()[0]
+    assert out["n_chars"] == 22
+    assert out["n_words"] == 4  # Hello, world, 42, times
+    # tokens: Hello | world | , | 42 | times | !
+    assert out["n_tokens"] == 6
+
+
+def test_quality_keep_flag(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the hills "
+        "for a while longer here and then comes back home for dinner"
+    )
+    bad = "!!! ??? *** !!! ??? ***"
+    rows = {
+        r["doc_id"]: r
+        for r in T.quality_score(
+            spark.createDataFrame(
+                [Row(doc_id=0, text=good), Row(doc_id=1, text=bad)]
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[0]["keep"] == 1
+    assert rows[1]["keep"] == 0
+    assert rows[1]["punct_ratio"] > 0.5
+
+
+def test_langid_english(spark):
+    out = T.lang_scores(
+        _one(spark, "the cat and the dog went to the park in a hurry"), "doc_id", "text"
+    ).collect()[0]
+    assert out["pred_lang"] == "en" and out["en_hits"] >= 4
+
+
+def test_langid_german(spark):
+    out = T.lang_scores(
+        _one(spark, "der hund und die katze ist ein tier nicht mit"), "doc_id", "text"
+    ).collect()[0]
+    assert out["pred_lang"] == "de"
+
+
+def test_langid_cjk(spark):
+    out = T.lang_scores(_one(spark, "这是一个中文句子"), "doc_id", "text").collect()[0]
+    assert out["pred_lang"] == "zh" and out["zh_hits"] >= 5
+
+
+def test_langid_unknown(spark):
+    out = T.lang_scores(_one(spark, "zzz qqq xxx"), "doc_id", "text").collect()[0]
+    assert out["pred_lang"] == "und"
