@@ -557,6 +557,248 @@ def w3_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-dimensional aggregates, percentiles, set ops, richer windows
+# (general-engine surface beyond the reference, SURVEY.md §2.4/§2.6/§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a8_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (per flag+status, per flag,
+    grand total) — one pass, no self-union."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "a9_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via cube."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a10_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (S3: spark.sql
+    over a registered view — the reference's pushed-down query source,
+    csv_to_bq_NYC.py:110-117)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "a11_percentiles",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (approx_percentile is
+    the scale path when exactness isn't required; the exact form is the
+    oracle-checkable one)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — free in Spark, absent in the
+    reference (SURVEY.md §2.6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(finished)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.select("c_custkey").exceptAll(open_orders).distinct()
+
+
+@register(
+    "w4_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round(o_totalprice -
+                 lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 4)
+               AS price_delta,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    """,
+)
+def w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-customer order history (orderdate + orderkey
+    tiebreak keeps the frame deterministic)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 4).alias(
+            "price_delta"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register(
+    "w5_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+    FROM orders
+    """,
+)
+def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order average per customer (rowsBetween frame)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg3"),
+    )
+
+
+@register(
+    "w6_ntile",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+)
+def w6_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing by account balance (global window — fine for
+    dimension-sized data; partition it for fact-sized)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).alias("bal_quartile"))
+
+
+@register(
+    "w7_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) -
+                         epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM gaps
+    )
+    SELECT user_id, count(DISTINCT sess_id) AS n_sessions
+    FROM sess GROUP BY user_id
+    """,
+)
+def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch form of
+    the reference's visit-duration analytics (pipeline.py:11-20) done
+    properly — lag to detect gaps, running sum to number sessions.
+    The streaming twin is session_window in streaming.py."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_ord))
+            > 1800 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.select("user_id", F.sum("new_sess").over(w_run).alias("sess_id"))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
 # North-star: deduplication (documents fixture)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""Structured Streaming surface (SURVEY.md §2.8 stretch; the reference
+is batch-only, so these are the streaming twins of the batch event
+queries — same semantics, incremental execution).
+
+Design: streams are ordinary DataFrames built by ``readStream``; every
+transformation below is the same expression used in the batch catalog
+(w3_event_hourly, w7_sessionize), so batch/stream parity is testable by
+running the stream with trigger(availableNow=True) over the fixture
+parquet and diffing against the batch result — which is exactly what
+tests/test_streaming.py does.
+
+At scale: watermarks bound state (late events beyond the horizon are
+dropped instead of growing state forever); session_window keeps one
+merging state per user; applyInPandasWithState is the arbitrary-state
+escape hatch with explicit timeouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the session reads nanos
+# as int64 (see session.py) and we convert — identical to io.read_table.
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (file source; schema must be
+    declared for streaming reads)."""
+    # the streaming file source requires a directory; point it at the
+    # fixture dir and glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of w3_event_hourly: tumbling 1-hour windows with a
+    watermark bounding state. Same output columns as the batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of w7_sessionize using session_window: per-user
+    sessions close after `gap` inactivity; merging state per user is
+    bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event-count + value-sum state across micro-batches — the
+    arbitrary-stateful escape hatch for semantics window functions
+    can't express (the reference has no analogue; this is north-star
+    surface)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream's current input with trigger(availableNow) into
+    an in-memory table and return it as a batch DataFrame — the test
+    harness for batch/stream parity."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)

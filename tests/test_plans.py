@@ -1,0 +1,81 @@
+"""Physical-plan contracts: pushdown, pruning, broadcast selection,
+partial aggregation. A regression here means the query would still be
+row-correct but would stop scaling — treated as a failure
+(SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+from gcpdatapipelines_spark import plans as P
+from gcpdatapipelines_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _q(spark, name):
+    return SPARK_QUERIES[name](spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "p2_projection_filter")
+    pushed = P.pushed_filters(df)
+    assert any("GreaterThan" in f and "c_acctbal" in f for f in pushed), pushed
+
+
+def test_column_pruning_projection(spark):
+    """2-column projection + 1 filter column: the customer scan must
+    read exactly those 3 of its 5 columns."""
+    df = _q(spark, "p2_projection_filter")
+    (cols,) = P.scan_columns(df)
+    assert cols == {"c_custkey", "c_mktsegment", "c_acctbal"}
+
+
+def test_flagship_prunes_fact_scan(spark):
+    """lineitem has 11 columns; the flagship rollup needs 4. Reading
+    more at 100 TB is pure wasted IO."""
+    df = _q(spark, "flagship_nation_rollup")
+    li_scan = P.scan_columns(df)[0]
+    assert li_scan == {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_flagship_joins_are_broadcast(spark):
+    """orders/customer/nation are dimension-sided: every join must be
+    broadcast — the fact side never shuffles for a join."""
+    df = _q(spark, "flagship_nation_rollup")
+    strategies = set(P.join_strategies(df))
+    assert strategies == {"BroadcastHashJoin"}, strategies
+
+
+def test_flagship_single_agg_shuffle(spark):
+    """With all joins broadcast, the only exchange is the final
+    group-by — one shuffle total."""
+    df = _q(spark, "flagship_nation_rollup")
+    assert P.num_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_q1_partial_aggregation(spark):
+    df = _q(spark, "q1_pricing_summary")
+    assert P.has_partial_aggregation(df)
+    assert P.num_exchanges(df) == 1
+
+
+def test_q1_date_filter_pushed(spark):
+    df = _q(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
+
+
+def test_broadcast_enrich_no_shuffle(spark):
+    """A broadcast join plan must contain zero exchanges — that is the
+    entire point of J1 (reference pipeline.py:61)."""
+    df = _q(spark, "j1_broadcast_enrich")
+    assert P.num_exchanges(df) == 0
+    assert "SortMergeJoin" not in P.join_strategies(df)
+
+
+def test_pivot_prunes_scan(spark):
+    df = _q(spark, "pivot_returnflag")
+    (cols,) = P.scan_columns(df)
+    assert cols == {"l_linestatus", "l_returnflag", "l_extendedprice"}
+
+
+def test_codegen_active_on_scan_agg(spark):
+    df = _q(spark, "q1_pricing_summary")
+    assert P.whole_stage_codegen_spans(df) >= 1

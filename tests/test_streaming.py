@@ -1,0 +1,57 @@
+"""Batch/stream parity: the streaming twins must produce the same
+results as the batch catalog queries over the same fixture data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import streaming as S
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.queries import w3_event_hourly, w7_sessionize
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_source_schema(spark):
+    ev = S.stream_events(spark, SF_SMOKE)
+    assert ev.isStreaming
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_hourly_rollup_matches_batch(spark):
+    ev = S.stream_events(spark, SF_SMOKE)
+    got = S.run_available_now(S.hourly_rollup_stream(ev), "t_hourly")
+    want = w3_event_hourly(spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessionize_matches_batch_counts(spark):
+    """session_window(gap=30m) closes a session after 30 minutes of
+    inactivity — the same definition as the batch lag-gap query, so
+    per-user session counts must agree."""
+    ev = S.stream_events(spark, SF_SMOKE)
+    sess = S.run_available_now(S.sessionize_stream(ev), "t_sess")
+    got = {
+        r["user_id"]: r["n"]
+        for r in sess.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    want = {r["user_id"]: r["n_sessions"] for r in w7_sessionize(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_stateful_totals_match_batch(spark):
+    ev = S.stream_events(spark, SF_SMOKE)
+    got = S.run_available_now(
+        S.stateful_user_totals(ev), "t_state", output_mode="update"
+    )
+    batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
