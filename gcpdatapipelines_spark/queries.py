@@ -556,6 +556,33 @@ def w3_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n_events", "total_value")
 
 
+@register(
+    "j5_resolver_enrich",
+    """
+    SELECT 'CTRY_' || CAST(user_id % 7 AS VARCHAR) AS country,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def j5_resolver_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J2 done right: external-lookup enrichment resolved once per
+    DISTINCT key via an Arrow-batched resolver, broadcast-joined back
+    (the reference called HTTP once per ROW, pipeline.py:54-56). The
+    deterministic fake resolver stands in for the HTTP call, so the
+    whole path is oracle-checkable."""
+    from .operators.enrich import enrich_via_resolver, fake_geo_resolver
+
+    ev = _t(spark, sf_dir, "events")
+    enriched = enrich_via_resolver(
+        ev, "user_id", fake_geo_resolver, "user_id BIGINT, country STRING"
+    )
+    return enriched.groupBy("country").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregates, percentiles, set ops, richer windows
 # (general-engine surface beyond the reference, SURVEY.md §2.4/§2.6/§2.8)
