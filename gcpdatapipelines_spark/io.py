@@ -156,6 +156,34 @@ def write_text(df: DataFrame, path: str, suffix: str = ".csv") -> None:
         df.write.mode("overwrite").text(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout (path/col=value/...). At scale this
+    is the difference between scanning 100 TB and scanning one
+    partition: filters on partition columns prune directories before a
+    single byte is read (PartitionFilters in the plan — asserted in
+    tests/test_scale_ops.py)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at
+    write time so later equi-joins/aggs on that column skip the
+    shuffle entirely (both sides pre-partitioned). The warehouse-table
+    analogue of the reference's BigQuery clustered tables."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_fanout(df: DataFrame, raw_path: str, agg_df: DataFrame, agg_path: str) -> None:
     """K5: multi-sink fan-out — one source written raw AND aggregated
     (reference csv_to_bq_NYC.py:128-150). ``df.cache()`` so the source

@@ -125,6 +125,56 @@ def embedding_neardup_pairs(
     )
 
 
+def neardup_pairs_blas(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """BLAS path for the pair scan: the full (small) vector matrix is
+    broadcast as numpy; each Arrow batch of rows computes
+    block @ matrix.T in one dgemm and emits pairs over threshold.
+
+    Same O(n^2) math as embedding_neardup_pairs but ~vectorized-C per
+    block instead of an interpreted per-element expression — this is
+    the shape to use when the pair space is already candidate-pruned
+    (IVF cell or LSH bucket) and the per-bucket matrix fits an
+    executor. Results can differ from the JVM version only in the last
+    float bits (BLAS reassociates the dot-product sum), hence rows-only
+    in the oracle catalog; equivalence is unit-tested with tolerance."""
+    import numpy as np
+
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = vectors.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def run(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T
+            bid = pdf[id_col].to_numpy()
+            bi, aj = np.nonzero(sims >= threshold)
+            keep = bid[bi] < all_ids[aj]
+            yield pd.DataFrame(
+                {
+                    "id_1": bid[bi][keep],
+                    "id_2": all_ids[aj][keep],
+                    "sim": np.round(sims[bi, aj][keep], 6),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        run, schema="id_1 BIGINT, id_2 BIGINT, sim DOUBLE"
+    )
+
+
 def ivf_build(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -987,6 +987,17 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register("sim_neardup_blas")  # rows-only: BLAS reassociates float sums
+def sim_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS (Arrow + numpy dgemm) variant of sim_embedding_neardup —
+    the per-bucket scoring kernel for candidate-pruned pair scans at
+    scale. Equivalence to the JVM expression is unit-tested with
+    float tolerance; last-bit reassociation keeps it rows-only here."""
+    from .operators.similarity import neardup_pairs_blas
+
+    return neardup_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 @register("sim_ivf_topk")  # rows-only: ANN candidate set is engine-defined
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-10 (nlist=16, nprobe=4) — the scale path;

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the semantics most likely to
+hide edge-case bugs: pivot vs a pandas reference model, Jaccard
+invariants, salted-agg equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gcpdatapipelines_spark.operators.dedup import ngram_jaccard_pairs
+from gcpdatapipelines_spark.operators.pivot import transpose
+from gcpdatapipelines_spark.operators.skew import salted_count_per_key
+
+KEYS = st.integers(min_value=0, max_value=3)
+CLASSES = st.sampled_from(["AAA", "BBB", "CCC"])
+VALUES = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32)
+
+ROWS = st.lists(st.tuples(KEYS, CLASSES, VALUES), min_size=1, max_size=25)
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@SLOW
+def test_pivot_sum_matches_pandas(spark, rows):
+    """transpose(agg='sum') must agree with pandas pivot_table for any
+    input, including duplicate (key, pivot) pairs and absent cells."""
+    df = spark.createDataFrame(rows, "id INT, cls STRING, v DOUBLE")
+    wide = transpose(df, ["id"], ["cls"], ["v"], agg="sum").toPandas()
+
+    pdf = pd.DataFrame(rows, columns=["id", "cls", "v"])
+    want = pdf.pivot_table(index="id", columns="cls", values="v", aggfunc="sum")
+    for _, row in wide.iterrows():
+        for cls in ("AAA", "BBB", "CCC"):
+            col = f"{cls}_v"
+            if col not in wide.columns:
+                assert cls not in want.columns
+                continue
+            got = row[col]
+            exp = (
+                want.loc[row["id"], cls]
+                if cls in want.columns and not pd.isna(want.loc[row["id"], cls])
+                else None
+            )
+            if exp is None:
+                assert got is None or pd.isna(got)
+            else:
+                assert got is not None and math.isclose(got, exp, rel_tol=1e-9)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=2, max_size=6
+    )
+)
+@SLOW
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    """0 < jaccard <= 1 for every emitted pair; id_1 < id_2 always;
+    identical texts always score exactly 1.0."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    for p in pairs:
+        assert p["id_1"] < p["id_2"]
+        assert 0.0 < p["jaccard"] <= 1.0
+    scored = {(p["id_1"], p["id_2"]): p["jaccard"] for p in pairs}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and a == b and a.strip(" "):
+                assert scored.get((i, j)) == 1.0, (a, b, scored)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=30),
+    buckets=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_salted_count_always_matches_plain(spark, keys, buckets):
+    df = spark.createDataFrame([(k,) for k in keys], "k INT")
+    plain = {(r["k"], r["n"]) for r in df.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    salted = {
+        (r["k"], r["cnt"]) for r in salted_count_per_key(df, "k", buckets, "cnt").collect()
+    }
+    assert plain == salted

@@ -1,0 +1,99 @@
+"""Scale machinery: salted joins/aggs, partitioned writes with
+partition pruning, bucketed tables, approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import io, plans
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators import skew
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be invisible in the result set."""
+    o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    fact = o.withColumnRenamed("o_custkey", "c_custkey")
+    plain = fact.join(c, "c_custkey").groupBy("c_nationkey").count()
+    salted = (
+        skew.salted_join(fact, c, "c_custkey", salt_buckets=4)
+        .groupBy("c_nationkey")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in several salt buckets."""
+    hot = spark.range(1000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "x")], "k INT, v STRING")
+    salted = hot.withColumn(
+        "__salt",
+        (F.spark_partition_id() + F.monotonically_increasing_id()) % 4,
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets >= 2
+    out = skew.salted_join(hot, dim, "k", salt_buckets=4)
+    assert out.count() == 1000
+
+
+def test_salted_count_matches_plain(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"], r["cnt"])
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        (r["event_type"], r["cnt"])
+        for r in skew.salted_count_per_key(ev, "event_type", salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must prune at the directory
+    level (PartitionFilters), reading only matching partitions."""
+    o = read_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    io.write_partitioned(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    filtered = back.filter(F.col("o_orderstatus") == "F")
+    plan = plans.formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    want = o.filter(F.col("o_orderstatus") == "F").count()
+    assert filtered.count() == want
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
+    """Joining two tables bucketed on the join key must plan zero
+    exchanges — the write-time co-location pays off at read time."""
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    o = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    io.write_bucketed(o, "t_orders_b", "o_orderkey", num_buckets=4)
+    io.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", 4
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    with_broadcast_off = a.join(b.hint("shuffle_merge"), "o_orderkey")
+    assert plans.num_exchanges(with_broadcast_off) == 0
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_approx_aggregates_close_to_exact(spark):
+    """approx_count_distinct / approx_percentile: the scale substitutes
+    for exact distinct/percentile; sanity-bound their error."""
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey").alias("approx_d"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.1
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.1
