@@ -557,6 +557,247 @@ def w3_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p12_explode_tokens",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n FROM toks GROUP BY token HAVING count(*) >= 50
+    """,
+)
+def p12_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/lateral-view surface: token frequency over documents
+    (the word-count shape; tokens shared with the dedup operators)."""
+    from .operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@register(
+    "p13_string_funcs",
+    """
+    SELECT n_nationkey,
+           lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS padded,
+           substr(n_name, 2, 4) AS mid,
+           replace(n_name, '_', '-') AS dashed,
+           trim(upper(concat(' ', n_name, ' '))) AS shouted
+    FROM nation
+    """,
+)
+def p13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface beyond the reference's
+    split/lower/concat (SURVEY.md §2.8): lpad, substr, replace, trim,
+    upper — all JVM built-ins with DuckDB-identical semantics."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 3, "0").alias("padded"),
+        F.substring("n_name", 2, 4).alias("mid"),
+        F.regexp_replace("n_name", "_", "-").alias("dashed"),
+        F.trim(F.upper(F.concat(F.lit(" "), F.col("n_name"), F.lit(" ")))).alias(
+            "shouted"
+        ),
+    )
+
+
+@register(
+    "p14_date_parts",
+    """
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def p14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + monthly rollup (year/month share
+    semantics across engines; dayofweek deliberately avoided — Spark
+    and DuckDB disagree on week origin)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+    )
+
+
+@register(
+    "p15_null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(x.n_x, 0) AS n_special,
+           CASE WHEN x.n_x IS NULL THEN 'none' ELSE 'some' END AS bucket
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_x FROM orders
+        WHERE o_orderstatus = 'X' GROUP BY o_custkey
+    ) x ON c_custkey = x.o_custkey
+    """,
+)
+def p15_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL propagation surface: left join against an empty aggregate
+    produces NULLs; coalesce/CASE give the zero-filled contract the
+    reference's serving apps hand-roll (Fast_API/main.py:25-28)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        o.filter(F.col("o_orderstatus") == "X")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_x"))
+    )
+    joined = c.join(x, c.c_custkey == x.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("n_x"), F.lit(0)).alias("n_special"),
+        F.when(F.col("n_x").isNull(), "none").otherwise("some").alias("bucket"),
+    )
+
+
+@register(
+    "p16_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def p16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: events.props is a JSON string;
+    get_json_object extracts fields JVM-side (no Python). At scale,
+    promote hot JSON fields to columns at ingest — this operator is the
+    probe-and-explore path."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4
+        ).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment filter, date cutoffs on both fact
+    sides, 3-way join, per-order revenue, global top-10. Filters push
+    to all three scans; customer broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01 00:00:00"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: six-table join with the customer-nation ==
+    supplier-nation locality condition, region filter, revenue per
+    nation. The locality predicate rides the supplier join; dims
+    broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan-filter-aggregate; every predicate
+    reaches PushedFilters, no shuffle beyond the single-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
     "j5_resolver_enrich",
     """
     SELECT 'CTRY_' || CAST(user_id % 7 AS VARCHAR) AS country,
