@@ -112,6 +112,48 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate events by key with state
+    bounded by the watermark (dropDuplicatesWithinWatermark — state for
+    a key is freed once the watermark passes it, so the dedup table
+    never grows unboundedly). The streaming twin of dedup_exact for
+    at-least-once upstream delivery."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Exactly-once incremental batch: each invocation processes only
+    files not yet recorded in the checkpoint and appends results to the
+    parquet sink atomically. Running it twice with no new input writes
+    nothing the second time — the cron-driven incremental-ETL shape
+    (what the reference's Dataflow templates are used for, §3.2) on
+    Structured Streaming's ledger.
+
+    Returns the number of rows written by this invocation."""
+    ev = stream_events(spark, source_dir)
+    enriched = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return int(progress["numInputRows"]) if progress else 0
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> DataFrame:

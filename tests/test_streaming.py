@@ -43,6 +43,40 @@ def test_sessionize_matches_batch_counts(spark):
     assert got == want
 
 
+def test_dedup_stream_removes_duplicates(spark, tmp_path):
+    """Duplicate event_ids across files must collapse to one row."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two copies of the same events file = every event duplicated
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events2.parquet")
+    raw = (
+        spark.readStream.schema(S.EVENTS_DDL)
+        .format("parquet")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = S.run_available_now(
+        S.dedup_stream(raw), "t_dedup", output_mode="append"
+    )
+    n_unique = read_table(spark, SF_SMOKE, "events").count()
+    assert deduped.count() == n_unique
+
+
+def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    """Second run over the same input must write zero new rows."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n1 = S.incremental_pipeline(spark, SF_SMOKE, out, ckpt)
+    total = read_table(spark, SF_SMOKE, "events").count()
+    assert n1 == total
+    assert spark.read.parquet(out).count() == total
+    n2 = S.incremental_pipeline(spark, SF_SMOKE, out, ckpt)
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == total  # no duplicate appends
+
+
 def test_stateful_totals_match_batch(spark):
     ev = S.stream_events(spark, SF_SMOKE)
     got = S.run_available_now(
