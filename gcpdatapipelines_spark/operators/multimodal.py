@@ -79,6 +79,31 @@ def decode_assets(
     return assets.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def resize_stub(
+    assets: DataFrame,
+    max_dim: int = 256,
+    decode_fn: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Image-resize plumbing: computes target dimensions (aspect-
+    preserving fit into max_dim x max_dim) for every image asset and
+    emits the metadata row the real resampler would attach. The pixel
+    work is the codec stub's job; schema, filtering, and the scaling
+    arithmetic are the Spark-side contract under test."""
+    decoded = decode_assets(assets, decode_fn).filter(F.col("kind") == "image")
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height"), F.lit(1)),
+    )
+    return decoded.select(
+        "asset_id",
+        "width",
+        "height",
+        F.greatest((F.col("width") * scale).cast("int"), F.lit(1)).alias("out_width"),
+        F.greatest((F.col("height") * scale).cast("int"), F.lit(1)).alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
 def frame_sample_stub(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling plumbing: explodes each video asset into
     (asset_id, frame_idx, frame_ts_s) rows using the decoded duration.

@@ -84,6 +84,85 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every character k-gram,
+    keep the minimum hash of each sliding window of ``window`` hashes,
+    dedupe. Near-duplicate documents share most selected fingerprints
+    even under edits, and the selected set is position-robust.
+
+    Shape: k-gram hashes via one transform (posexploded so the hash
+    array is evaluated exactly once — Catalyst re-inlines shared array
+    expressions into per-window slices otherwise, turning the windowed
+    minima quadratic), then a rows-window min per document. One output
+    row per (doc, fingerprint)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    )
+    exploded = df.select(
+        id_col, F.posexplode(hashes).alias("pos", "h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    mins = exploded.select(
+        id_col, F.col("pos"), F.min("h").over(w).alias("fingerprint"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
+    )
+    # windows that extend past the end (pos > n - window) are partial;
+    # keep them only when the doc has fewer hashes than one window
+    valid = mins.filter(
+        (F.col("pos") <= F.col("__n") - window) | (F.col("__n") < window)
+    )
+    return valid.select(id_col, "fingerprint").distinct()
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 10,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints —
+    equi-join on fingerprint, count shared per pair.
+
+    ``max_df`` drops fingerprints appearing in more than max_df
+    documents before the self-join: boilerplate k-grams (headers,
+    shared vocabulary) carry no near-dup signal but square the join
+    output — the same stop-shingle skew treatment as
+    dedup.ngram_jaccard_pairs. Set None to disable."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(keep, "fingerprint")
+    a = fp.select(F.col(id_col).alias("id_1"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_2"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic over {en,de,fr,es} plus a
     CJK-codepoint signal for zh. Emits per-language hit counts and the

@@ -1163,6 +1163,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
 
 
+@register("dedup_winnowing")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing/MOSS) fingerprint near-dup candidates:
+    char-20-gram hashes, window-8 minima, document-frequency cap 20
+    (this corpus shares a tiny vocabulary, so short grams collide
+    everywhere), pairs sharing >= 10 surviving fingerprints."""
+    from .operators.text import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=20, window=8, min_shared=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: similarity search (embeddings fixture)
 # ---------------------------------------------------------------------------

@@ -58,3 +58,18 @@ def test_repartition_for_blobs_preserves_rows(spark):
     out = M.repartition_for_blobs(a, target_partition_bytes=10_000)
     assert out.count() == a.count()
     assert out.rdd.getNumPartitions() >= 1
+
+
+def test_resize_stub_aspect_preserving(spark):
+    from gcpdatapipelines_spark.operators import multimodal as MM
+
+    out = MM.resize_stub(_assets(spark), max_dim=256).collect()
+    assert out, "no image assets?"
+    for r in out:
+        assert 1 <= r["out_width"] <= 256 and 1 <= r["out_height"] <= 256
+        # exact contract: scale = min(1, 256/max(w,h)), floor to int, min 1
+        scale = min(1.0, 256 / max(r["width"], r["height"], 1))
+        assert r["out_width"] == max(int(r["width"] * scale), 1)
+        assert r["out_height"] == max(int(r["height"] * scale), 1)
+        if r["width"] <= 256 and r["height"] <= 256:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])

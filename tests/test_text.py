@@ -62,3 +62,54 @@ def test_langid_cjk(spark):
 def test_langid_unknown(spark):
     out = T.lang_scores(_one(spark, "zzz qqq xxx"), "doc_id", "text").collect()[0]
     assert out["pred_lang"] == "und"
+
+
+def test_winnowing_same_text_same_fingerprints(spark):
+    from pyspark.sql import Row
+    from gcpdatapipelines_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=2, text="completely unrelated writing with other words")]
+    )
+    fp = winnowing_fingerprints(df, "doc_id", "text")
+    sets = {
+        r["doc_id"]: set()
+        for r in df.collect()
+    }
+    for r in fp.collect():
+        sets[r["doc_id"]].add(r["fingerprint"])
+    assert sets[0] == sets[1] and sets[0]
+    assert sets[0] != sets[2]
+
+
+def test_winnowing_robust_to_small_edit(spark):
+    from pyspark.sql import Row
+    from gcpdatapipelines_spark.operators.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    edited = base.replace("lazy", "late")
+    df = spark.createDataFrame([Row(doc_id=0, text=base), Row(doc_id=1, text=edited)])
+    fp = winnowing_fingerprints(df, "doc_id", "text")
+    sets = {0: set(), 1: set()}
+    for r in fp.collect():
+        sets[r["doc_id"]].add(r["fingerprint"])
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    assert inter / union > 0.5, (inter, union)
+
+
+def test_fingerprint_overlap_pairs_finds_near_dups(spark):
+    from pyspark.sql import Row
+    from gcpdatapipelines_spark.operators.text import fingerprint_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=base),
+         Row(doc_id=1, text=base.replace("dog", "cat")),
+         Row(doc_id=2, text="nothing in common with those documents at all here")]
+    )
+    pairs = {(r["id_1"], r["id_2"]) for r in
+             fingerprint_overlap_pairs(df, "doc_id", "text", min_shared=5).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
