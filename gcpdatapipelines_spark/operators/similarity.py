@@ -175,6 +175,38 @@ def neardup_pairs_blas(
     )
 
 
+def ivf_build_kmeans(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF with k-means|| centroids (Spark ML KMeans, fixed seed):
+    trained cells are balanced around the data's actual structure, so
+    probing nprobe cells recovers more of the true top-k than the
+    sample quantizer at the same scan fraction. Same (assignments,
+    centroids) contract as ivf_build; recall is compared in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.withColumn(
+        "__features", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cell").fit(
+        feats
+    )
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id INT, cent_vec ARRAY<DOUBLE>",
+    )
+    assignments = (
+        model.transform(feats)
+        .select(id_col, vec_col, F.col("__cell").alias("cent_id"))
+    )
+    return assignments, centroids
+
+
 def ivf_build(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -182,9 +214,10 @@ def ivf_build(
     nlist: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index: centroids = the nlist lowest-id vectors
-    (a seeded sample stand-in — swap for k-means|| on real data; the
-    assignment/probe machinery is identical). Returns (assignments,
-    centroids); assignments carry each vector's nearest-centroid id."""
+    (a seeded sample stand-in; ivf_build_kmeans is the trained
+    upgrade — the assignment/probe machinery is identical). Returns
+    (assignments, centroids); assignments carry each vector's
+    nearest-centroid id."""
     centroids = (
         vectors.orderBy(id_col)
         .limit(nlist)

@@ -112,6 +112,57 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_attribution_stream(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks within the preceding hour. Both sides are
+    watermarked and the join carries an event-time range condition, so
+    Spark buffers only `watermark + window` of state per side — the
+    canonical bounded-state stream-stream join.
+
+    Batch-equivalent semantics: clicks c join purchases p on user where
+    p.ts - 1h <= c.ts <= p.ts."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "amount",
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

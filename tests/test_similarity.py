@@ -70,3 +70,27 @@ def test_ivf_assignment_covers_all_vectors(spark):
     assignments, centroids = S.ivf_build(emb, nlist=8)
     assert assignments.count() == emb.count()
     assert centroids.count() == 8
+
+
+def test_ivf_kmeans_recall_at_least_sample(spark):
+    """Trained centroids must not lose to the naive sample quantizer
+    (and typically beat it) at the same nlist/nprobe."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in S.brute_force_topk(emb, qs, k=10).collect()
+    }
+
+    def recall(build_fn):
+        assignments, centroids = build_fn(emb, nlist=8)
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in S.ivf_topk(assignments, centroids, qs, k=10, nprobe=4).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_sample = recall(S.ivf_build)
+    r_kmeans = recall(S.ivf_build_kmeans)
+    assert r_kmeans >= max(r_sample - 0.1, 0.3), (r_kmeans, r_sample)

@@ -43,6 +43,36 @@ def test_sessionize_matches_batch_counts(spark):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked interval join must produce exactly the batch
+    interval-join result over the same bounded input."""
+    ev_stream = S.stream_events(spark, SF_SMOKE)
+    got = S.run_available_now(
+        S.purchase_attribution_stream(ev_stream), "t_attr", output_mode="append"
+    )
+    ev = read_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 1 hour"
+        ),
+    )
+    got_keys = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    want_keys = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
+    assert got_keys == want_keys and got_keys
+
+
 def test_dedup_stream_removes_duplicates(spark, tmp_path):
     """Duplicate event_ids across files must collapse to one row."""
     import shutil
