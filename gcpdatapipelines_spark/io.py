@@ -107,6 +107,10 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2: table scan (BigQuery table -> warehouse parquet)."""
+    if name in _NANOS_TS_COLS:
+        # runtime-set so sessions built without session.get_spark (the
+        # driver creates its own) can still scan TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None

@@ -36,6 +36,8 @@ EVENTS_DDL = (
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (file source; schema must be
     declared for streaming reads)."""
+    # runtime-set for driver-created sessions (see io.read_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the streaming file source requires a directory; point it at the
     # fixture dir and glob-filter to the events file
     raw = (
