@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -114,10 +115,14 @@ def ngram_jaccard_pairs(
     negligible Jaccard signal but dominate join skew at scale. Leave
     None for oracle-exact semantics.
 
+    ``shingles``: pass a precomputed (id, shingle) frame (ideally
+    cached) to share the tokenize+shingle scan with another consumer —
+    minhash_lsh_pairs does this for its verify stage.
+
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded to
     6 digits for hash-stable comparison.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
     if max_df is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh = sh.join(keep.select("shingle"), "shingle")
@@ -153,7 +158,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """num_perm-wide MinHash signature per document.
 
@@ -162,7 +172,7 @@ def minhash_signatures(
     signature element is the min over the document's shingles —
     computed as num_perm JVM-side min-aggregates, map-side combined, so
     the shuffle carries one row per document."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
     hashed = sh.select(
         id_col,
         *[F.xxhash64("shingle", F.lit(s)).alias(f"h{s}") for s in range(num_perm)],
@@ -194,7 +204,10 @@ def minhash_lsh_pairs(
     with the exact Jaccard so false positives drop out; output equals
     the exact-Jaccard pair set restricted to LSH candidates."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # one tokenize+shingle scan feeds both the signatures and the
+    # exact-Jaccard verify below
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingles=sh)
     banded = sig.select(
         id_col,
         F.explode(
@@ -225,7 +238,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh)
     return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
 
 

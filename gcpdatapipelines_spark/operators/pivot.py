@@ -92,6 +92,39 @@ def transpose(
     return wide
 
 
+def transpose_conditional(
+    df: DataFrame,
+    key_fields: list[str],
+    pivot_field: str,
+    value_field: str,
+    pivot_values: list[str],
+    agg: str = "sum",
+) -> DataFrame:
+    """Streaming-safe pivot: one conditional aggregation instead of
+    ``groupBy().pivot()``.
+
+    Spark's pivot compiles to TWO aggregate levels (per-(key,pivot)
+    partial then PivotFirst), which Structured Streaming's
+    global-watermark correctness check rejects as chained stateful
+    operators. This form folds each pivot value as
+    ``agg(CASE WHEN pivot = v THEN value END)`` inside a single
+    aggregate — legal on watermarked streams, identical output columns
+    ``{pivotValue}_{valueField}``, and exactly the conditional-
+    aggregation shape of the DuckDB oracle (transpose_oracle_sql).
+    Requires explicit pivot_values (a stream cannot run the
+    distinct-discovery pass by definition)."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    agg_fn = _AGGS[agg]
+    exprs = [
+        agg_fn(
+            F.when(F.col(pivot_field) == v, F.col(value_field))
+        ).alias(f"{v}_{value_field}")
+        for v in pivot_values
+    ]
+    return df.groupBy(*key_fields).agg(*exprs)
+
+
 def transpose_oracle_sql(
     table: str,
     key_fields: list[str],

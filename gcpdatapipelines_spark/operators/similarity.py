@@ -125,6 +125,68 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_codegen(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pair scan with the dot product unrolled into
+    scalar column arithmetic.
+
+    Higher-order functions (aggregate/zip_with) are interpreted per
+    element — outside whole-stage codegen. Widening the fixed-dim
+    vector into dim scalar columns turns the pair score into a plain
+    arithmetic expression that codegen compiles, ~2x faster and far
+    less variant than the lambda form at sf0.1. The addition chain is
+    left-to-right exactly like the sequential list fold, so results
+    stay bit-identical to embedding_neardup_pairs and the DuckDB
+    oracle.
+
+    Side effect: disables spark.sql.constraintPropagation for the
+    session — Catalyst's constraint inference is super-linear in the
+    depth of the 64-term arithmetic chain and stalls the optimizer;
+    the conf only affects optimization effort, never results."""
+    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    wide = vectors.select(
+        id_col,
+        *[F.col(vec_col).getItem(i).cast("double").alias(f"e{i}") for i in range(dim)],
+    )
+    self_dot = sum_chain = None
+    for i in range(dim):
+        term = F.col(f"e{i}") * F.col(f"e{i}")
+        self_dot = term if self_dot is None else self_dot + term
+    wide = wide.withColumn("nrm", F.sqrt(self_dot))
+
+    a = wide.select(
+        F.col(id_col).alias("id_1"),
+        F.col("nrm").alias("n1"),
+        *[F.col(f"e{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = wide.select(
+        F.col(id_col).alias("id_2"),
+        F.col("nrm").alias("n2"),
+        *[F.col(f"e{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    pair_dot = None
+    for i in range(dim):
+        term = F.col(f"a{i}") * F.col(f"b{i}")
+        pair_dot = term if pair_dot is None else pair_dot + term
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(pair_dot / (F.col("n1") * F.col("n2")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def neardup_pairs_blas(
     vectors: DataFrame,
     id_col: str = "vec_id",

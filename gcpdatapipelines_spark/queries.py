@@ -463,6 +463,32 @@ ORACLE_SQL["pivot_returnflag"] = """
 
 
 @register(
+    "pivot_conditional",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS "A_l_extendedprice",
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS "N_l_extendedprice",
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS "R_l_extendedprice"
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-safe pivot (single conditional aggregation) over the
+    same data as pivot_returnflag — the two implementations are
+    oracle-checked against the identical SQL."""
+    from .operators.pivot import transpose_conditional
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = transpose_conditional(
+        li, ["l_linestatus"], "l_returnflag", "l_extendedprice", ["A", "N", "R"], agg="sum"
+    )
+    return wide.select(
+        "l_linestatus",
+        *[F.round(F.col(c), 2).alias(c) for c in wide.columns if c != "l_linestatus"],
+    )
+
+
+@register(
     "pivot_multikey",
     """
     SELECT o_orderstatus, year(o_orderdate) AS o_year,
@@ -1235,10 +1261,13 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs (sim >= 0.4). The fixture
     embeddings carry no planted near-dups — max pair cosine is ~0.51 —
     so the threshold selects the top-similar tail; at 0.95 the operator
-    would be vacuously empty."""
-    from .operators.similarity import embedding_neardup_pairs
+    would be vacuously empty.
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    Uses the codegen-unrolled scorer (bit-identical to the lambda form
+    — asserted in tests — but whole-stage compiled, ~2x faster)."""
+    from .operators.similarity import embedding_neardup_pairs_codegen
+
+    return embedding_neardup_pairs_codegen(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register("sim_neardup_blas")  # rows-only: BLAS reassociates float sums

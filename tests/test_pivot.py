@@ -94,3 +94,16 @@ def test_oracle_sql_generator():
         "sales", ["ID"], "CLASS", "SALES", ["AAA", "BBB"], agg="sum"
     )
     assert 'AS "AAA_SALES"' in sql and "GROUP BY ID" in sql
+
+
+def test_conditional_pivot_matches_pivot(spark):
+    """transpose_conditional (streaming-safe single-agg form) must equal
+    transpose (native pivot) for the same explicit values."""
+    from gcpdatapipelines_spark.operators.pivot import transpose_conditional
+
+    df = spark.createDataFrame(GOLDEN)
+    a = transpose(df, ["ID"], ["CLASS"], ["SALES"], agg="sum",
+                  pivot_values=["AAA", "BBB"]).orderBy("ID").collect()
+    b = transpose_conditional(df, ["ID"], "CLASS", "SALES",
+                              ["AAA", "BBB"], agg="sum").orderBy("ID").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]

@@ -94,3 +94,16 @@ def test_ivf_kmeans_recall_at_least_sample(spark):
     r_sample = recall(S.ivf_build)
     r_kmeans = recall(S.ivf_build_kmeans)
     assert r_kmeans >= max(r_sample - 0.1, 0.3), (r_kmeans, r_sample)
+
+
+def test_codegen_neardup_bit_identical_to_lambda(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    lam = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    cg = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs_codegen(emb, threshold=0.3).collect()
+    }
+    assert lam == cg and lam

@@ -107,6 +107,30 @@ def test_incremental_pipeline_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == total  # no duplicate appends
 
 
+def test_streaming_pivot_with_explicit_values(spark):
+    """transpose_conditional is the streaming-legal pivot: Spark's own
+    pivot() compiles to two aggregate levels, which the streaming
+    correctness check rejects; the conditional-aggregation form is one
+    stateful operator. Hourly event counts pivoted wide per type."""
+    from gcpdatapipelines_spark.operators.pivot import transpose_conditional
+
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def hourly_wide(df):
+        prepped = df.withColumn("w", F.window("ts", "1 hour")).withColumn("n", F.lit(1))
+        wide = transpose_conditional(prepped, ["w"], "event_type", "n", types, agg="sum")
+        return wide.select(F.col("w.start").alias("hour"), *[f"{t}_n" for t in types])
+
+    ev = S.stream_events(spark, SF_SMOKE).withWatermark("ts", "2 hours")
+    got = S.run_available_now(hourly_wide(ev), "t_pivot_stream")
+    assert set(got.columns) == {"hour", *[f"{t}_n" for t in types]}
+    want = hourly_wide(read_table(spark, SF_SMOKE, "events"))
+    cols = sorted(got.columns)
+    assert {tuple(r[c] for c in cols) for r in got.collect()} == {
+        tuple(r[c] for c in cols) for r in want.collect()
+    }
+
+
 def test_stateful_totals_match_batch(spark):
     ev = S.stream_events(spark, SF_SMOKE)
     got = S.run_available_now(
