@@ -1394,6 +1394,101 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+# ---------------------------------------------------------------------------
+# Upsert / MERGE rewrite (NOTES.md backlog #5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice, 2) + 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 < 10
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', round(o_totalprice, 2)
+        FROM orders WHERE o_orderkey % 100 < 10
+    )
+    SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(c.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           coalesce(c.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-as-rewrite: upsert a changeset into orders — 10% of keys
+    get a status/price update, the same rows re-keyed high are inserts.
+    The Spark side runs the scalable broadcast anti-join + union form
+    (target never shuffles); the oracle states the same semantics as a
+    full outer join + COALESCE. Idempotence and the partial-update path
+    are covered in tests/test_merge.py."""
+    from .operators.merge import merge_upsert as do_merge
+
+    target = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    base = target.filter(F.col("o_orderkey") % 100 < 10)
+    changes = base.select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        # +1.0 not *1.1: exact double addition is bit-identical across
+        # engines; multiply-then-round hits half-way ties where Spark
+        # (BigDecimal HALF_UP) and DuckDB (double rounding) disagree
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    ).unionByName(
+        base.select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    return do_merge(target, changes, on=["o_orderkey"], broadcast_source=True)
+
+
+@register(
+    "pivot_multivalue",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS "A_price",
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS "N_price",
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS "R_price",
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A_qty",
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N_qty",
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R_qty"
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multi-VALUE pivot (NOTES.md backlog #4): one pivot column,
+    two value columns folded side by side — the reference's dynamic
+    schema emits {piv}_{val} for every pair
+    (data_transpose_working_1.py:98-106); transpose reproduces that
+    naming with explicit pivot_values (single-job path)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    wide = transpose(
+        li,
+        ["l_linestatus"],
+        ["l_returnflag"],
+        ["price", "qty"],
+        agg="sum",
+        pivot_values=["A", "N", "R"],
+    )
+    return wide.select(
+        "l_linestatus",
+        *[F.round(F.col(c), 2).alias(c) for c in wide.columns if c != "l_linestatus"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -1,0 +1,88 @@
+"""Upsert/MERGE rewrite: row semantics, NULL-keeps-target coalesce,
+idempotence, and the no-shuffle-on-target plan contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcpdatapipelines_spark import plans as PL
+from gcpdatapipelines_spark.io import from_rows
+from gcpdatapipelines_spark.operators.merge import merge_upsert
+from gcpdatapipelines_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_SMOKE
+
+TARGET = [
+    (1, "open", 10.0),
+    (2, "open", 20.0),
+    (3, "done", 30.0),
+]
+SCHEMA = "k BIGINT, status STRING, amount DOUBLE"
+
+
+def _target(spark):
+    return from_rows(spark, TARGET, SCHEMA)
+
+
+def _as_dict(df):
+    return {r["k"]: (r["status"], r["amount"]) for r in df.collect()}
+
+
+def test_full_row_upsert(spark):
+    source = from_rows(spark, [(2, "closed", 25.0), (4, "new", 40.0)], SCHEMA)
+    out = _as_dict(merge_upsert(_target(spark), source, on=["k"]))
+    assert out == {
+        1: ("open", 10.0),
+        2: ("closed", 25.0),
+        3: ("done", 30.0),
+        4: ("new", 40.0),
+    }
+
+
+def test_partial_update_patches_only_named_columns(spark):
+    source = from_rows(spark, [(2, "closed", 999.0), (4, "new", 40.0)], SCHEMA)
+    out = _as_dict(
+        merge_upsert(_target(spark), source, on=["k"], update_cols=["status"])
+    )
+    # matched row 2: status patched, amount kept; insert row 4: full row
+    assert out[2] == ("closed", 20.0)
+    assert out[4] == ("new", 40.0)
+    assert out[1] == ("open", 10.0)
+
+
+def test_partial_update_null_keeps_target(spark):
+    source = from_rows(spark, [(3, None, 35.0)], SCHEMA)
+    out = _as_dict(
+        merge_upsert(
+            _target(spark), source, on=["k"], update_cols=["status", "amount"]
+        )
+    )
+    assert out[3] == ("done", 35.0)
+
+
+def test_upsert_is_idempotent(spark):
+    source = from_rows(spark, [(2, "closed", 25.0), (4, "new", 40.0)], SCHEMA)
+    once = merge_upsert(_target(spark), source, on=["k"])
+    twice = merge_upsert(once, source, on=["k"])
+    assert _as_dict(twice) == _as_dict(once)
+
+
+def test_missing_key_raises(spark):
+    source = from_rows(spark, [(1, "x", 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="absent"):
+        merge_upsert(_target(spark), source, on=["nope"])
+
+
+def test_full_row_requires_full_schema(spark):
+    source = from_rows(spark, [(1, "x")], "k BIGINT, status STRING")
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(_target(spark), source, on=["k"])
+
+
+def test_catalog_merge_never_shuffles_target(spark):
+    """The scale contract: with a broadcast changeset, the 100 TB
+    target flows scan -> broadcast anti join -> union with zero
+    exchanges anywhere in the plan."""
+    df = SPARK_QUERIES["merge_upsert"](spark, SF_SMOKE)
+    assert PL.num_exchanges(df) == 0, PL.formatted_plan(df)
+    strategies = set(PL.join_strategies(df))
+    assert strategies == {"BroadcastHashJoin"}, strategies
