@@ -96,7 +96,9 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        # NB: GroupState.get is a PROPERTY (returns the state tuple);
+        # calling it raises "'tuple' object is not callable"
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -111,6 +113,87 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n BIGINT, total DOUBLE",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_with_timeout(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session expiry with per-group EVENT-TIME TIMEOUTS (NOTES.md
+    backlog #6): unlike session_window (which only emits once the
+    aggregation finalizes), this emits a session row the moment it
+    closes — either data-driven (a new event lands more than `gap`
+    after the last one) or timeout-driven (the watermark passes
+    last_event + gap with no new data for that user).
+
+    State per user is one (start, last, count) triple — O(1) per key,
+    freed on timeout, bounded by the watermark; the canonical
+    applyInPandasWithState shape for "emit on expiry" semantics that
+    neither window functions nor session_window can express.
+
+    Output (append mode): user_id, session_start, session_end,
+    n_events — one row per CLOSED session."""
+    gap_td = pd.Timedelta(gap)
+    gap_ms = int(gap_td.total_seconds() * 1000)
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get  # property, not a method
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        user_id,
+                        pd.Timestamp(start_us, unit="us"),
+                        pd.Timestamp(last_us, unit="us"),
+                        n,
+                    )
+                ],
+                columns=cols,
+            )
+            return
+        ts = (
+            pd.concat([pdf["ts"] for pdf in pdfs])
+            .sort_values()
+            .reset_index(drop=True)
+        )
+        if state.exists:
+            start_us, last_us, n = state.get  # property, not a method
+            start = pd.Timestamp(start_us, unit="us")
+            last = pd.Timestamp(last_us, unit="us")
+        else:
+            start = last = ts.iloc[0]
+            n = 0
+        closed = []
+        for t in ts:
+            if n > 0 and (t - last) > gap_td:
+                closed.append((user_id, start, last, n))
+                start, n = t, 0
+            last, n = t, n + 1
+        state.update((int(start.value // 1000), int(last.value // 1000), int(n)))
+        state.setTimeoutTimestamp(int(last.value // 1_000_000) + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id BIGINT, session_start TIMESTAMP, "
+                "session_end TIMESTAMP, n_events BIGINT"
+            ),
+            stateStructType="start_us BIGINT, last_us BIGINT, n BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -143,3 +143,102 @@ def test_stateful_totals_match_batch(spark):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_sessionize_with_timeout(spark, tmp_path):
+    """Sessions must close BOTH ways: data-driven (next event lands
+    past the gap) and timeout-driven (watermark passes last+gap with
+    no new data for that user). Two micro-batches with controlled
+    mtimes so the watermark advances between them."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id BIGINT, ts TIMESTAMP"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: user 1 has two events 10m apart; user 2 one event
+    write_batch(
+        "a", [(1, t0), (1, mins(10)), (2, mins(5))], mtime=1_700_000_000
+    )
+    # batch 2: only user 1, 3h later — closes user 1's first session by
+    # gap, and advances the watermark to t0+2h, past user 2's
+    # timeout (t0+35m), so user 2's session closes by TIMEOUT
+    write_batch("b", [(1, mins(180))], mtime=1_700_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    got = S.run_available_now(
+        S.sessionize_with_timeout(stream, gap="30 minutes", watermark="1 hour"),
+        "t_sess_timeout",
+        output_mode="append",
+    )
+    sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    assert (1, t0, mins(10), 2) in sessions, sessions  # data-driven close
+    assert (2, mins(5), mins(5), 1) in sessions, sessions  # timeout close
+    # user 1's 3h session is still OPEN: must not have been emitted
+    assert not any(u == 1 and s == mins(180) for u, s, _, _ in sessions)
+
+
+def test_stateful_totals_across_batches(spark, tmp_path):
+    """Regression: GroupState.get is a property; the re-entry path
+    (state.exists=True on a later micro-batch) only runs when a user's
+    events span batches — force two batches and check merged totals."""
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id BIGINT, value DOUBLE"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    write_batch("a", [(1, 10.0), (2, 5.0)], mtime=1_700_000_000)
+    write_batch("b", [(1, 2.5)], mtime=1_700_000_100)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    got = S.run_available_now(
+        S.stateful_user_totals(stream), "t_state_mb", output_mode="update"
+    )
+    # update mode emits one row per user per batch; n_events is
+    # monotone per user, so the max-n row is the final state
+    # (order-independent, unlike "last collected row wins")
+    final = {}
+    for r in got.collect():
+        prev = final.get(r["user_id"], (0, 0.0))
+        if r["n_events"] >= prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final == {1: (2, 12.5), 2: (1, 5.0)}
