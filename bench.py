@@ -35,6 +35,17 @@ def main() -> None:
         sf = None
     spark = get_spark("bench")
 
+    # JVM warmup outside the timed loop: first-ever job pays class
+    # loading, codegen-compiler, and parquet-reader init (~5 s) that
+    # belongs to session startup, not to whichever query runs first.
+    # Touches only a trivial range agg + the smallest dimension table.
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     t_all = time.time()

@@ -143,6 +143,10 @@ def fingerprint_overlap_pairs(
     shared vocabulary) carry no near-dup signal but square the join
     output — the same stop-shingle skew treatment as
     dedup.ngram_jaccard_pairs. Set None to disable."""
+    # three consumers (df-cap counts + both self-join sides) read fp;
+    # AQE's runtime stage reuse dedupes the derivation, and measured
+    # single-shot runs are FASTER without an explicit cache (which
+    # would break pipelining to materialize)
     fp = winnowing_fingerprints(df, id_col, text_col, k, window)
     if max_df is not None:
         keep = (
