@@ -1425,6 +1425,138 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H q4/q14/q18 analogues): EXISTS,
+# conditional aggregation over a join, HAVING + IN-subquery. Declared
+# through spark.sql so Catalyst's subquery->join rewrites are on
+# display (EXISTS -> left semi, IN -> left semi over the aggregate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: correlated EXISTS counting orders with at least
+    one returned lineitem (the fixture schema carries no commit/receipt
+    dates, so 'late' maps to l_returnflag='R'). Catalyst rewrites the
+    EXISTS to a left-semi join on l_orderkey — no pair explosion, one
+    semi shuffle."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promo revenue share — conditional aggregation
+    over a fact-dimension join with a pushed date range. part is the
+    broadcast side; one scalar row out."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total lineitem quantity clears a
+    threshold (HAVING over the fact aggregate), enriched with the
+    customer name via IN-subquery -> left-semi join."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "customer", "lineitem"])
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        """
+    )
+
+
+@register(
+    "a12_count_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (two-phase: partial distinct
+    then count). The approximate HLL twin (approx_count_distinct) is
+    bounded-error-tested in tests/test_scale_ops.py — at 100 TB the
+    sketch is the default and this exact form the audit path."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Upsert / MERGE rewrite (NOTES.md backlog #5)
 # ---------------------------------------------------------------------------
 

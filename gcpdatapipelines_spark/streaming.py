@@ -274,6 +274,11 @@ def incremental_pipeline(
     (what the reference's Dataflow templates are used for, §3.2) on
     Structured Streaming's ledger.
 
+    Lifecycle note: the checkpoint AND the sink's _spark_metadata log
+    (keyed by batch id) are one unit — reuse the checkpoint with a
+    fresh out_dir (or vice versa) and the ledger disagrees with the
+    sink; always create/retire them together.
+
     Returns the number of rows written by this invocation."""
     ev = stream_events(spark, source_dir)
     enriched = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))

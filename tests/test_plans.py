@@ -79,3 +79,23 @@ def test_pivot_prunes_scan(spark):
 def test_codegen_active_on_scan_agg(spark):
     df = _q(spark, "q1_pricing_summary")
     assert P.whole_stage_codegen_spans(df) >= 1
+
+
+def test_q4_exists_rewrites_to_semi_join(spark):
+    """EXISTS must compile to a left-semi join (no row duplication, no
+    pair explosion) with the date range pushed to the orders scan."""
+    df = _q(spark, "q4_order_priority")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("o_orderdate" in f for f in P.pushed_filters(df))
+
+
+def test_q18_in_subquery_rewrites_to_semi_join(spark):
+    df = _q(spark, "q18_large_orders")
+    assert "LeftSemi" in P.formatted_plan(df)
+
+
+def test_q14_broadcasts_dimension_and_pushes_dates(spark):
+    df = _q(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
