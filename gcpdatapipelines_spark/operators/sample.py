@@ -1,0 +1,71 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+No reference analogue (Beam's builtin Sample is random-seeded); these
+are north-star extensions. All variants key the decision on a HASH of
+a stable id — not on a seeded RNG — because at 100 TB reproducibility
+is the requirement: the same row lands in the same sample/split on
+every run, every engine, every cluster size, and adding rows never
+reshuffles existing assignments (the property seeded ``df.sample`` and
+``randomSplit`` lack; their draws depend on partitioning).
+
+Execution shape: a narrow per-row filter — no shuffle, no RNG state,
+pipelineable into whatever reads the sample. md5 is the hash (not
+xxhash64) so the DuckDB oracle reproduces the exact bucket values;
+swap in xxhash64 for a ~3x cheaper bucket at scale if cross-engine
+parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key's string form.
+
+    First 8 hex chars -> 32-bit int -> mod. DuckDB twin (bit-identical,
+    verified in tests):
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+    % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below fraction*buckets — a
+    reproducible ~fraction sample keyed on ``key_col``."""
+    cutoff = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(key_col), buckets) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own fraction (0 for strata absent from ``fractions``). The
+    downsample-the-overrepresented-source move in corpus building."""
+    cutoff = F.lit(0)
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * buckets)))
+        ).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(key_col), buckets) < cutoff)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, buckets: int = BUCKETS
+) -> DataFrame:
+    """Label every row 'test' or 'train' by hash bucket. One pass, no
+    shuffle; downstream writers partition by the label. Stable under
+    corpus growth: new rows never move old rows across the split."""
+    cutoff = int(round(test_fraction * buckets))
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key_col), buckets) < cutoff, "test").otherwise("train"),
+    )

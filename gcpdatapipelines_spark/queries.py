@@ -1557,6 +1557,83 @@ def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / train-test splits (north-star: reproducible
+# corpus subsetting — hash-keyed, not RNG-seeded, so every engine and
+# every rerun selects the identical rows; oracle-checkable for that
+# exact reason)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE {_BUCKET_SQL.format(key="o_orderkey")} < 500
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% reproducible sample of orders keyed on o_orderkey — same
+    rows on every run/engine/cluster layout, unlike seeded df.sample
+    whose draws depend on partitioning."""
+    from .operators.sample import deterministic_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    return deterministic_sample(o, "o_orderkey", 0.05)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_SQL.format(key="doc_id")} <
+          CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+                    WHEN 'fr' THEN 5000 WHEN 'es' THEN 5000 ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling of the documents corpus (keep 10% of
+    overrepresented 'en', 50% of the rest) — the rebalance-by-source
+    move in training-corpus construction, as one narrow filter."""
+    from .operators.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5}
+    )
+
+
+@register(
+    "split_train_test",
+    f"""
+    SELECT o_orderstatus, split, count(*) AS n
+    FROM (
+        SELECT o_orderstatus,
+               CASE WHEN {_BUCKET_SQL.format(key="o_orderkey")} < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM orders
+    )
+    GROUP BY o_orderstatus, split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 90/10 train/test labeling (stable under corpus
+    growth — new keys never move old keys across the split), summarized
+    per order status for a compact oracle."""
+    from .operators.sample import train_test_split
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        train_test_split(o, "o_orderkey", test_fraction=0.1)
+        .groupBy("o_orderstatus", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Upsert / MERGE rewrite (NOTES.md backlog #5)
 # ---------------------------------------------------------------------------
 

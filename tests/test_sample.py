@@ -1,0 +1,64 @@
+"""Deterministic sampling: reproducibility, stability under growth,
+stratum isolation, split completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators.sample import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_sample_fraction_approximate(spark):
+    o = read_table(spark, SF_SMOKE, "orders")
+    n = o.count()
+    got = deterministic_sample(o, "o_orderkey", 0.2).count()
+    assert 0.1 * n < got < 0.3 * n, (got, n)
+
+
+def test_sample_stable_under_growth(spark):
+    """The defining property vs seeded sample: sampling a SUBSET picks
+    exactly the subset of the full sample — membership depends only on
+    the key, never on what else is in the frame."""
+    o = read_table(spark, SF_SMOKE, "orders")
+    full = {r["o_orderkey"] for r in deterministic_sample(o, "o_orderkey", 0.2).collect()}
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    sub = {r["o_orderkey"] for r in deterministic_sample(half, "o_orderkey", 0.2).collect()}
+    assert sub == {k for k in full if k % 2 == 0}
+
+
+def test_stratified_unlisted_stratum_dropped(spark):
+    d = read_table(spark, SF_SMOKE, "documents")
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    keep = sorted(langs)[0]
+    out = stratified_sample(d, "doc_id", "lang", {keep: 1.0})
+    got_langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got_langs == {keep}
+    # fraction 1.0 keeps the whole stratum
+    assert out.count() == d.filter(F.col("lang") == keep).count()
+
+
+def test_split_is_partition(spark):
+    o = read_table(spark, SF_SMOKE, "orders")
+    labeled = train_test_split(o, "o_orderkey", test_fraction=0.25)
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert sum(counts.values()) == o.count()
+    # test rows are exactly the deterministic 25% sample of the keys
+    test_keys = {r["o_orderkey"] for r in labeled.filter(F.col("split") == "test").collect()}
+    sample_keys = {r["o_orderkey"] for r in deterministic_sample(o, "o_orderkey", 0.25).collect()}
+    assert test_keys == sample_keys
+
+
+def test_sample_plan_is_narrow(spark):
+    """The sample must stay a shuffle-free narrow filter."""
+    from gcpdatapipelines_spark import plans as PL
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    df = deterministic_sample(o, "o_orderkey", 0.1)
+    assert PL.num_exchanges(df) == 0
