@@ -167,6 +167,34 @@ def fingerprint_overlap_pairs(
     )
 
 
+def vocab_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency, ties broken by
+    token text (deterministic). explode -> partial-agg count -> global
+    TakeOrdered(k) — the count shuffle is one row per DISTINCT token
+    (map-side combined), and the top-k never sorts the full vocabulary:
+    each partition keeps k candidates, the driver merges."""
+    from .dedup import tokens
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def redact(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """Scrub numbers and email-shaped spans to typed placeholders —
+    the PII-hygiene pass of a corpus pipeline, as two JVM-side
+    regexp_replace ops (patterns stay in the Java/RE2 common subset so
+    the DuckDB oracle reproduces them exactly)."""
+    emails = F.regexp_replace(
+        F.col(text_col), r"[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<email>"
+    )
+    return df.withColumn(out_col, F.regexp_replace(emails, r"[0-9]+", "<num>"))
+
+
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic over {en,de,fr,es} plus a
     CJK-codepoint signal for zh. Emits per-language hit counts and the

@@ -1407,6 +1407,45 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "text_vocab_topk",
+    """
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: 20 most frequent tokens, deterministic
+    tie-break — the vocab-building step before tokenizer training."""
+    from .operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+@register(
+    "text_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<email>', 'g'),
+               '[0-9]+', '<num>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-hygiene scrub: email-shaped spans and digit runs replaced by
+    typed placeholders, full corpus pass, no Python on the hot path."""
+    from .operators.text import redact
+
+    return redact(_t(spark, sf_dir, "documents"), "text").select("doc_id", "redacted")
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal plumbing (fabricated binary assets)
 # ---------------------------------------------------------------------------

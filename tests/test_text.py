@@ -113,3 +113,25 @@ def test_fingerprint_overlap_pairs_finds_near_dups(spark):
     pairs = {(r["id_1"], r["id_2"]) for r in
              fingerprint_overlap_pairs(df, "doc_id", "text", min_shared=5).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_redact_emails_and_numbers(spark):
+    out = T.redact(
+        _one(spark, "mail bob.smith@example.com or call 555 1234 x7"), "text"
+    ).collect()[0]
+    assert out["redacted"] == "mail <email> or call <num> <num> x<num>"
+
+
+def test_redact_plain_text_unchanged(spark):
+    out = T.redact(_one(spark, "no pii here at all"), "text").collect()[0]
+    assert out["redacted"] == "no pii here at all"
+
+
+def test_vocab_topk_order_and_ties(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="b b b a a c"), Row(doc_id=1, text="a c d")]
+    )
+    rows = [(r["token"], r["n"]) for r in T.vocab_topk(df, "text", k=3).collect()]
+    assert rows == [("a", 3), ("b", 3), ("c", 2)]  # tie a/b broken by token
