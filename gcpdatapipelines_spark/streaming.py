@@ -295,6 +295,25 @@ def incremental_pipeline(
     return int(progress["numInputRows"]) if progress else 0
 
 
+def rate_demo_pipeline(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
+    """Synthetic-load streaming demo on the deterministic
+    ``rate-micro-batch`` source (exactly ``rows_per_batch`` rows with
+    consecutive ``value``s per micro-batch — unlike ``rate``, which is
+    wall-clock-driven): bucket the monotonically increasing value and
+    count per bucket, the smallest end-to-end stateful pipeline for
+    soak-testing sinks and checkpoint behavior without any input data."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return (
+        raw.withColumn("bucket", F.col("value") % 10)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> DataFrame:

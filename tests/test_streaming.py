@@ -242,3 +242,33 @@ def test_stateful_totals_across_batches(spark, tmp_path):
         if r["n_events"] >= prev[0]:
             final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final == {1: (2, 12.5), 2: (1, 5.0)}
+
+
+def test_rate_demo_pipeline(spark):
+    """rate-micro-batch emits exactly rowsPerBatch consecutive values
+    per batch — after the first batch the bucket counts must sum to
+    100 with 10 per bucket."""
+    import time
+
+    q = (
+        S.rate_demo_pipeline(spark, rows_per_batch=100)
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("t_rate").collect()
+            if len(rows) == 10 and sum(r["n"] for r in rows) % 100 == 0 and rows[0]["n"] > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("t_rate").collect()
+        assert len(rows) == 10
+        total = sum(r["n"] for r in rows)
+        assert total >= 100 and total % 100 == 0
+        # values are consecutive from 0, so buckets are balanced
+        assert len({r["n"] for r in rows}) == 1
+    finally:
+        q.stop()
