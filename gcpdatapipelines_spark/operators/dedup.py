@@ -91,12 +91,26 @@ def _shingle_expr(tok_col: str, n: int):
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, shingle) rows, one per distinct n-gram per document."""
-    return (
-        df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
-        .select(id_col, F.explode(_shingle_expr("__toks", n)).alias("shingle"))
-    )
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) — the tokenized corpus. Materialize (persist) this
+    once when several detectors run over the same corpus: tokenization
+    is the shared prefix of shingling (Jaccard/MinHash) and token
+    hashing (SimHash)."""
+    return df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+
+
+def doc_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, shingle) rows, one per distinct n-gram per document.
+    ``tokens_df``: reuse a precomputed (ideally persisted) doc_tokens
+    frame instead of re-tokenizing."""
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    return toks.select(id_col, F.explode(_shingle_expr("__toks", n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -251,13 +265,17 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, tokens_df: DataFrame | None = None
+) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
     Classic scheme: each distinct token votes +1/-1 on each bit of its
     xxhash64; the signature bit is the sign of the vote sum. Expressed
-    as 64 conditional-sum aggregates — JVM-side, map-side combined."""
-    tok = df.select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    as 64 conditional-sum aggregates — JVM-side, map-side combined.
+    ``tokens_df``: reuse a persisted doc_tokens frame."""
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    tok = toks.select(id_col, F.explode(F.array_distinct(F.col("__toks"))).alias("tok"))
     h = tok.withColumn("th", F.xxhash64("tok"))
     votes = h.groupBy(id_col).agg(
         *[
@@ -287,13 +305,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
     chunk banding: any pair within Hamming 3 of a 64-bit hash must agree
     on at least one of 4 disjoint 16-bit chunks (pigeonhole), so only
     chunk-bucket collisions are candidate pairs."""
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col, tokens_df=tokens_df)
     chunks = sig.select(
         id_col,
         "simhash",

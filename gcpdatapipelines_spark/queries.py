@@ -47,22 +47,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Session-scoped shared prep: the dedup family all consumes the same
-# tokenize->shingle derivation of the documents corpus; at 100 TB you
-# materialize that ONCE and run every detector over it rather than
+# tokenize(->shingle) derivation of the documents corpus; at 100 TB
+# you materialize that ONCE and run every detector over it rather than
 # re-tokenizing per pass. Keyed by Spark applicationId so a fresh
 # driver session (e.g. the correctness gate) simply rebuilds — results
 # are identical either way, only the repeated work is skipped.
-_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_PREP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _doc_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import doc_tokens
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tokens")
+    toks = _PREP_CACHE.get(key)
+    if toks is None:
+        toks = doc_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text").persist()
+        _PREP_CACHE[key] = toks
+    return toks
 
 
 def _doc_shingles_cached(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     from .operators.dedup import doc_shingles
 
-    key = (spark.sparkContext.applicationId, sf_dir, n)
-    sh = _SHINGLE_CACHE.get(key)
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles", n)
+    sh = _PREP_CACHE.get(key)
     if sh is None:
-        sh = doc_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n).persist()
-        _SHINGLE_CACHE[key] = sh
+        sh = doc_shingles(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n,
+            tokens_df=_doc_tokens_cached(spark, sf_dir),
+        ).persist()
+        _PREP_CACHE[key] = sh
     return sh
 
 
@@ -1216,7 +1233,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding."""
     from .operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        tokens_df=_doc_tokens_cached(spark, sf_dir),
+    )
 
 
 @register("dedup_winnowing")  # rows-only: xxhash64 has no DuckDB twin
