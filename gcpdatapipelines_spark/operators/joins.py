@@ -44,3 +44,108 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """NOT EXISTS: rows of left without a match in right."""
     return left.join(right, on, "left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the value columns of
+    the LATEST right row with ``right_ts <= left_ts`` for the same key
+    (NULLs when no prior right row exists) — the time-series point-in-
+    time lookup Spark has no built-in for.
+
+    Spark-first rewrite (no pair materialization): union both sides
+    tagged, sort within each key by (ts, side) — right sorts before
+    left at equal ts, giving <= semantics — and forward-fill the right
+    values with ``last(ignorenulls) over rowsBetween(unbounded, 0)``.
+    ONE shuffle-sort on the key, O(n log n); the naive
+    join-then-max-per-row materializes every (left, earlier-right)
+    pair — quadratic per key at 100 TB.
+
+    Equal right timestamps within a key are tied-broken inside the
+    same sort (greatest row by ``value_cols`` ordering wins,
+    deterministic — no extra collapse aggregate, so the whole operator
+    is exactly one exchange); DuckDB's native ASOF JOIN with a
+    max-collapsed right side is the oracle twin."""
+    from pyspark.sql import Window
+
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {clash}; alias them first")
+    r1 = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *value_cols,
+    )
+    l1 = left.select(
+        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side")
+    )
+    merged = l1.unionByName(r1, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", *value_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *[c for c in left.columns],
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_bound: str,
+    upper_bound: str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval/range join: pair left rows with right rows of the same
+    key whose timestamp falls in ``[left_ts - lower_bound, left_ts]``
+    (or ``[left_ts - lower_bound, left_ts + upper_bound]``).
+
+    Declared as an equi-join on (key, time-bucket) — each left row
+    explodes to the buckets its interval touches, the right side maps
+    to its single bucket — plus the exact range filter. The equi
+    component keeps Catalyst on a hash join partitioned by
+    (key, bucket); a range-only condition would degenerate to
+    BroadcastNestedLoopJoin, which cannot scale past a broadcastable
+    side. Pick ``bucket_seconds`` ~ the interval width so each left
+    row lands in O(1) buckets."""
+
+    def bucket_of(col):
+        # timestamp -> epoch seconds -> bucket ordinal
+        return F.floor(col.cast("double") / bucket_seconds).cast("long")
+
+    start = F.col(left_ts) - F.expr(f"INTERVAL {lower_bound}")
+    end = (
+        F.col(left_ts) + F.expr(f"INTERVAL {upper_bound}")
+        if upper_bound
+        else F.col(left_ts)
+    )
+    l2 = (
+        left.withColumn("__start", start)
+        .withColumn("__end", end)
+        .withColumn(
+            "__bucket",
+            F.explode(F.sequence(bucket_of(F.col("__start")), bucket_of(F.col("__end")))),
+        )
+    )
+    r1 = right.withColumn("__bucket", bucket_of(F.col(right_ts)))
+    joined = l2.join(r1, [on, "__bucket"]).filter(
+        (F.col(right_ts) >= F.col("__start")) & (F.col(right_ts) <= F.col("__end"))
+    )
+    return joined.drop("__bucket", "__start", "__end")

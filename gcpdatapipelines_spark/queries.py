@@ -1619,6 +1619,95 @@ def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of + range joins (operators Spark lacks natively, built as
+# shuffle-lean compositions — SURVEY.md §2.5 "the engine gets them
+# regardless")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_asof_join",
+    """
+    WITH p AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(value) AS click_value FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, round(c.click_value, 2) AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each purchase picks up the value of the
+    same user's LATEST preceding click (NULL when none). Implemented as
+    the union + window forward-fill rewrite (one shuffle-sort on
+    user_id, no pair materialization); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from .operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("click_value", 2).alias("click_value")
+    )
+
+
+@register(
+    "j7_range_join",
+    """
+    WITH p AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts, value AS c_val FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT p_id, count(*) AS n_clicks, round(sum(c_val), 2) AS click_value_sum
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+    GROUP BY p_id
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per purchase, count/sum the same user's clicks in
+    the preceding hour. The bucketed rewrite keeps it an equi hash join
+    on (user, hour-bucket) — never a BroadcastNestedLoopJoin — with the
+    exact range predicate applied after."""
+    from .operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_val")
+    )
+    joined = range_join_bucketed(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_bound="1 hour", bucket_seconds=3600,
+    )
+    return joined.groupBy("p_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("c_val"), 2).alias("click_value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling / train-test splits (north-star: reproducible
 # corpus subsetting — hash-keyed, not RNG-seeded, so every engine and
 # every rerun selects the identical rows; oracle-checkable for that

@@ -1,0 +1,100 @@
+"""As-of and bucketed range join semantics + scale-plan contracts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import plans as PL
+from gcpdatapipelines_spark.operators.joins import as_of_join, range_join_bucketed
+from gcpdatapipelines_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_SMOKE
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "k BIGINT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(10), 110.0), (1, _ts(20), 120.0), (3, _ts(1), 999.0)],
+        "k BIGINT, ts TIMESTAMP, quote DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r["tag"]: r["quote"]
+        for r in as_of_join(left, right, "k", "ts", "ts", ["quote"]).collect()
+    }
+    # p1 at t=10 matches the EQUAL-ts quote (<= semantics)
+    assert out == {"p1": 110.0, "p2": 120.0, "p3": None}
+
+
+def test_asof_equal_ts_ties_collapse_to_max(spark):
+    left = spark.createDataFrame([(1, _ts(5), "p")], "k BIGINT, ts TIMESTAMP, tag STRING")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(0), 7.0)], "k BIGINT, ts TIMESTAMP, quote DOUBLE"
+    )
+    (row,) = as_of_join(left, right, "k", "ts", "ts", ["quote"]).collect()
+    assert row["quote"] == 7.0
+
+
+def test_asof_rejects_column_clash(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right.withColumnRenamed("quote", "tag"), "k", "ts", "ts", ["tag"])
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed rewrite must equal the naive theta-join over the same
+    window, including intervals spanning bucket boundaries."""
+    left = spark.createDataFrame(
+        [(1, _ts(70), "a"), (1, _ts(130), "b"), (2, _ts(65), "c")],
+        "k BIGINT, p_ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(m), float(m)) for m in (5, 15, 65, 69, 125)]
+        + [(2, _ts(64), 64.0), (2, _ts(66), 66.0)],
+        "k BIGINT, c_ts TIMESTAMP, v DOUBLE",
+    )
+    got = {
+        (r["tag"], r["v"])
+        for r in range_join_bucketed(
+            left, right, "k", "p_ts", "c_ts", "1 hour", bucket_seconds=3600
+        ).collect()
+    }
+    naive = left.join(right, "k").filter(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    want = {(r["tag"], r["v"]) for r in naive.collect()}
+    assert got == want and got
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The whole point of the union+window rewrite: ONE exchange (the
+    per-key sort), never a join that materializes pairs."""
+    df = SPARK_QUERIES["j6_asof_join"](spark, SF_SMOKE)
+    assert PL.num_exchanges(df) == 1, PL.formatted_plan(df)
+    assert PL.join_strategies(df) == []
+
+
+def test_range_join_stays_hash_join(spark):
+    """The bucketed equi-component must keep Catalyst off
+    BroadcastNestedLoopJoin."""
+    df = SPARK_QUERIES["j7_range_join"](spark, SF_SMOKE)
+    strategies = set(PL.join_strategies(df))
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert strategies, strategies
