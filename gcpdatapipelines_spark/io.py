@@ -188,6 +188,27 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, cols: list[str], num_files: int = 16
+) -> None:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    on ``cols`` before writing, so each parquet file covers a disjoint
+    key range. Readers filtering on those columns then skip whole files
+    via footer min/max stats — the single-dimension version of
+    z-order clustering, and the cheap way to make a 100 TB fact table
+    range-prunable on its hot filter column (file-level skipping
+    composes with the row-group stats parquet already keeps).
+
+    Disjointness of per-file ranges is asserted from the actual footers
+    in tests/test_scale_ops.py."""
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_fanout(df: DataFrame, raw_path: str, agg_df: DataFrame, agg_path: str) -> None:
     """K5: multi-sink fan-out — one source written raw AND aggregated
     (reference csv_to_bq_NYC.py:128-150). ``df.cache()`` so the source

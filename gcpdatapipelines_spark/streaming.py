@@ -295,6 +295,25 @@ def incremental_pipeline(
     return int(progress["numInputRows"]) if progress else 0
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (small, broadcast) static dimension — the streaming twin of
+    joins.broadcast_enrich / the reference's side-input dict probe
+    (reference pipeline.py:31-36,54-61). The static side is re-resolved
+    per batch, so a dimension table updated in place is picked up
+    without restarting the query; no watermark is needed because the
+    static side holds no state."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), events[stream_key] == dim[dim_key], how)
+
+
 def rate_demo_pipeline(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
     """Synthetic-load streaming demo on the deterministic
     ``rate-micro-batch`` source (exactly ``rows_per_batch`` rows with

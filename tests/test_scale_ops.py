@@ -97,3 +97,38 @@ def test_approx_aggregates_close_to_exact(spark):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.1
     assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.1
+
+
+def test_range_clustered_write_disjoint_files(spark, tmp_path):
+    """Each output file must cover a disjoint o_orderkey range (read
+    from the real parquet footers) — that disjointness is what lets a
+    range filter skip whole files at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gcpdatapipelines_spark.io import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    o = read_table(spark, SF_SMOKE, "orders")
+    write_range_clustered(o, path, ["o_orderkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+    # nothing lost in the rewrite
+    assert spark.read.parquet(path).count() == o.count()

@@ -272,3 +272,26 @@ def test_rate_demo_pipeline(spark):
         assert len({r["n"] for r in rows}) == 1
     finally:
         q.stop()
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    ev = S.stream_events(spark, SF_SMOKE)
+    dim = read_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    got = S.run_available_now(
+        S.enrich_stream(ev, dim, "user_id", "c_custkey", how="inner").select(
+            "event_id", "c_mktsegment"
+        ),
+        "t_enrich_stream",
+        output_mode="append",
+    )
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "c_mktsegment")
+    )
+    assert _rows(got, ["event_id", "c_mktsegment"]) == _rows(
+        want, ["event_id", "c_mktsegment"]
+    )
