@@ -49,7 +49,7 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
@@ -74,11 +74,12 @@ def as_of_join(
     max-collapsed right side is the oracle twin."""
     from pyspark.sql import Window
 
+    keys = [on] if isinstance(on, str) else list(on)
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols collide with left columns: {clash}; alias them first")
     r1 = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *value_cols,
@@ -88,7 +89,7 @@ def as_of_join(
     )
     merged = l1.unionByName(r1, allowMissingColumns=True)
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy("__ts", "__side", *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

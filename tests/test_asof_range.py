@@ -98,3 +98,22 @@ def test_range_join_stays_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "CartesianProduct" not in strategies
     assert strategies, strategies
+
+
+def test_asof_composite_key(spark):
+    """Multi-key as-of: (k, region) must both match."""
+    left = spark.createDataFrame(
+        [(1, "eu", _ts(10), "p1"), (1, "us", _ts(10), "p2")],
+        "k BIGINT, region STRING, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, "eu", _ts(0), 5.0), (1, "us", _ts(5), 9.0)],
+        "k BIGINT, region STRING, ts TIMESTAMP, quote DOUBLE",
+    )
+    out = {
+        r["tag"]: r["quote"]
+        for r in as_of_join(
+            left, right, ["k", "region"], "ts", "ts", ["quote"]
+        ).collect()
+    }
+    assert out == {"p1": 5.0, "p2": 9.0}
