@@ -249,14 +249,33 @@ def minhash_lsh_pairs(
 
     left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
+    # cached: consumed twice below (the candidate id set for the
+    # verify semi-join, and the final pair join) — without it the whole
+    # signature+banding pipeline would execute twice. The frame is the
+    # LSH candidate PAIR list: bounded by near-dup density, orders of
+    # magnitude smaller than the corpus, safe to materialize.
     candidates = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
+        .cache()
     )
 
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh)
+    # verify ONLY the candidates: restrict the shingle frame to docs
+    # that appear in some candidate pair before computing exact Jaccard.
+    # Per-doc shingle sets stay complete (the semi-join drops whole
+    # docs, never individual shingles), so the scores are identical to
+    # full-corpus exact Jaccard — but the expensive shingle self-join
+    # runs over the candidate subset, preserving the LSH cost profile
+    # at 100 TB instead of recomputing the O(corpus^2) pair space.
+    cand_ids = (
+        candidates.select(F.col("id_1").alias(id_col))
+        .union(candidates.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh_cand)
     return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
 
 

@@ -67,11 +67,14 @@ def as_of_join(
     join-then-max-per-row materializes every (left, earlier-right)
     pair — quadratic per key at 100 TB.
 
-    Equal right timestamps within a key are tied-broken inside the
-    same sort (greatest row by ``value_cols`` ordering wins,
-    deterministic — no extra collapse aggregate, so the whole operator
-    is exactly one exchange); DuckDB's native ASOF JOIN with a
-    max-collapsed right side is the oracle twin."""
+    All value columns are forward-filled as ONE struct, so they always
+    come from the same right row: a NULL inside the latest matching
+    right row is preserved (never backfilled from an older row), which
+    is what DuckDB's native ASOF JOIN — the oracle twin — also does.
+    Equal right timestamps within a key are tie-broken inside the same
+    sort (greatest row by ``value_cols`` ordering wins, deterministic —
+    no extra collapse aggregate, so the whole operator is exactly one
+    exchange)."""
     from pyspark.sql import Window
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -93,15 +96,21 @@ def as_of_join(
         .orderBy("__ts", "__side", *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # wrap the right row's values in a struct before filling: the struct
+    # is non-NULL for every right row (even when fields are NULL), so
+    # last(ignorenulls) picks whole rows, never mixes columns across rows
+    right_row = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
     filled = merged.select(
         *[c for c in left.columns],
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+        F.last(right_row, ignorenulls=True).over(w).alias("__asof"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
-    for c in value_cols:
-        out = out.withColumnRenamed(f"__asof_{c}", c)
-    return out
+    return filled.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("__asof").getField(c).alias(c) for c in value_cols],
+    )
 
 
 def range_join_bucketed(

@@ -71,12 +71,17 @@ def merge_upsert(
         kept = target.join(src, on, "left_anti")
         return kept.unionByName(source.select(*target.columns))
 
-    t, s = target.alias("__t"), source.alias("__s")
+    # explicit presence markers, NOT key-NULL tests: a row whose merge
+    # key is legitimately NULL must still be classified as present on
+    # its own side (key-NULL rows never match the equi-condition, so
+    # they flow through the outer join unpaired but intact)
+    t = target.withColumn("__t_present", F.lit(True)).alias("__t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("__s")
     cond: Column = reduce(
         lambda a, b: a & b, [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in on]
     )
     joined = t.join(s, cond, "full_outer")
-    is_insert = F.col(f"__t.{on[0]}").isNull()
+    is_insert = F.col("__t.__t_present").isNull()
     out: list[Column] = []
     for c in target.columns:
         tcol = F.col(f"__t.{c}")

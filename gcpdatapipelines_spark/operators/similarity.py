@@ -125,6 +125,56 @@ def embedding_neardup_pairs(
     )
 
 
+def _widened(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, [extra...], e0..e{dim-1}, nrm): the vector spread into
+    scalar double columns plus its L2 norm, with the self-dot summed
+    LEFT-TO-RIGHT so the norm is bit-identical to the sequential list
+    fold (_norm)."""
+    wide = vectors.select(
+        id_col,
+        *(extra_cols or []),
+        *[F.col(vec_col).getItem(i).cast("double").alias(f"e{i}") for i in range(dim)],
+    )
+    self_dot = None
+    for i in range(dim):
+        term = F.col(f"e{i}") * F.col(f"e{i}")
+        self_dot = term if self_dot is None else self_dot + term
+    return wide.withColumn("nrm", F.sqrt(self_dot))
+
+
+def _unrolled_pair_sim(dim: int):
+    """round(dot(a*, b*) / (n1*n2), 6) as a codegen-friendly scalar
+    chain over widened columns a0..a{dim-1} / b0..b{dim-1}."""
+    pair_dot = None
+    for i in range(dim):
+        term = F.col(f"a{i}") * F.col(f"b{i}")
+        pair_dot = term if pair_dot is None else pair_dot + term
+    return F.round(pair_dot / (F.col("n1") * F.col("n2")), 6)
+
+
+def _wide_sides(wide: DataFrame, id_col: str, dim: int, cell_col: str | None = None):
+    """The two join sides of a pair scan over a widened frame."""
+    a = wide.select(
+        *([F.col(cell_col).alias("cell_a")] if cell_col else []),
+        F.col(id_col).alias("id_1"),
+        F.col("nrm").alias("n1"),
+        *[F.col(f"e{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    b = wide.select(
+        *([F.col(cell_col).alias("cell_b")] if cell_col else []),
+        F.col(id_col).alias("id_2"),
+        F.col("nrm").alias("n2"),
+        *[F.col(f"e{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    return a, b
+
+
 def embedding_neardup_pairs_codegen(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -144,6 +194,10 @@ def embedding_neardup_pairs_codegen(
     stay bit-identical to embedding_neardup_pairs and the DuckDB
     oracle.
 
+    This is the O(n^2) ORACLE BASELINE — at scale use
+    embedding_neardup_pairs_pruned (same scoring expressions joined
+    through a sound cell-pair candidate set, provably equal output).
+
     Side effect: disables spark.sql.constraintPropagation for the
     session — Catalyst's constraint inference is super-linear in the
     depth of the 64-term arithmetic chain and stalls the optimizer;
@@ -151,38 +205,147 @@ def embedding_neardup_pairs_codegen(
     vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    wide = vectors.select(
-        id_col,
-        *[F.col(vec_col).getItem(i).cast("double").alias(f"e{i}") for i in range(dim)],
-    )
-    self_dot = sum_chain = None
-    for i in range(dim):
-        term = F.col(f"e{i}") * F.col(f"e{i}")
-        self_dot = term if self_dot is None else self_dot + term
-    wide = wide.withColumn("nrm", F.sqrt(self_dot))
-
-    a = wide.select(
-        F.col(id_col).alias("id_1"),
-        F.col("nrm").alias("n1"),
-        *[F.col(f"e{i}").alias(f"a{i}") for i in range(dim)],
-    )
-    b = wide.select(
-        F.col(id_col).alias("id_2"),
-        F.col("nrm").alias("n2"),
-        *[F.col(f"e{i}").alias(f"b{i}") for i in range(dim)],
-    )
-    pair_dot = None
-    for i in range(dim):
-        term = F.col(f"a{i}") * F.col(f"b{i}")
-        pair_dot = term if pair_dot is None else pair_dot + term
+    wide = _widened(vectors, id_col, vec_col, dim)
+    a, b = _wide_sides(wide, id_col, dim)
     return (
         a.crossJoin(b)
         .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", _unrolled_pair_sim(dim).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _assign_nearest(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid: one broadcast of
+    the (tiny) centroid set, argmax via a per-id window. Returns
+    (id, vec, cent_id, __cs) — __cs is the winning cosine, which the
+    pruning geometry turns into a unit-sphere distance."""
+    from pyspark.sql import Window
+
+    vn = _with_vec_norm(vectors, vec_col, "__v", "__vn")
+    cn = centroids.withColumn("__cn", _norm(F.col("cent_vec")))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
+        id_col,
+        vec_col,
+        "cent_id",
+        (_dot(F.col("__v"), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn"))).alias(
+            "__cs"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def _cell_index(
+    vectors: DataFrame, id_col: str, vec_col: str, nlist: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic cell index with exact pruning geometry.
+
+    Returns (assignments, cells): assignments = (id, vec, cent_id,
+    __cs); cells = (cent_id, cent_vec, __cn, __radius) where __radius
+    is the cell's max unit-sphere distance of a member to its centroid
+    direction (||u_a - u_c|| = sqrt(2 - 2*cos)). Centroids are the
+    nlist lowest-id vectors — the same seeded-sample quantizer as
+    ivf_build; swap in ivf_build_kmeans centroids for trained cells."""
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(nlist)
         .select(
-            "id_1",
-            "id_2",
-            F.round(pair_dot / (F.col("n1") * F.col("n2")), 6).alias("sim"),
+            F.col(id_col).alias("cent_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
         )
+    )
+    assigned = _assign_nearest(vectors, centroids, id_col, vec_col)
+    dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("__cs")))
+    radii = (
+        assigned.select("cent_id", dist.alias("__dist"))
+        .groupBy("cent_id")
+        .agg(F.max("__dist").alias("__radius"))
+    )
+    cells = centroids.withColumn("__cn", _norm(F.col("cent_vec"))).join(radii, "cent_id")
+    return assigned, cells
+
+
+def _candidate_cell_pairs(cells: DataFrame, threshold: float) -> DataFrame:
+    """Directed (cell_a, cell_b) pairs that can possibly contain a
+    cosine >= threshold pair — SOUND pruning, no false negatives.
+
+    For unit vectors, sim(a,b) >= t  <=>  ||a-b|| <= sqrt(2(1-t));
+    the triangle inequality gives ||a-b|| >= ||c_a - c_b|| - r_a - r_b,
+    so any cell pair with centroid distance > r_a + r_b + sqrt(2(1-t))
+    is provably empty and never scored. Both orders are kept for
+    a != b so one downstream id_1 < id_2 filter yields each unordered
+    pair exactly once. The frame is nlist^2 rows at most — broadcast."""
+    import math
+
+    d_t = math.sqrt(max(0.0, 2.0 * (1.0 - threshold)))
+    a = cells.select(
+        F.col("cent_id").alias("cell_a"),
+        F.col("cent_vec").alias("__ca"),
+        F.col("__cn").alias("__na"),
+        F.col("__radius").alias("__ra"),
+    )
+    b = cells.select(
+        F.col("cent_id").alias("cell_b"),
+        F.col("cent_vec").alias("__cb"),
+        F.col("__cn").alias("__nb"),
+        F.col("__radius").alias("__rb"),
+    )
+    cent_cos = _dot(F.col("__ca"), F.col("__cb")) / (F.col("__na") * F.col("__nb"))
+    cent_dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * cent_cos))
+    return (
+        a.crossJoin(b)
+        .filter(
+            cent_dist
+            <= F.col("__ra") + F.col("__rb") + F.lit(d_t) + F.lit(1e-9)
+        )
+        .select("cell_a", "cell_b")
+    )
+
+
+def embedding_neardup_pairs_pruned(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pair scan through a sound candidate cell index — the
+    DEFAULT pair-scan path; output provably equals the exact O(n^2)
+    scan (equality-tested) without ever declaring a cartesian product.
+
+    Vectors are assigned to nlist cells; cell pairs whose centroid
+    distance exceeds r_a + r_b + sqrt(2(1-threshold)) cannot contain a
+    qualifying pair (triangle inequality on the unit sphere) and are
+    skipped. Surviving blocks are joined EQUI on cell id — at 100 TB
+    the pair space shrinks from all-pairs to the near-cell blocks, the
+    shuffle is hash-partitioned by cell, and skipped blocks are never
+    scanned. Scoring reuses the codegen-unrolled chain, so values are
+    bit-identical to embedding_neardup_pairs_codegen and the oracle.
+
+    At the near-dup thresholds this operator exists for (>= ~0.9) the
+    ball radius sqrt(2(1-t)) is tiny (~0.32 at t=0.95), so only
+    near-identical cell blocks survive; at permissive thresholds the
+    bound honestly degrades toward all cell pairs — correctness never
+    depends on the data distribution."""
+    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist)
+    cell_pairs = _candidate_cell_pairs(cells, threshold)
+    wide = _widened(assigned, id_col, vec_col, dim, extra_cols=["cent_id"])
+    a, b = _wide_sides(wide, id_col, dim, cell_col="cent_id")
+    cand = a.join(F.broadcast(cell_pairs), "cell_a").join(b, "cell_b")
+    return (
+        cand.filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", _unrolled_pair_sim(dim).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -192,48 +355,83 @@ def neardup_pairs_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    nlist: int = 16,
 ) -> DataFrame:
-    """BLAS path for the pair scan: the full (small) vector matrix is
-    broadcast as numpy; each Arrow batch of rows computes
-    block @ matrix.T in one dgemm and emits pairs over threshold.
+    """BLAS pair scan, bucket-scoped: each surviving (cell_a, cell_b)
+    block from the same sound cell-pair pruning as
+    embedding_neardup_pairs_pruned is scored as ONE numpy dgemm inside
+    applyInPandas. No vector data ever touches the driver — executors
+    hold one cell-pair block at a time, so the operator scales with
+    the largest cell, not the corpus.
 
-    Same O(n^2) math as embedding_neardup_pairs but ~vectorized-C per
-    block instead of an interpreted per-element expression — this is
-    the shape to use when the pair space is already candidate-pruned
-    (IVF cell or LSH bucket) and the per-bucket matrix fits an
-    executor. Results can differ from the JVM version only in the last
-    float bits (BLAS reassociates the dot-product sum), hence rows-only
-    in the oracle catalog; equivalence is unit-tested with tolerance."""
-    import numpy as np
+    Same math as embedding_neardup_pairs; results can differ from the
+    JVM version only in the last float bits (BLAS reassociates the
+    dot-product sum), hence rows-only in the oracle catalog;
+    equivalence is unit-tested with tolerance."""
+    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist)
+    # undirected cell pairs: the kernel sees both cells' members and
+    # emits each unordered pair once, so (i, j) with i <= j suffices
+    cell_pairs = _candidate_cell_pairs(cells, threshold).filter(
+        F.col("cell_a") <= F.col("cell_b")
+    )
+    vecs = assigned.select(
+        "cent_id",
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    amem = (
+        vecs.withColumnRenamed("cent_id", "cell_a")
+        .join(F.broadcast(cell_pairs), "cell_a")
+        .select("cell_a", "cell_b", F.lit(0).alias("__side"), "__id", "__vec")
+    )
+    bmem = (
+        vecs.withColumnRenamed("cent_id", "cell_b")
+        .join(F.broadcast(cell_pairs), "cell_b")
+        .select("cell_a", "cell_b", F.lit(1).alias("__side"), "__id", "__vec")
+    )
+    grp = amem.unionByName(bmem)
 
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = vectors.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
-
-    def run(batches):
+    def kernel(pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T
-            bid = pdf[id_col].to_numpy()
-            bi, aj = np.nonzero(sims >= threshold)
-            keep = bid[bi] < all_ids[aj]
-            yield pd.DataFrame(
-                {
-                    "id_1": bid[bi][keep],
-                    "id_2": all_ids[aj][keep],
-                    "sim": np.round(sims[bi, aj][keep], 6),
-                }
-            )
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series(dtype="int64"),
+                "id_2": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        asub = pdf[pdf["__side"] == 0]
+        bsub = pdf[pdf["__side"] == 1]
+        if asub.empty or bsub.empty:
+            return empty
+        A = np.stack(asub["__vec"].to_numpy()).astype(np.float64)
+        B = np.stack(bsub["__vec"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        sims = np.round(A @ B.T, 6)
+        ia, jb = np.nonzero(sims >= threshold)
+        if ia.size == 0:
+            return empty
+        ida = asub["__id"].to_numpy()[ia]
+        idb = bsub["__id"].to_numpy()[jb]
+        if pdf["cell_a"].iat[0] == pdf["cell_b"].iat[0]:
+            # diagonal block: both orders present, keep one
+            keep = ida < idb
+            id1, id2, s = ida[keep], idb[keep], sims[ia, jb][keep]
+        else:
+            # cross block: each unordered pair appears once; order ids
+            keep = ida != idb
+            id1 = np.minimum(ida, idb)[keep]
+            id2 = np.maximum(ida, idb)[keep]
+            s = sims[ia, jb][keep]
+        return pd.DataFrame(
+            {"id_1": id1.astype("int64"), "id_2": id2.astype("int64"), "sim": s}
+        )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        run, schema="id_1 BIGINT, id_2 BIGINT, sim DOUBLE"
+    return grp.groupBy("cell_a", "cell_b").applyInPandas(
+        kernel, schema="id_1 BIGINT, id_2 BIGINT, sim DOUBLE"
     )
 
 
@@ -248,23 +446,36 @@ def ivf_build_kmeans(
     trained cells are balanced around the data's actual structure, so
     probing nprobe cells recovers more of the true top-k than the
     sample quantizer at the same scan fraction. Same (assignments,
-    centroids) contract as ivf_build; recall is compared in tests."""
+    centroids) contract as ivf_build; recall is compared in tests.
+
+    Metric-unified: KMeans is fit on UNIT vectors (euclidean k-means
+    on the unit sphere == spherical/cosine k-means up to the centroid
+    mean), the learned centers are re-normalized, and assignment uses
+    the same max-cosine rule as ivf_topk's probe — so build and query
+    agree on the metric and recall does not leak to a euclidean/cosine
+    mismatch."""
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = vectors.withColumn(
-        "__features", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    feats = with_unit_vectors(vectors, vec_col, "__u").withColumn(
+        "__features", array_to_vector(F.col("__u"))
     )
     model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cell").fit(
         feats
     )
+
+    def _unit(c):
+        n = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        return [float(x) / n for x in c]
+
     centroids = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, _unit(c)) for i, c in enumerate(model.clusterCenters())],
         "cent_id INT, cent_vec ARRAY<DOUBLE>",
     )
-    assignments = (
-        model.transform(feats)
-        .select(id_col, vec_col, F.col("__cell").alias("cent_id"))
+    assignments = _assign_nearest(vectors, centroids, id_col, vec_col).select(
+        id_col, vec_col, "cent_id"
     )
     return assignments, centroids
 
@@ -288,21 +499,8 @@ def ivf_build(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
         )
     )
-    vn = _with_vec_norm(vectors, vec_col, "__v", "__vn")
-    cn = centroids.withColumn("__cn", _norm(F.col("cent_vec")))
-    scored = vn.crossJoin(F.broadcast(cn)).select(
-        id_col,
-        vec_col,
-        "cent_id",
-        (_dot(F.col("__v"), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn"))).alias("cs"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assignments = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "cent_id")
+    assignments = _assign_nearest(vectors, centroids, id_col, vec_col).select(
+        id_col, vec_col, "cent_id"
     )
     return assignments, centroids
 

@@ -33,13 +33,30 @@ def salted_join(
     space via monotonically-unique rand seeded per row is NOT used —
     salt must be data-independent, so it hashes the key plus a uniform
     bucket draw from the row's partition/offset), dim rows replicate to
-    every bucket. Same result set as fact.join(dim, key, how); the hot
-    key's shuffle partition is split ~salt_buckets ways.
+    every bucket. Same result set as fact.join(dim, key, how) for the
+    fact-preserving join types; the hot key's shuffle partition is
+    split ~salt_buckets ways.
+
+    ``how`` is restricted to fact-preserving types: every dim row is
+    replicated salt_buckets times, so a right/full outer join would
+    emit each unmatched dim row once per bucket — those types raise
+    instead of silently over-counting.
 
     Use when the dim side is too big to broadcast AND the key
     distribution is skewed; otherwise prefer broadcast (joins.py) or
     plain join + AQE.
     """
+    allowed = {
+        "inner", "cross",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got {how!r} — dim replication would duplicate unmatched dim rows"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
     )

@@ -1296,9 +1296,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qs, k=10)
 
 
-@register(
-    "sim_embedding_neardup",
-    f"""
+_NEARDUP_SQL = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
     SELECT a.vec_id AS id_1, b.vec_id AS id_2,
            round(list_inner_product(a.vec, b.vec) /
@@ -1308,16 +1306,35 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_inner_product(a.vec, b.vec) /
           (sqrt(list_inner_product(a.vec, a.vec)) *
            sqrt(list_inner_product(b.vec, b.vec))) >= 0.4
-    """,
-)
-def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine high-similarity pairs (sim >= 0.4). The fixture
-    embeddings carry no planted near-dups — max pair cosine is ~0.51 —
-    so the threshold selects the top-similar tail; at 0.95 the operator
-    would be vacuously empty.
+    """
 
-    Uses the codegen-unrolled scorer (bit-identical to the lambda form
-    — asserted in tests — but whole-stage compiled, ~2x faster)."""
+
+@register("sim_embedding_neardup", _NEARDUP_SQL)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (sim >= 0.4) — the
+    DEFAULT path: sound cell-pair candidate pruning (triangle
+    inequality on the unit sphere, no false negatives possible), so no
+    cartesian product is ever declared; surviving cell blocks join
+    EQUI on cell id and score with the codegen-unrolled chain. Checked
+    against the same exact-pair oracle SQL as sim_neardup_exact — the
+    green hash IS the proof the pruning loses nothing.
+
+    The fixture embeddings carry no planted near-dups — max pair
+    cosine is ~0.51 — so threshold 0.4 selects the top-similar tail;
+    at 0.95 the operator would be vacuously empty."""
+    from .operators.similarity import embedding_neardup_pairs_pruned
+
+    return embedding_neardup_pairs_pruned(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=16
+    )
+
+
+@register("sim_neardup_exact", _NEARDUP_SQL)
+def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact O(n^2) pair scan (codegen-unrolled, bit-identical to
+    the lambda form — asserted in tests) — retained as the oracle twin
+    and recall baseline for the pruned default above; not the path to
+    copy at scale."""
     from .operators.similarity import embedding_neardup_pairs_codegen
 
     return embedding_neardup_pairs_codegen(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -1325,13 +1342,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_neardup_blas")  # rows-only: BLAS reassociates float sums
 def sim_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLAS (Arrow + numpy dgemm) variant of sim_embedding_neardup —
-    the per-bucket scoring kernel for candidate-pruned pair scans at
-    scale. Equivalence to the JVM expression is unit-tested with
+    """Bucket-scoped BLAS pair scan: the same sound cell-pair pruning
+    as sim_embedding_neardup, each surviving cell-pair block scored as
+    one numpy dgemm inside applyInPandas — no vector data on the
+    driver. Equivalence to the JVM expression is unit-tested with
     float tolerance; last-bit reassociation keeps it rows-only here."""
     from .operators.similarity import neardup_pairs_blas
 
-    return neardup_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return neardup_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=16)
 
 
 @register("sim_ivf_topk")  # rows-only: ANN candidate set is engine-defined

@@ -291,8 +291,10 @@ def incremental_pipeline(
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
-    return int(progress["numInputRows"]) if progress else 0
+    # availableNow may split the input into several micro-batches
+    # (maxFilesPerTrigger etc.) — lastProgress would report only the
+    # final batch, so sum the whole invocation's progress history
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
 
 
 def enrich_stream(

@@ -117,3 +117,16 @@ def test_asof_composite_key(spark):
         ).collect()
     }
     assert out == {"p1": 5.0, "p2": 9.0}
+
+
+def test_asof_null_in_latest_right_row_preserved(spark):
+    """All value columns must come from the SAME (latest) right row:
+    a NULL inside that row is the answer, never backfilled from an
+    older row (struct forward-fill, DuckDB ASOF semantics)."""
+    left = spark.createDataFrame([(1, _ts(20), "p")], "k BIGINT, ts TIMESTAMP, tag STRING")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0, 5.0), (1, _ts(10), None, 7.0)],
+        "k BIGINT, ts TIMESTAMP, quote DOUBLE, extra DOUBLE",
+    )
+    (row,) = as_of_join(left, right, "k", "ts", "ts", ["quote", "extra"]).collect()
+    assert row["quote"] is None and row["extra"] == 7.0

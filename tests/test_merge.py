@@ -86,3 +86,18 @@ def test_catalog_merge_never_shuffles_target(spark):
     assert PL.num_exchanges(df) == 0, PL.formatted_plan(df)
     strategies = set(PL.join_strategies(df))
     assert strategies == {"BroadcastHashJoin"}, strategies
+
+
+def test_partial_update_null_merge_key_target_row_survives(spark):
+    """A target row whose merge key is NULL never matches the source,
+    but it must flow through intact — the presence marker (not key
+    nullability) decides insert-vs-keep, so its non-update columns are
+    NOT nulled out as a phantom 'insert'."""
+    target = from_rows(
+        spark, [(None, "orphan", 99.0), (1, "open", 10.0)], SCHEMA
+    )
+    source = from_rows(spark, [(1, "done", None)], SCHEMA)
+    out = merge_upsert(target, source, on=["k"], update_cols=["status"])
+    rows = {r["status"]: (r["k"], r["amount"]) for r in out.collect()}
+    assert rows["orphan"] == (None, 99.0)  # survived untouched
+    assert rows["done"] == (1, 10.0)  # patched, amount kept

@@ -132,3 +132,28 @@ def test_range_clustered_write_disjoint_files(spark, tmp_path):
         assert hi1 <= lo2, (ranges,)
     # nothing lost in the rewrite
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """Dim rows are replicated per salt bucket, so right/full outer
+    would duplicate unmatched dim rows — those types must raise."""
+    import pytest
+
+    fact = read_table(spark, SF_SMOKE, "orders").select("o_custkey")
+    dim = read_table(spark, SF_SMOKE, "customer")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            skew.salted_join(fact, dim.withColumnRenamed("c_custkey", "o_custkey"),
+                             "o_custkey", how=how)
+
+
+def test_salted_semi_join_matches_plain(spark):
+    fact = read_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    dim = (
+        read_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    got = {r["o_orderkey"] for r in skew.salted_join(fact, dim, "o_custkey", how="left_semi").collect()}
+    want = {r["o_orderkey"] for r in fact.join(dim, "o_custkey", "left_semi").collect()}
+    assert got == want and got

@@ -107,3 +107,60 @@ def test_codegen_neardup_bit_identical_to_lambda(spark):
         for r in S.embedding_neardup_pairs_codegen(emb, threshold=0.3).collect()
     }
     assert lam == cg and lam
+
+
+def test_pruned_equals_exact_on_fixture(spark):
+    """The pruned default must be bit-identical to the exact O(n^2)
+    scan — the soundness guarantee users rely on."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs_codegen(emb, threshold=0.3).collect()
+    }
+    pruned = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs_pruned(emb, threshold=0.3, nlist=16).collect()
+    }
+    assert pruned == exact and pruned
+
+
+def _clustered_vectors(spark, per_cluster=40, dim=8):
+    """Three tight clusters around orthogonal axes + planted near-dups;
+    at threshold 0.95 only intra-cluster pairs qualify, so cross-axis
+    cell pairs are provably prunable."""
+    rows = []
+    vid = 0
+    # interleave clusters across ids so the lowest-id centroid sample
+    # (the deterministic quantizer) spans all clusters
+    for i in range(per_cluster):
+        for axis in range(3):
+            v = [0.0] * dim
+            v[axis] = 1.0
+            v[(axis + 3) % dim] = 0.001 * (i % 7)  # tiny jitter
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_pruned_equals_exact_clustered_high_threshold(spark):
+    vecs = _clustered_vectors(spark)
+    exact = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    pruned = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs_pruned(vecs, threshold=0.95, nlist=6).collect()
+    }
+    assert pruned == exact and pruned
+
+
+def test_cell_pair_pruning_actually_prunes(spark):
+    """On clustered data at a near-dup threshold the candidate cell
+    pairs must be a strict subset of all nlist^2 pairs — the operator
+    must not silently degrade to an all-pairs scan."""
+    vecs = _clustered_vectors(spark)
+    _, cells = S._cell_index(vecs, "vec_id", "embedding", 6)
+    n_cells = cells.count()
+    n_pairs = S._candidate_cell_pairs(cells, 0.95).count()
+    assert n_pairs < n_cells * n_cells, (n_pairs, n_cells)

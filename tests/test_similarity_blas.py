@@ -27,3 +27,22 @@ def test_blas_matches_jvm_pairs(spark):
         assert abs(sim - THRESHOLD) < 1e-5, f"non-boundary pair mismatch: {pair} {sim}"
     for pair in set(jvm) & set(blas):
         assert abs(jvm[pair] - blas[pair]) <= 1e-6
+
+
+def test_blas_bucketed_matches_exact_clustered(spark):
+    """Per-cell-pair dgemm over pruned cell pairs must reproduce the
+    exact pair set on clustered data at a real near-dup threshold."""
+    from tests.test_similarity import _clustered_vectors
+
+    vecs = _clustered_vectors(spark)
+    jvm = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    blas = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.neardup_pairs_blas(vecs, threshold=0.95, nlist=6).collect()
+    }
+    assert set(jvm) == set(blas) and jvm
+    for pair in jvm:
+        assert abs(jvm[pair] - blas[pair]) <= 1e-6
