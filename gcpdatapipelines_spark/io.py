@@ -209,6 +209,72 @@ def write_range_clustered(
     )
 
 
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 6,
+    out_col: str = "__z",
+    sample_error: float = 0.001,
+) -> DataFrame:
+    """Attach a z-order (Morton) key over ``cols``.
+
+    Each column is rank-quantized to 2^bits levels against its own
+    approximate quantile boundaries (approxQuantile — the driver holds
+    only the tiny boundary arrays, never data), then the per-column
+    bit codes are interleaved into one integer JVM-side. Quantile
+    (not uniform) binning makes the z-cells equal-POPULATION, so the
+    curve stays balanced under skewed value distributions.
+
+    Rows close in z are close in EVERY clustering column at once —
+    the multi-dimensional generalization of range clustering that
+    keeps min/max footer stats selective for filters on any of the
+    columns, not just the leading one."""
+    levels = 1 << bits
+    probs = [i / levels for i in range(1, levels)]
+    def _rank_code(c: str):
+        bounds = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, probs, sample_error
+        )
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col(c).cast("double") > x, 1).otherwise(0),
+        )
+
+    codes = [_rank_code(c) for c in cols]
+    z = None
+    for b in range(bits):
+        for ci, code in enumerate(codes):
+            term = F.shiftleft(
+                F.shiftright(code, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
+            )
+            z = term if z is None else z + term  # disjoint bit positions: + == OR
+    return df.withColumn(out_col, z)
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, cols: list[str], num_files: int = 16, bits: int = 6
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the
+    interleaved z-value, then drop it before writing. Each file covers
+    a compact hyper-rectangle of the multi-column key space, so
+    filters on ANY clustering column skip whole files via footer
+    min/max stats — where write_range_clustered (lexicographic) only
+    prunes on its leading column. The multi-dim upgrade for a 100 TB
+    fact table with two independent hot filter columns; skipping on
+    the second column is asserted from real footers in
+    tests/test_scale_ops.py."""
+    (
+        zorder_column(df, cols, bits=bits)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_fanout(df: DataFrame, raw_path: str, agg_df: DataFrame, agg_path: str) -> None:
     """K5: multi-sink fan-out — one source written raw AND aggregated
     (reference csv_to_bq_NYC.py:128-150). ``df.cache()`` so the source

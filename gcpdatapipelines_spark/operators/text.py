@@ -195,6 +195,132 @@ def redact(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame
     return df.withColumn(out_col, F.regexp_replace(emails, r"[0-9]+", "<num>"))
 
 
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing (concat-then-chunk): lay documents end-to-end
+    in id order and assign each to every fixed-size context window it
+    overlaps — the layout step of LLM-pretraining tokenization.
+
+    Scale shape: offsets are computed WITHIN hash shards
+    (``pmod(id, num_shards)``), so the running-sum window partitions
+    by shard instead of forcing a global single-partition sort; each
+    shard packs independently, exactly how sharded pretraining
+    pipelines pack per output file. One row per (doc, chunk_id);
+    zero-token documents occupy no window and emit nothing.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col)).cast("long")
+    t = df.select(
+        id_col,
+        F.pmod(F.col(id_col), F.lit(num_shards)).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return (
+        c.filter(F.col("n_tok") > 0)
+        .select(
+            id_col,
+            "shard",
+            "n_tok",
+            start.alias("start_tok"),
+            F.explode(
+                F.sequence(
+                    F.floor(start / chunk_tokens).cast("long"),
+                    F.floor((F.col("cum") - 1) / chunk_tokens).cast("long"),
+                )
+            ).alias("chunk_id"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc term count,
+    idf = ln(N / df_t), ranked per doc by rounded score (desc) with
+    token-text tiebreak so the cut is deterministic and engine-stable.
+
+    Shape: explode -> (doc, token) counts -> token document
+    frequencies (one partial-agg shuffle each, both map-side
+    combined) -> per-doc top-k window. The corpus size N is a one-row
+    aggregate joined as a broadcast literal — no driver round-trip in
+    the plan's hot path."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df_t")
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rnk")
+    )
+
+
+def contamination_overlap(
+    shingles: DataFrame,
+    id_col: str,
+    bench_pred,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate document, the
+    fraction of its distinct n-gram shingles that appear in ANY
+    benchmark document (``bench_pred`` marks the benchmark side —
+    e.g. a held-out eval set joined into the corpus).
+
+    The n-gram containment test is the standard pretraining
+    decontamination check. Scale shape: the benchmark shingle set is
+    tiny next to the corpus — broadcast to the candidate side as a
+    left join on shingle (distinct both sides, so no fanout), then one
+    per-doc aggregation. The corpus never self-joins.
+
+    ``shingles``: an (id, shingle) frame (dedup.doc_shingles output,
+    distinct per doc), so the tokenize+shingle scan is shared with the
+    dedup family."""
+    bench = (
+        shingles.filter(bench_pred)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    cand = shingles.filter(~bench_pred)
+    marked = cand.join(F.broadcast(bench), "shingle", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce(F.sum("__hit"), F.lit(0)) / F.count("*"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic over {en,de,fr,es} plus a
     CJK-codepoint signal for zh. Emits per-language hit counts and the

@@ -1487,6 +1487,114 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact(_t(spark, sf_dir, "documents"), "text").select("doc_id", "redacted")
 
 
+@register(
+    "text_pack_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, n_tok, cum - n_tok AS start_tok,
+           unnest(generate_series((cum - n_tok) // 512, (cum - 1) // 512)) AS chunk_id
+    FROM c WHERE n_tok > 0
+    """,
+)
+def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, 512-token windows, 8 hash
+    shards): each document mapped to every fixed-size context window
+    it overlaps — the layout step of pretraining tokenization. The
+    running-sum window partitions by shard, never globally."""
+    from .operators.text import pack_chunks
+
+    return pack_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=512, num_shards=8
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, round(tf * ln(n_docs / df_t), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — two partial-agg shuffles (term
+    counts, document frequencies) + a per-doc top-k window; ranking on
+    the ROUNDED score with token tiebreak keeps the cut deterministic
+    across engines."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "text_contamination",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(l) - 4),
+                       i -> array_to_string(l[i:i+4], ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS shingle
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+    ), cand AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+    )
+    SELECT cand.doc_id AS doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           round(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS contamination
+    FROM cand LEFT JOIN bench ON cand.shingle = bench.shingle
+    GROUP BY cand.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: per candidate doc, the fraction of
+    its distinct 5-gram shingles found in the 'benchmark' slice
+    (doc_id % 10 == 0) — the n-gram containment decontamination check.
+    Benchmark shingles broadcast; shares the cached shingle scan with
+    the dedup family."""
+    from .operators.text import contamination_overlap
+
+    return contamination_overlap(
+        _doc_shingles_cached(spark, sf_dir, 5),
+        "doc_id",
+        (F.col("doc_id") % 10) == 0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal plumbing (fabricated binary assets)
 # ---------------------------------------------------------------------------

@@ -157,3 +157,99 @@ def test_salted_semi_join_matches_plain(spark):
     got = {r["o_orderkey"] for r in skew.salted_join(fact, dim, "o_custkey", how="left_semi").collect()}
     want = {r["o_orderkey"] for r in fact.join(dim, "o_custkey", "left_semi").collect()}
     assert got == want and got
+
+
+def test_aqe_skew_join_split_fires_on_hot_key(spark):
+    """AQE's skew-join split, demonstrated locally: a synthetic hot key
+    whose shuffle partition carries real bytes (the payload must
+    survive column pruning — aggregate over it, or Catalyst prunes the
+    skew away) plus thresholds tuned below the partition size makes the
+    final adaptive plan mark SortMergeJoin(skew=true). This pins the
+    contract that plain joins + AQE handle hot keys at scale; salting
+    (salted_join) remains the fallback for aggregations and the cases
+    AQE cannot split."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.join.preferSortMergeJoin",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0)).otherwise(F.col("id") % 997).alias("k"),
+            F.sha2(F.concat(F.lit("pp-"), F.col("id").cast("string")), 512).alias("p"),
+        )
+        dim = spark.range(0, 997).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        j = fact.join(dim, "k").agg(
+            F.max(F.length("p")).alias("mx"), F.count("*").alias("n")
+        )
+        (row,) = j.toPandas().to_dict("records"),
+        executed = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in executed, executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _files_skippable(path, col, lo, hi):
+    """(skippable, total): files whose footer min/max for col exclude
+    [lo, hi] — what a reader's file-level pruning would skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    skip = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mn, mx = c.statistics.min, c.statistics.max
+                    fmin = mn if fmin is None else min(fmin, mn)
+                    fmax = mx if fmax is None else max(fmax, mx)
+        if fmin is not None and (fmin > hi or fmax < lo):
+            skip += 1
+    return skip, len(files)
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order must keep footer stats selective on the SECOND
+    clustering column, where lexicographic range clustering degrades
+    to full-range stats in every file."""
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 317).alias("x"),
+        ((F.col("id") * 7919) % 289).alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    io.write_zorder_clustered(df, zpath, ["x", "y"], num_files=16)
+    io.write_range_clustered(df, rpath, ["x", "y"], num_files=16)
+
+    z_skip, z_total = _files_skippable(zpath, "y", 0, 36)
+    r_skip, _ = _files_skippable(rpath, "y", 0, 36)
+    assert z_total >= 8
+    assert z_skip > 0, "z-order produced no skippable files on the 2nd dim"
+    assert z_skip > r_skip, (z_skip, r_skip)
+    # x stays prunable too
+    zx_skip, _ = _files_skippable(zpath, "x", 0, 39)
+    assert zx_skip > 0
+    # and the clustering is lossless
+    got = spark.read.parquet(zpath)
+    assert got.count() == 100_000
+    assert got.groupBy().sum("x", "y").collect() == df.groupBy().sum("x", "y").collect()

@@ -135,3 +135,77 @@ def test_vocab_topk_order_and_ties(spark):
     )
     rows = [(r["token"], r["n"]) for r in T.vocab_topk(df, "text", k=3).collect()]
     assert rows == [("a", 3), ("b", 3), ("c", 2)]  # tie a/b broken by token
+
+
+def test_pack_chunks_crosses_boundaries(spark):
+    """Docs pack end-to-end per shard; a doc straddling a chunk
+    boundary lands in both chunks; empty docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    # one shard (num_shards=1): 'a b c' = 3 tokens each, chunk size 4
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, ""), (3, "g h i")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = T.pack_chunks(docs, "doc_id", "text", chunk_tokens=4, num_shards=1)
+    got = {(r["doc_id"], r["chunk_id"]) for r in out.collect()}
+    # offsets: doc0 [0,3) -> chunk 0; doc1 [3,6) -> chunks 0,1;
+    # doc2 empty -> none; doc3 [6,9) -> chunks 1,2
+    assert got == {(0, 0), (1, 0), (1, 1), (3, 1), (3, 2)}
+    starts = {r["doc_id"]: r["start_tok"] for r in out.collect()}
+    assert starts == {0: 0, 1: 3, 3: 6}
+
+
+def test_pack_chunks_shards_independent(spark):
+    """Offsets restart per shard: with num_shards=2, even and odd ids
+    each pack from offset 0."""
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "e f"), (3, "g h")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = T.pack_chunks(docs, "doc_id", "text", chunk_tokens=100, num_shards=2)
+    rows = {r["doc_id"]: (r["shard"], r["start_tok"]) for r in out.collect()}
+    assert rows == {0: (0, 0), 2: (0, 2), 1: (1, 0), 3: (1, 2)}
+
+
+def test_tfidf_surfaces_distinctive_term(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the bird flew over the hill"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = T.tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    # 'the'/'on'/'sat' are shared -> low idf; the unique nouns win
+    assert top[1] in {"cat", "mat"}
+    assert top[2] in {"dog", "log"}
+    assert top[3] in {"bird", "flew", "hill", "over"}
+
+
+def test_contamination_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from gcpdatapipelines_spark.operators.dedup import doc_shingles
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (10, bench_text),  # benchmark doc (id % 10 == 0)
+            (11, bench_text),  # fully contaminated candidate
+            (12, "one two three four five six"),  # clean candidate
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = doc_shingles(docs, "doc_id", "text", 5)
+    out = {
+        r["doc_id"]: r["contamination"]
+        for r in T.contamination_overlap(
+            sh, "doc_id", (F.col("doc_id") % 10) == 0
+        ).collect()
+    }
+    assert out[11] == 1.0
+    assert out[12] == 0.0
+    assert 10 not in out  # benchmark side excluded from candidates
