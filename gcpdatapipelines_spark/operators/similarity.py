@@ -243,24 +243,36 @@ def _assign_nearest(
 
 
 def _cell_index(
-    vectors: DataFrame, id_col: str, vec_col: str, nlist: int
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic cell index with exact pruning geometry.
 
     Returns (assignments, cells): assignments = (id, vec, cent_id,
     __cs); cells = (cent_id, cent_vec, __cn, __radius) where __radius
     is the cell's max unit-sphere distance of a member to its centroid
-    direction (||u_a - u_c|| = sqrt(2 - 2*cos)). Centroids are the
-    nlist lowest-id vectors — the same seeded-sample quantizer as
-    ivf_build; swap in ivf_build_kmeans centroids for trained cells."""
-    centroids = (
-        vectors.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    direction (||u_a - u_c|| = sqrt(2 - 2*cos)). Default centroids are
+    the nlist lowest-id vectors — the same seeded-sample quantizer as
+    ivf_build; pass a trained (cent_id, cent_vec) frame (e.g. from
+    ivf_build_kmeans) for tighter radii, hence more pruned cell pairs.
+    Correctness never depends on centroid quality — only pruning power
+    does."""
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(id_col)
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "cent_vec"
+                ),
+            )
         )
-    )
+    else:
+        centroids = centroids.select("cent_id", "cent_vec")
     assigned = _assign_nearest(vectors, centroids, id_col, vec_col)
     dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("__cs")))
     radii = (
@@ -316,6 +328,7 @@ def embedding_neardup_pairs_pruned(
     threshold: float = 0.95,
     nlist: int = 16,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pair scan through a sound candidate cell index — the
     DEFAULT pair-scan path; output provably equals the exact O(n^2)
@@ -338,7 +351,7 @@ def embedding_neardup_pairs_pruned(
     vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist)
+    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist, centroids=centroids)
     cell_pairs = _candidate_cell_pairs(cells, threshold)
     wide = _widened(assigned, id_col, vec_col, dim, extra_cols=["cent_id"])
     a, b = _wide_sides(wide, id_col, dim, cell_col="cent_id")
@@ -356,6 +369,7 @@ def neardup_pairs_blas(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     nlist: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """BLAS pair scan, bucket-scoped: each surviving (cell_a, cell_b)
     block from the same sound cell-pair pruning as
@@ -368,7 +382,7 @@ def neardup_pairs_blas(
     JVM version only in the last float bits (BLAS reassociates the
     dot-product sum), hence rows-only in the oracle catalog;
     equivalence is unit-tested with tolerance."""
-    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist)
+    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist, centroids=centroids)
     # undirected cell pairs: the kernel sees both cells' members and
     # emits each unordered pair once, so (i, j) with i <= j suffices
     cell_pairs = _candidate_cell_pairs(cells, threshold).filter(

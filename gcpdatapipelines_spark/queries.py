@@ -752,7 +752,7 @@ def p16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey, o_orderdate,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -792,7 +792,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1742,6 +1742,213 @@ def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H surface (adapted to the reduced fixture schema — no
+# partsupp/shipmode/phone columns, so q2/q9/q11/q12/q16/q20/q21 have
+# no faithful analogue; the 8 below cover every remaining join/
+# subquery shape). One SQL text per query, valid in BOTH Spark SQL
+# and DuckDB, so the catalog entry and its oracle are literally the
+# same string — dialect drift is impossible.
+# ---------------------------------------------------------------------------
+
+
+def _register_sql_twin(name: str, tables: list[str], sql: str, doc: str) -> None:
+    """Register a query whose Spark form is spark.sql(sql) over the
+    fixture views and whose oracle is the identical string."""
+
+    @register(name, sql)
+    def _q(
+        spark: SparkSession,
+        sf_dir: str,
+        _sql: str = sql,
+        _tables: tuple = tuple(tables),
+    ) -> DataFrame:
+        from .io import load_tables
+
+        load_tables(spark, sf_dir, list(_tables))
+        return spark.sql(_sql)
+
+    _q.__doc__ = doc
+    _q.__name__ = name
+
+
+_register_sql_twin(
+    "q7_volume_shipping",
+    ["lineitem", "supplier", "orders", "customer", "nation"],
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
+        OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    "TPC-H q7 shape: bilateral trade volume between two nations (fixture nations are synthetic NATION_k) — the "
+    "same dimension (nation) joined TWICE under different aliases on "
+    "supplier and customer sides; both broadcast, the fact never "
+    "shuffles for either.",
+)
+
+_register_sql_twin(
+    "q8_market_share",
+    ["lineitem", "part", "supplier", "orders", "nation"],
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+               sn.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    "TPC-H q8 shape: a nation's market share = conditional-sum over "
+    "total-sum per year. The selective p_type filter pushes into the "
+    "part scan and prunes the join input before any shuffle.",
+)
+
+_register_sql_twin(
+    "q10_returned_items",
+    ["customer", "orders", "lineitem", "nation"],
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H q10 shape: top-20 customers by returned-item revenue in a "
+    "quarter. Deterministic cut: ordered by the ROUNDED revenue with "
+    "key tiebreak; TakeOrdered, never a full global sort.",
+)
+
+_register_sql_twin(
+    "q13_order_count_dist",
+    ["customer", "orders"],
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+             AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H q13 shape: distribution of per-customer order counts with "
+    "a filtering predicate INSIDE the left join's ON clause (kept "
+    "rows vs dropped matches — outer-join semantics the optimizer "
+    "must not fold into a WHERE).",
+)
+
+_register_sql_twin(
+    "q15_top_supplier",
+    ["lineitem", "supplier"],
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "TPC-H q15 shape: supplier(s) achieving the maximum quarterly "
+    "revenue — a CTE aggregated once and consumed twice (join input + "
+    "scalar-max subquery); equality on the ROUNDED total keeps the "
+    "max-match engine-stable.",
+)
+
+_register_sql_twin(
+    "q17_small_qty_revenue",
+    ["lineitem", "part"],
+    """
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    "TPC-H q17 shape: lost-revenue estimate for small-quantity orders "
+    "— correlated scalar subquery (per-part average) that Catalyst "
+    "rewrites to an aggregate + equi-join on l_partkey, no "
+    "per-row re-aggregation.",
+)
+
+_register_sql_twin(
+    "q19_discounted_revenue",
+    ["lineitem", "part"],
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H q19 shape: disjunctive multi-attribute predicate spanning "
+    "both join sides — the common single-brand conjuncts still push "
+    "down into each scan while the cross-side residual evaluates "
+    "post-join.",
+)
+
+_register_sql_twin(
+    "q22_idle_customers",
+    ["customer", "orders"],
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H q22 shape: well-funded customers with no urgent orders — "
+    "an uncorrelated scalar average plus a NOT EXISTS that Catalyst "
+    "turns into a left-anti join (every customer has SOME order in "
+    "this fixture, so the anti condition is priority-scoped).",
+)
 
 
 # ---------------------------------------------------------------------------

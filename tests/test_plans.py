@@ -99,3 +99,33 @@ def test_q14_broadcasts_dimension_and_pushes_dates(spark):
     df = _q(spark, "q14_promo_revenue")
     assert "BroadcastHashJoin" in P.join_strategies(df)
     assert any("l_shipdate" in f for f in P.pushed_filters(df))
+
+
+def test_q7_broadcasts_nation_twice(spark):
+    """The nation dimension joins twice (supplier + customer side);
+    both must be broadcast — the fact side never shuffles for them."""
+    df = _q(spark, "q7_volume_shipping")
+    strategies = P.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+
+
+def test_q19_pushes_brand_disjunction_residual(spark):
+    """The disjunctive predicate still leaves a pushable brand/size
+    filter on the part scan (p_brand IN (...) extraction)."""
+    df = _q(spark, "q19_discounted_revenue")
+    pushed = P.pushed_filters(df)
+    assert any("p_brand" in f or "p_size" in f for f in pushed), pushed
+
+
+def test_q22_not_exists_rewrites_to_anti_join(spark):
+    df = _q(spark, "q22_idle_customers")
+    assert "LeftAnti" in P.formatted_plan(df)
+
+
+def test_q17_correlated_avg_becomes_aggregate_join(spark):
+    """The correlated scalar subquery must compile to ONE aggregate
+    over lineitem joined back on l_partkey — no per-row subquery."""
+    df = _q(spark, "q17_small_qty_revenue")
+    plan = P.formatted_plan(df)
+    assert "avg(l_quantity)" in plan
+    assert P.join_strategies(df), plan

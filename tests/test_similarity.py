@@ -164,3 +164,22 @@ def test_cell_pair_pruning_actually_prunes(spark):
     n_cells = cells.count()
     n_pairs = S._candidate_cell_pairs(cells, 0.95).count()
     assert n_pairs < n_cells * n_cells, (n_pairs, n_cells)
+
+
+def test_pruned_with_trained_centroids_equals_exact(spark):
+    """Trained (k-means) centroids only change PRUNING POWER, never
+    the result — equality with the exact scan must hold for any
+    centroid frame."""
+    vecs = _clustered_vectors(spark)
+    _, centroids = S.ivf_build_kmeans(vecs, nlist=4)
+    exact = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    pruned = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs_pruned(
+            vecs, threshold=0.95, nlist=4, centroids=centroids
+        ).collect()
+    }
+    assert pruned == exact and pruned
