@@ -1,19 +1,32 @@
 """Similarity search over embedding columns (north-star extension;
 fixture table ``embeddings`` with array<float> vectors).
 
-Two tiers:
+Four tiers, all pure DataFrame ops unless noted:
 
 - brute-force cosine top-k: the correctness baseline. Query vectors are
   broadcast; the scan side computes dot products with built-in
-  higher-order functions (zip_with/aggregate — JVM-side, codegen'd, no
-  Python). Cost O(n_queries * n_vectors): right up to ~10^4 queries at
-  100 TB scan widths, and the oracle-checkable reference for recall.
+  higher-order functions (zip_with/aggregate — JVM-side, no Python).
+  Cost O(n_queries * n_vectors): right up to ~10^4 queries at 100 TB
+  scan widths, and the oracle-checkable reference for recall.
 
-- IVF (inverted-file) top-k: the scale path. A deterministic coarse
-  quantizer (centroid sample) partitions vectors into nlist cells;
-  queries probe only the nprobe nearest cells, cutting the scanned
-  fraction to ~nprobe/nlist. Same scoring expressions; candidate set
-  differs, so recall<1.0 — measured against brute force in tests.
+- IVF (inverted-file) top-k: the ANN scale path. A coarse quantizer
+  (lowest-id sample, or k-means|| via ivf_build_kmeans — build and
+  probe both max-cosine) partitions vectors into nlist cells; queries
+  probe only the nprobe nearest cells, cutting the scanned fraction to
+  ~nprobe/nlist. Recall measured against brute force in tests.
+
+- pair scans (near-dup): the default path is
+  embedding_neardup_pairs_pruned — SOUND cell-pair pruning (triangle
+  inequality on the unit sphere, zero false negatives) + the
+  codegen-unrolled scorer; provably equal to the exact O(n^2) scan,
+  which is retained as the oracle twin. neardup_pairs_blas is the same
+  pruning with a per-cell-pair numpy dgemm (applyInPandas, nothing on
+  the driver).
+
+- PQ (product quantization): m-subspace k-means codebooks compress
+  each vector to m small ints; queries rank by ADC lookup sums without
+  ever touching the original vectors — the ~m-bytes-per-row scan that
+  makes billion-scale ANN affordable. Recall-tested vs exact L2.
 """
 
 from __future__ import annotations
@@ -517,6 +530,175 @@ def ivf_build(
         id_col, vec_col, "cent_id"
     )
     return assignments, centroids
+
+
+def pq_build(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Product-quantization codebooks: the D-dim vector space is split
+    into ``m`` contiguous subspaces of D/m dims; each subspace gets its
+    own ``ksub``-centroid k-means codebook (Jégou et al.'s PQ — the
+    standard 8-64x embedding compression for billion-scale ANN).
+
+    Returns ONE small frame (sub_id, cent_id, cent_vec) — m*ksub rows,
+    broadcastable everywhere downstream. Training runs m Spark ML
+    KMeans fits over sliced subvectors; the corpus is scanned per fit
+    but never collected."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = []
+    for sub in range(m):
+        feats = vectors.select(
+            array_to_vector(
+                F.transform(
+                    F.slice(F.col(vec_col), sub * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                )
+            ).alias("__features")
+        )
+        model = KMeans(
+            k=ksub,
+            seed=seed + sub,
+            maxIter=max_iter,
+            featuresCol="__features",
+            predictionCol="__c",
+        ).fit(feats)
+        for cid, cent in enumerate(model.clusterCenters()):
+            rows.append((sub, cid, [float(x) for x in cent]))
+    return vectors.sparkSession.createDataFrame(
+        rows, "sub_id INT, cent_id INT, cent_vec ARRAY<DOUBLE>"
+    )
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance of two array columns (float64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m codebook indices: per subspace, the
+    nearest (squared-L2) centroid. Returns (id, code ARRAY<INT>).
+
+    Shape: posexplode the vector into its m subvectors, equi-join the
+    broadcast codebook frame on sub_id, argmin per (id, sub) via a
+    window, fold back with collect_list ordered by sub_id. The corpus
+    shuffles once on id for the fold — the encoded table is ~m bytes a
+    row, the PQ compression payoff."""
+    from pyspark.sql import Window
+
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
+    subs = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sub_vec"),
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub_id").select(
+        id_col,
+        "sub_id",
+        "cent_id",
+        _sq_l2(F.col("sub_vec"), F.col("cent_vec")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy("d2", "cent_id")
+    best = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "sub_id", "cent_id")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub_id"), F.col("cent_id")))
+            ),
+            lambda s: s.getField("cent_id"),
+        ).alias("code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    dist(q, x) ~ sum_m ||q_m - cent[m][code_m(x)]||^2, read from a
+    per-query lookup table.
+
+    The LUT (q x m x ksub rows) is a broadcast join of the query
+    subvectors against the codebooks; the corpus side only explodes
+    its m-int code — the original vectors are never touched at query
+    time, which is the entire point of PQ at 100 TB: the scan reads
+    ~m bytes per row. Rows-only in the oracle catalog (ANN candidate
+    quality is recall-tested against brute force)."""
+    from pyspark.sql import Window
+
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
+    q_subs = queries.select(
+        q_id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(F.col(q_vec_col), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sub_vec"),
+    )
+    lut = q_subs.join(F.broadcast(codebooks), "sub_id").select(
+        q_id_col,
+        "sub_id",
+        "cent_id",
+        _sq_l2(F.col("sub_vec"), F.col("cent_vec")).alias("d2"),
+    )
+    code_rows = codes.select(
+        id_col, F.posexplode(F.col("code")).alias("sub_id", "cent_id")
+    )
+    partial = code_rows.join(F.broadcast(lut), ["sub_id", "cent_id"])
+    dists = partial.groupBy(q_id_col, id_col).agg(
+        F.round(F.sum("d2"), 6).alias("adc_dist")
+    )
+    if exclude_self:
+        dists = dists.filter(F.col(q_id_col) != F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "adc_dist", "rnk")
+    )
 
 
 def ivf_topk(

@@ -321,15 +321,24 @@ def contamination_overlap(
     )
 
 
-def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: list | None = None,
+) -> DataFrame:
     """n-gram/stopword language-ID heuristic over {en,de,fr,es} plus a
     CJK-codepoint signal for zh. Emits per-language hit counts and the
-    argmax prediction ('und' when nothing fires)."""
+    argmax prediction ('und' when nothing fires). ``extra_cols``:
+    additional columns/expressions carried through the projection, so
+    composites (e.g. per-language dedup) stay a single corpus scan
+    instead of self-joining two derivations."""
     t = F.col(text_col)
     hits = {lang: _stopword_hits(t, words) for lang, words in STOPWORDS.items()}
     cjk = F.regexp_count(t, F.lit(r"[一-鿿]"))
     out = df.select(
         id_col,
+        *(extra_cols or []),
         *[hits[lang].alias(f"{lang}_hits") for lang in STOPWORDS],
         cjk.alias("zh_hits"),
     )

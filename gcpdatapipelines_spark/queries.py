@@ -1255,6 +1255,58 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_per_language",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|for)\b')) AS en_hits,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht|mit)\b')) AS de_hits,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|pour)\b')) AS fr_hits,
+            len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|un|una|por)\b')) AS es_hits,
+            len(regexp_extract_all(text, '[一-鿿]')) AS zh_hits
+        FROM documents
+    ), langs AS (
+        SELECT doc_id,
+           CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'de'
+                WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'fr'
+                WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) THEN 'es'
+                ELSE 'zh' END AS pred_lang
+        FROM scored
+    ), fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT pred_lang, fp, min(fp.doc_id) AS doc_id, count(*) AS n_copies
+    FROM fp JOIN langs ON fp.doc_id = langs.doc_id
+    GROUP BY pred_lang, fp
+    """,
+)
+def dedup_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified fingerprint dedup: documents collapse only
+    WITHIN their predicted language — the pretraining-corpus contract
+    that parallel texts across languages are not duplicates of each
+    other. Composite of text.lang_scores + the md5 content
+    fingerprint; one partial-agg shuffle on (pred_lang, fp)."""
+    from .operators.dedup import content_fingerprint
+    from .operators.text import lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_scores(
+        docs,
+        "doc_id",
+        "text",
+        extra_cols=[content_fingerprint(F.col("text")).alias("fp")],
+    )
+    return (
+        scored.groupBy("pred_lang", "fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: similarity search (embeddings fixture)
 # ---------------------------------------------------------------------------

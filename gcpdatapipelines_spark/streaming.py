@@ -335,6 +335,42 @@ def rate_demo_pipeline(spark: SparkSession, rows_per_batch: int = 100) -> DataFr
     )
 
 
+DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents fixture (file source, declared
+    schema) — the ingest side of a streaming corpus pipeline."""
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def contamination_stream(
+    docs: DataFrame, bench_shingles: DataFrame, n: int = 5
+) -> DataFrame:
+    """Streaming decontamination: shingle each incoming document and
+    emit its (doc_id, shingle) rows that collide with the STATIC
+    benchmark shingle set — the stream-static broadcast twin of
+    text.contamination_overlap.
+
+    Stateless (a per-batch broadcast semi-ish join on shingle), so it
+    runs in append mode with no watermark or state store; the per-doc
+    contamination fraction is a downstream batch aggregation over the
+    emitted hits (aggregating here would force update mode). At scale
+    the benchmark set is tiny and pinned executor-side — each
+    micro-batch pays one broadcast probe, the corpus never self-joins."""
+    from .operators.dedup import doc_shingles
+
+    from pyspark.sql.functions import broadcast
+
+    sh = doc_shingles(docs, "doc_id", "text", n)
+    return sh.join(broadcast(bench_shingles.select("shingle").distinct()), "shingle")
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -129,3 +129,42 @@ def test_q17_correlated_avg_becomes_aggregate_join(spark):
     plan = P.formatted_plan(df)
     assert "avg(l_quantity)" in plan
     assert P.join_strategies(df), plan
+
+
+def test_pruned_neardup_vector_sides_never_cartesian(spark):
+    """The pruned pair scan's cartesian/nested-loop nodes may only
+    touch centroid-sized frames; the vector sides must meet through
+    hash joins on cell id."""
+    import re
+
+    df = _q(spark, "sim_embedding_neardup")
+    plan = P.formatted_plan(df)
+    # the vector sides meet through hash joins on the cell keys
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # at most ONE cartesian node (the nlist x nlist centroid-pair
+    # frame), and the centroid sample branch is limit-bounded
+    n_cartesian = len(set(re.findall(r"\((\d+)\) CartesianProduct", plan)))
+    assert n_cartesian <= 1, plan
+    assert "GlobalLimit" in plan
+
+
+def test_pack_chunks_window_partitions_by_shard(spark):
+    """The packing cumsum must be a per-shard window — a global
+    (empty-partition-spec) window would single-partition the corpus."""
+    df = _q(spark, "text_pack_chunks")
+    plan = P.formatted_plan(df)
+    assert "hashpartitioning(shard" in plan, plan
+    # no WindowExec warning shape: every Window node carries a spec
+    assert "Window" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast; the candidate corpus
+    must never self-join or shuffle for the containment probe."""
+    df = _q(spark, "text_contamination")
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+
+
+def test_tfidf_aggregates_are_partial(spark):
+    df = _q(spark, "text_tfidf_topk")
+    assert P.has_partial_aggregation(df)

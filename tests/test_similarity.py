@@ -183,3 +183,58 @@ def test_pruned_with_trained_centroids_equals_exact(spark):
         ).collect()
     }
     assert pruned == exact and pruned
+
+
+def test_pq_codebook_and_code_shapes(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cb = S.pq_build(emb, m=8, ksub=16, max_iter=5)
+    assert cb.count() == 8 * 16
+    codes = S.pq_encode(emb, cb)
+    row = codes.first()
+    assert len(row["code"]) == 8
+    assert all(0 <= c < 16 for c in row["code"])
+    assert codes.count() == emb.count()
+
+
+def test_pq_identical_vectors_share_codes(spark):
+    from pyspark.sql import Row
+
+    base = [float(i % 7) / 7 for i in range(16)]
+    vecs = spark.createDataFrame(
+        [Row(vec_id=0, embedding=base), Row(vec_id=1, embedding=base),
+         Row(vec_id=2, embedding=[x + 3.0 for x in base])]
+    )
+    cb = S.pq_build(vecs, m=4, ksub=2, max_iter=5)
+    codes = {r["vec_id"]: r["code"] for r in S.pq_encode(vecs, cb).collect()}
+    assert codes[0] == codes[1]
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """ADC ranking must recover a meaningful slice of the exact
+    squared-L2 top-10 (random-ish fixture embeddings are the hard
+    case for PQ; chance level is 10/500 = 0.02)."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cb = S.pq_build(emb, m=8, ksub=16, max_iter=10)
+    codes = S.pq_encode(emb, cb)
+    approx = {
+        (r["q_id"], r["vec_id"]) for r in S.pq_topk(codes, cb, qs, k=10).collect()
+    }
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = qs.select("q_id", F.transform("q_vec", lambda x: x.cast("double")).alias("q"))
+    d = (
+        v.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", S._sq_l2(F.col("q"), F.col("v")).alias("d2"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in d.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"PQ recall@10 {recall:.2f} below floor"

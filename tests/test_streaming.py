@@ -295,3 +295,28 @@ def test_enrich_stream_matches_batch_join(spark):
     assert _rows(got, ["event_id", "c_mktsegment"]) == _rows(
         want, ["event_id", "c_mktsegment"]
     )
+
+
+def test_contamination_stream_matches_batch(spark):
+    """Streaming decontamination (stream-static broadcast on shingle)
+    must emit exactly the batch join's hit rows."""
+    from gcpdatapipelines_spark.operators.dedup import doc_shingles
+
+    docs_batch = read_table(spark, SF_SMOKE, "documents")
+    bench = doc_shingles(
+        docs_batch.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", 5
+    ).select("shingle")
+
+    stream = S.stream_documents(spark, SF_SMOKE)
+    got = S.run_available_now(
+        S.contamination_stream(
+            stream.filter(F.col("doc_id") % 10 != 0), bench, n=5
+        ),
+        "t_contamination_stream",
+        output_mode="append",
+    )
+    want = doc_shingles(
+        docs_batch.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", 5
+    ).join(bench.distinct(), "shingle")
+    assert _rows(got, ["doc_id", "shingle"]) == _rows(want, ["doc_id", "shingle"])
+    assert got.count() > 0
