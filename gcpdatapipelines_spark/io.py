@@ -99,6 +99,42 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Declared-schema CSV read that quarantines malformed rows instead
+    of failing or silently nulling them — the ingestion contract a
+    production loader needs (the reference's Beam pipelines simply
+    crash or drop on a bad row; csv_to_bq.py:14-20 assumes clean
+    input).
+
+    Returns (good, rejects): ``good`` has the declared columns for rows
+    that parsed; ``rejects`` has the raw offending line (one column,
+    ``raw``). Implementation: PERMISSIVE mode with a columnNameOfCorrupt
+    sentinel — ONE scan feeds both frames, split by sentinel nullness,
+    so at 100 TB the file is read once and the bad fraction is a cheap
+    filter, not a second pass."""
+    if ":" in schema and " " not in schema.split(",")[0].strip():
+        schema = bq_string_schema_to_ddl(schema)
+    full = schema + ", __corrupt STRING"
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__corrupt")
+        .schema(full)
+        .csv(path)
+        .cache()  # one scan, two consumers (good + rejects)
+    )
+    good = df.filter(F.col("__corrupt").isNull()).drop("__corrupt")
+    rejects = df.filter(F.col("__corrupt").isNotNull()).select(
+        F.col("__corrupt").alias("raw")
+    )
+    return good, rejects
+
+
 # columns stored as parquet TIMESTAMP(NANOS): surfaced as int64 nanos
 # under spark.sql.legacy.parquet.nanosAsLong and converted to
 # TimestampType (us) here — same truncation DuckDB applies on read.

@@ -148,42 +148,37 @@ def _widened(
     """(id, [extra...], e0..e{dim-1}, nrm): the vector spread into
     scalar double columns plus its L2 norm, with the self-dot summed
     LEFT-TO-RIGHT so the norm is bit-identical to the sequential list
-    fold (_norm)."""
-    wide = vectors.select(
-        id_col,
-        *(extra_cols or []),
-        *[F.col(vec_col).getItem(i).cast("double").alias(f"e{i}") for i in range(dim)],
-    )
-    self_dot = None
-    for i in range(dim):
-        term = F.col(f"e{i}") * F.col(f"e{i}")
-        self_dot = term if self_dot is None else self_dot + term
-    return wide.withColumn("nrm", F.sqrt(self_dot))
+    fold (_norm). ``extra_cols`` are column NAMES carried through.
+
+    All expressions are SQL strings parsed in one selectExpr each —
+    building dim Column objects through py4j costs a JVM round-trip
+    per node and dominates operator build time at dim=64."""
+    x_exprs = [f"CAST({vec_col}[{i}] AS DOUBLE) AS e{i}" for i in range(dim)]
+    wide = vectors.selectExpr(id_col, *(extra_cols or []), *x_exprs)
+    self_dot = " + ".join(f"e{i} * e{i}" for i in range(dim))
+    return wide.selectExpr("*", f"sqrt({self_dot}) AS nrm")
 
 
-def _unrolled_pair_sim(dim: int):
-    """round(dot(a*, b*) / (n1*n2), 6) as a codegen-friendly scalar
-    chain over widened columns a0..a{dim-1} / b0..b{dim-1}."""
-    pair_dot = None
-    for i in range(dim):
-        term = F.col(f"a{i}") * F.col(f"b{i}")
-        pair_dot = term if pair_dot is None else pair_dot + term
-    return F.round(pair_dot / (F.col("n1") * F.col("n2")), 6)
+def _unrolled_pair_sim_sql(dim: int) -> str:
+    """``round(dot(a*, b*) / (n1*n2), 6) AS sim`` as a codegen-friendly
+    scalar chain over widened columns a0../b0.. (SQL string form)."""
+    pair_dot = " + ".join(f"a{i} * b{i}" for i in range(dim))
+    return f"round(({pair_dot}) / (n1 * n2), 6) AS sim"
 
 
 def _wide_sides(wide: DataFrame, id_col: str, dim: int, cell_col: str | None = None):
     """The two join sides of a pair scan over a widened frame."""
-    a = wide.select(
-        *([F.col(cell_col).alias("cell_a")] if cell_col else []),
-        F.col(id_col).alias("id_1"),
-        F.col("nrm").alias("n1"),
-        *[F.col(f"e{i}").alias(f"a{i}") for i in range(dim)],
+    a = wide.selectExpr(
+        *([f"{cell_col} AS cell_a"] if cell_col else []),
+        f"{id_col} AS id_1",
+        "nrm AS n1",
+        *[f"e{i} AS a{i}" for i in range(dim)],
     )
-    b = wide.select(
-        *([F.col(cell_col).alias("cell_b")] if cell_col else []),
-        F.col(id_col).alias("id_2"),
-        F.col("nrm").alias("n2"),
-        *[F.col(f"e{i}").alias(f"b{i}") for i in range(dim)],
+    b = wide.selectExpr(
+        *([f"{cell_col} AS cell_b"] if cell_col else []),
+        f"{id_col} AS id_2",
+        "nrm AS n2",
+        *[f"e{i} AS b{i}" for i in range(dim)],
     )
     return a, b
 
@@ -223,7 +218,7 @@ def embedding_neardup_pairs_codegen(
     return (
         a.crossJoin(b)
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", _unrolled_pair_sim(dim).alias("sim"))
+        .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -231,27 +226,58 @@ def embedding_neardup_pairs_codegen(
 def _assign_nearest(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid: one broadcast of
-    the (tiny) centroid set, argmax via a per-id window. Returns
-    (id, vec, cent_id, __cs) — __cs is the winning cosine, which the
-    pruning geometry turns into a unit-sphere distance."""
-    from pyspark.sql import Window
+    """Assign each vector to its max-cosine centroid — as PURE SCALAR
+    PROJECTIONS: the centroid set is bounded (nlist rows, index
+    metadata like PQ codebooks or quantile boundaries), so it is
+    collected once and inlined as literal arithmetic. Assignment then
+    adds ZERO shuffles and stays inside whole-stage codegen; the
+    previous form (crossJoin + per-id window argmax) shuffled
+    corpus x nlist rows just to pick a max.
 
-    vn = _with_vec_norm(vectors, vec_col, "__v", "__vn")
-    cn = centroids.withColumn("__cn", _norm(F.col("cent_vec")))
-    scored = vn.crossJoin(F.broadcast(cn)).select(
+    Ties break to the lowest cent_id (same contract as the old window
+    orderBy). Returns (id, vec, cent_id, __cs)."""
+    import math
+
+    # the 16..1024-term scalar chains below stall Catalyst's
+    # super-linear constraint inference; effort-only conf, never results
+    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    cents = sorted(centroids.collect(), key=lambda r: r["cent_id"])
+    if not cents:
+        raise ValueError("empty centroid set")
+    dim = len(cents[0]["cent_vec"])
+
+    # The expressions are assembled as SQL STRINGS and parsed in ONE
+    # selectExpr call each: building nlist*dim Column objects through
+    # the py4j bridge costs one JVM round-trip per node (~6 s of pure
+    # driver overhead at 16x64); a string parse is a single call.
+    # `D` suffixes force double literals (bare decimals parse as
+    # DECIMAL in Spark SQL and would change the arithmetic).
+    x_exprs = [f"CAST({vec_col}[{i}] AS DOUBLE) AS __x{i}" for i in range(dim)]
+    wide = vectors.selectExpr(id_col, vec_col, *x_exprs)
+    self_dot = " + ".join(f"__x{i} * __x{i}" for i in range(dim))
+    wide = wide.selectExpr("*", f"sqrt({self_dot}) AS __vn")
+
+    # ONE array_max over (cs, -cent_id) structs: each centroid's dot
+    # chain appears exactly once per output reference (a greatest +
+    # when-chain argmax would re-inline every chain per comparison —
+    # the scalar form of the quadratic projection-collapse trap);
+    # struct ordering gives max cs with ties to the LOWEST cent_id via
+    # the negated id field.
+    entries = []
+    for r in cents:
+        cvec = [float(x) for x in r["cent_vec"]]
+        cnorm = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        dot = " + ".join(f"__x{i} * {cvec[i]!r}D" for i in range(dim))
+        entries.append(
+            f"struct(({dot}) / (__vn * {cnorm!r}D) AS cs, "
+            f"{-int(r['cent_id'])} AS negid)"
+        )
+    best = f"array_max(array({', '.join(entries)}))"
+    return wide.selectExpr(
         id_col,
         vec_col,
-        "cent_id",
-        (_dot(F.col("__v"), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn"))).alias(
-            "__cs"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
+        f"-(({best}).negid) AS cent_id",
+        f"({best}).cs AS __cs",
     )
 
 
@@ -286,7 +312,13 @@ def _cell_index(
         )
     else:
         centroids = centroids.select("cent_id", "cent_vec")
-    assigned = _assign_nearest(vectors, centroids, id_col, vec_col)
+    # persisted: consumed by the radii aggregation AND (in the pair
+    # scans) by both join sides — without it the assignment expression
+    # re-executes and re-compiles once per consumer. MEMORY_AND_DISK
+    # default, (id, vec, cell, cs) rows; at 100 TB this is the
+    # materialize-the-cell-assigned-table step a real pipeline runs
+    # before its pair scan.
+    assigned = _assign_nearest(vectors, centroids, id_col, vec_col).persist()
     dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("__cs")))
     radii = (
         assigned.select("cent_id", dist.alias("__dist"))
@@ -306,32 +338,32 @@ def _candidate_cell_pairs(cells: DataFrame, threshold: float) -> DataFrame:
     so any cell pair with centroid distance > r_a + r_b + sqrt(2(1-t))
     is provably empty and never scored. Both orders are kept for
     a != b so one downstream id_1 < id_2 filter yields each unordered
-    pair exactly once. The frame is nlist^2 rows at most — broadcast."""
+    pair exactly once.
+
+    ``cells`` is index metadata (nlist rows); the pair geometry is
+    computed on the driver (an nlist^2 double loop over collected
+    rows) and returned as a literal frame — no cartesian join node
+    ever enters the plan."""
     import math
 
     d_t = math.sqrt(max(0.0, 2.0 * (1.0 - threshold)))
-    a = cells.select(
-        F.col("cent_id").alias("cell_a"),
-        F.col("cent_vec").alias("__ca"),
-        F.col("__cn").alias("__na"),
-        F.col("__radius").alias("__ra"),
-    )
-    b = cells.select(
-        F.col("cent_id").alias("cell_b"),
-        F.col("cent_vec").alias("__cb"),
-        F.col("__cn").alias("__nb"),
-        F.col("__radius").alias("__rb"),
-    )
-    cent_cos = _dot(F.col("__ca"), F.col("__cb")) / (F.col("__na") * F.col("__nb"))
-    cent_dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * cent_cos))
-    return (
-        a.crossJoin(b)
-        .filter(
-            cent_dist
-            <= F.col("__ra") + F.col("__rb") + F.lit(d_t) + F.lit(1e-9)
-        )
-        .select("cell_a", "cell_b")
-    )
+    rows = cells.collect()
+    geo = []
+    for r in rows:
+        v = [float(x) for x in r["cent_vec"]]
+        n = float(r["__cn"]) or 1.0
+        geo.append((int(r["cent_id"]), v, n, float(r["__radius"])))
+    pairs = []
+    for ca, va, na, ra in geo:
+        for cb, vb, nb, rb in geo:
+            cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+            dist = math.sqrt(max(0.0, 2.0 - 2.0 * cos))
+            if dist <= ra + rb + d_t + 1e-9:
+                pairs.append((ca, cb))
+    spark = cells.sparkSession
+    if not pairs:
+        return spark.createDataFrame([], "cell_a INT, cell_b INT")
+    return spark.createDataFrame(pairs, "cell_a INT, cell_b INT")
 
 
 def embedding_neardup_pairs_pruned(
@@ -371,7 +403,7 @@ def embedding_neardup_pairs_pruned(
     cand = a.join(F.broadcast(cell_pairs), "cell_a").join(b, "cell_b")
     return (
         cand.filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", _unrolled_pair_sim(dim).alias("sim"))
+        .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -83,3 +83,25 @@ def test_events_ts_is_timestamp(spark, sf_dir):
     """TIMESTAMP(NANOS) parquet surfaces as a proper TimestampType."""
     ev = io.read_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_csv_rejects_quarantined(spark, tmp_path):
+    """Malformed rows (wrong arity / unparseable types) land in the
+    rejects frame with their raw line; good rows parse fully; nothing
+    is silently dropped."""
+    from gcpdatapipelines_spark.io import read_csv_with_rejects
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+    )
+    good, rejects = read_csv_with_rejects(
+        spark, str(p), "id BIGINT, name STRING, amount DOUBLE"
+    )
+    g = {(r["id"], r["name"], r["amount"]) for r in good.collect()}
+    assert g == {(1, "alice", 10.5), (3, "carol", 7.25)}
+    rj = [r["raw"] for r in rejects.collect()]
+    assert rj == ["2,bob,not_a_number"]

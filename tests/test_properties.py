@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -89,3 +90,42 @@ def test_salted_count_always_matches_plain(spark, keys, buckets):
         (r["k"], r["cnt"]) for r in salted_count_per_key(df, "k", buckets, "cnt").collect()
     }
     assert plain == salted
+
+
+DOC_TEXTS = st.lists(
+    st.text(alphabet="ab c.x1", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(texts=DOC_TEXTS, chunk=st.integers(min_value=1, max_value=16))
+@SLOW
+def test_pack_chunks_covers_token_stream_exactly(spark, texts, chunk):
+    """For any corpus and chunk size: within a shard, doc offsets are
+    contiguous (end_i == start_{i+1} in id order over non-empty docs),
+    each doc appears in exactly the windows it overlaps, and no window
+    index is skipped inside the shard's covered range."""
+    from gcpdatapipelines_spark.operators.text import pack_chunks, token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    out = pack_chunks(df, "doc_id", "text", chunk_tokens=chunk, num_shards=2)
+    rows = out.collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], {}).setdefault(
+            r["doc_id"], (r["start_tok"], r["n_tok"], set())
+        )[2].add(r["chunk_id"])
+    for shard, docs in by_shard.items():
+        expected_start = 0
+        for doc_id in sorted(docs):
+            start, n_tok, chunks = docs[doc_id]
+            assert n_tok == toks[doc_id] > 0
+            assert start == expected_start
+            expected_start += n_tok
+            want = set(range(start // chunk, (start + n_tok - 1) // chunk + 1))
+            assert chunks == want, (doc_id, chunks, want)

@@ -253,3 +253,24 @@ def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.count() == 100_000
     assert got.groupBy().sum("x", "y").collect() == df.groupBy().sum("x", "y").collect()
+
+
+def test_range_repartition_balances_skewed_column(spark):
+    """repartitionByRange samples quantiles, so partition bounds adapt
+    to a skewed distribution — partition sizes stay near-equal where a
+    naive fixed-width bucketing would put most rows in one partition.
+    This is the quantile-bucketed repartition the range-clustered and
+    z-order writes build on."""
+    # zipf-ish skew: value v appears ~ 50_000 / v times
+    df = spark.range(1, 200).selectExpr(
+        "explode(sequence(1, cast(50000 / id as int))) AS junk", "id AS v"
+    )
+    parts = (
+        df.repartitionByRange(8, F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+    )
+    sizes = [r["count"] for r in parts.collect()]
+    assert len(sizes) >= 6
+    assert max(sizes) / (sum(sizes) / len(sizes)) < 3.0, sizes

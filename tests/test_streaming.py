@@ -320,3 +320,34 @@ def test_contamination_stream_matches_batch(spark):
     ).join(bench.distinct(), "shingle")
     assert _rows(got, ["doc_id", "shingle"]) == _rows(want, ["doc_id", "shingle"])
     assert got.count() > 0
+
+
+def test_streaming_partitioned_write_routes_by_lang(spark, tmp_path):
+    """Streaming file sink with partitionBy(lang): each micro-batch's
+    rows land under their language directory — the corpus-routing
+    write shape (hive layout, partition-prunable downstream)."""
+    import os
+
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    docs = S.stream_documents(spark, SF_SMOKE)
+    q = (
+        docs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("lang")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert len(langs) >= 2, langs
+    back = spark.read.parquet(out)
+    want = read_table(spark, SF_SMOKE, "documents")
+    assert back.count() == want.count()
+    # partition pruning works on the routed layout
+    one = sorted(langs)[0].split("=", 1)[1]
+    assert back.filter(F.col("lang") == one).count() == want.filter(
+        F.col("lang") == one
+    ).count()
