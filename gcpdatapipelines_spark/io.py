@@ -104,6 +104,7 @@ def read_csv_with_rejects(
     path: str,
     schema: str,
     header: bool = True,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Declared-schema CSV read that quarantines malformed rows instead
     of failing or silently nulling them — the ingestion contract a
@@ -114,9 +115,15 @@ def read_csv_with_rejects(
     Returns (good, rejects): ``good`` has the declared columns for rows
     that parsed; ``rejects`` has the raw offending line (one column,
     ``raw``). Implementation: PERMISSIVE mode with a columnNameOfCorrupt
-    sentinel — ONE scan feeds both frames, split by sentinel nullness,
-    so at 100 TB the file is read once and the bad fraction is a cheap
-    filter, not a second pass."""
+    sentinel; both frames are cheap filters over one parsed frame.
+
+    ``cache``: True (default) caches the parsed frame so the two
+    consumers share one scan — right when the input fits cluster
+    storage. For inputs beyond cache capacity, evicted partitions
+    would silently re-parse, so pass cache=False and either accept two
+    scans or write the parsed frame to a parquet intermediate and read
+    good/rejects from that (the caller owns the lifecycle either
+    way — this function never unpersists)."""
     if ":" in schema and " " not in schema.split(",")[0].strip():
         schema = bq_string_schema_to_ddl(schema)
     full = schema + ", __corrupt STRING"
@@ -126,8 +133,9 @@ def read_csv_with_rejects(
         .option("columnNameOfCorruptRecord", "__corrupt")
         .schema(full)
         .csv(path)
-        .cache()  # one scan, two consumers (good + rejects)
     )
+    if cache:
+        df = df.cache()  # one scan, two consumers (good + rejects)
     good = df.filter(F.col("__corrupt").isNull()).drop("__corrupt")
     rejects = df.filter(F.col("__corrupt").isNotNull()).select(
         F.col("__corrupt").alias("raw")
@@ -266,11 +274,18 @@ def zorder_column(
     keeps min/max footer stats selective for filters on any of the
     columns, not just the leading one."""
     levels = 1 << bits
+    ncols = len(cols)
+    if bits * ncols > 63:
+        # Java shifts mask the amount; wrapped positions would silently
+        # collide and destroy the clustering
+        raise ValueError(f"bits*len(cols) = {bits * ncols} exceeds 63 (long width)")
     probs = [i / levels for i in range(1, levels)]
-    def _rank_code(c: str):
-        bounds = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, probs, sample_error
-        )
+    # ONE quantile pass over all clustering columns (approxQuantile
+    # accepts a column list; per-column calls would each scan the data)
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    all_bounds = casted.approxQuantile(list(cols), probs, sample_error)
+
+    def _rank_fold(c: str, bounds: list[float]):
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         return F.aggregate(
             barr,
@@ -278,14 +293,20 @@ def zorder_column(
             lambda acc, x: acc + F.when(F.col(c).cast("double") > x, 1).otherwise(0),
         )
 
-    codes = [_rank_code(c) for c in cols]
+    # Morton interleave via a per-column LOOKUP TABLE: spread[v] has
+    # v's bits redistributed to stride-ncols positions (offset ci).
+    # element_at(table, code+1) references each rank fold exactly ONCE
+    # — a per-bit shiftleft(code, ...) chain would re-inline the
+    # fold `bits` times after projection collapse.
     z = None
-    for b in range(bits):
-        for ci, code in enumerate(codes):
-            term = F.shiftleft(
-                F.shiftright(code, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
-            )
-            z = term if z is None else z + term  # disjoint bit positions: + == OR
+    for ci, c in enumerate(cols):
+        spread = [
+            sum(((v >> b) & 1) << (b * ncols + ci) for b in range(bits))
+            for v in range(levels)
+        ]
+        table = F.array(*[F.lit(v).cast("long") for v in spread])
+        contrib = F.element_at(table, _rank_fold(c, all_bounds[ci]) + 1)
+        z = contrib if z is None else z + contrib  # disjoint bit positions: + == OR
     return df.withColumn(out_col, z)
 
 

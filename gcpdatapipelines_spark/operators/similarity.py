@@ -47,9 +47,16 @@ def _norm(a):
 
 def with_unit_vectors(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
     """Pre-normalize vectors (cast to double, divide by L2 norm) so
-    cosine reduces to a dot product at query time."""
+    cosine reduces to a dot product at query time.
+
+    The norm is divided in through ``zip_with(v, array_repeat(norm,
+    size))`` so the dim-term norm fold appears exactly ONCE in the
+    expression tree — a ``transform(v, x -> x / _norm(v))`` lambda
+    would re-inline the fold per ELEMENT (the quadratic
+    shared-expression trap, NOTES.md)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+    norms = F.array_repeat(_norm(v), F.size(v))
+    return df.withColumn(out_col, F.zip_with(v, norms, lambda x, y: x / y))
 
 
 def _with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
@@ -622,6 +629,29 @@ def _sq_l2(a, b):
     )
 
 
+def _sub_vectors(
+    df: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub_id, sub_vec): each vector split into the codebooks'
+    m subspaces of dsub dims — the ONE place the subspace slicing
+    arithmetic lives, shared by encode (corpus side) and ADC query
+    (LUT side) so they can never drift apart."""
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sub_vec"),
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -638,20 +668,7 @@ def pq_encode(
     row, the PQ compression payoff."""
     from pyspark.sql import Window
 
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
-    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
-    subs = vectors.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
-                    lambda x: x.cast("double"),
-                ),
-            )
-        ).alias("sub_id", "sub_vec"),
-    )
+    subs = _sub_vectors(vectors, codebooks, id_col, vec_col)
     scored = subs.join(F.broadcast(codebooks), "sub_id").select(
         id_col,
         "sub_id",
@@ -696,21 +713,9 @@ def pq_topk(
     quality is recall-tested against brute force)."""
     from pyspark.sql import Window
 
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
-    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
-    q_subs = queries.select(
-        q_id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.slice(F.col(q_vec_col), s * dsub + 1, dsub),
-                    lambda x: x.cast("double"),
-                ),
-            )
-        ).alias("sub_id", "sub_vec"),
-    )
-    lut = q_subs.join(F.broadcast(codebooks), "sub_id").select(
+    lut = _sub_vectors(queries, codebooks, q_id_col, q_vec_col).join(
+        F.broadcast(codebooks), "sub_id"
+    ).select(
         q_id_col,
         "sub_id",
         "cent_id",

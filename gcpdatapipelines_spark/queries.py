@@ -46,6 +46,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _decimal_revenue():
+    """round(sum(extendedprice * (1 - discount)), 2) with EXACT decimal
+    arithmetic, cast back to double — money sums over doubles flip a
+    cent ~1% of rows when the true 4-dp-rational sum lands on a cent
+    boundary and the engines' differently-reassociated double sums
+    straddle it (NOTES.md MONEY SUMS). Must mirror the oracle's
+    CAST(round(sum(CAST(.. AS DECIMAL(18,2)) * ..), 2) AS DOUBLE)."""
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return F.round(F.sum(rev), 2).cast("double")
+
+
 # Session-scoped shared prep: the dedup family all consumes the same
 # tokenize(->shingle) derivation of the documents corpus; at 100 TB
 # you materialize that ONCE and run every detector over it rather than
@@ -778,11 +791,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_decimal_revenue().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -824,11 +833,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_decimal_revenue().alias("revenue"))
     )
 
 
@@ -1924,7 +1929,9 @@ _register_sql_twin(
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
         GROUP BY l_suppkey

@@ -261,6 +261,34 @@ def dedup_stream(
     )
 
 
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _RowCountListener(StreamingQueryListener):
+    """StreamingQueryListener accumulating numInputRows per query id —
+    the only progress channel that is not capped (lastProgress = final
+    batch only; recentProgress = last N). Registered per invocation
+    and removed in a finally."""
+
+    def __init__(self):
+        self.rows_by_query: dict[str, int] = {}
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        qid = str(p.id)
+        self.rows_by_query[qid] = self.rows_by_query.get(qid, 0) + int(p.numInputRows)
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.add(str(event.id))
+
+
 def incremental_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -280,21 +308,34 @@ def incremental_pipeline(
     sink; always create/retire them together.
 
     Returns the number of rows written by this invocation."""
-    ev = stream_events(spark, source_dir)
-    enriched = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
-    q = (
-        enriched.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # availableNow may split the input into several micro-batches
-    # (maxFilesPerTrigger etc.) — lastProgress would report only the
-    # final batch, so sum the whole invocation's progress history
-    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+    import time
+
+    listener = _RowCountListener()
+    spark.streams.addListener(listener)
+    try:
+        ev = stream_events(spark, source_dir)
+        enriched = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow may split the input into several micro-batches
+        # (maxFilesPerTrigger etc.) — lastProgress reports only the
+        # final batch, and recentProgress is CAPPED (default 100
+        # entries), so a long backlog would undercount. The listener
+        # sees every progress event; wait for the terminated event so
+        # none are still in flight.
+        q.awaitTermination()
+        deadline = time.time() + 30
+        while str(q.id) not in listener.terminated and time.time() < deadline:
+            time.sleep(0.05)
+        return int(listener.rows_by_query.get(str(q.id), 0))
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def enrich_stream(
