@@ -274,3 +274,35 @@ def test_range_repartition_balances_skewed_column(spark):
     sizes = [r["count"] for r in parts.collect()]
     assert len(sizes) >= 6
     assert max(sizes) / (sum(sizes) / len(sizes)) < 3.0, sizes
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Spark's runtime bloom-filter join injection: a selective filter
+    on the dimension side propagates to the fact side as a
+    might_contain() pre-filter, pruning shuffle input before the join
+    — the runtime twin of static predicate pushdown, and what keeps a
+    100 TB fact scan from shuffling rows that can never match."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # force a shuffle join (broadcast joins use their own runtime
+        # filter) and let the tiny local scan qualify as application side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        p = read_table(spark, SF_SMOKE, "part").filter(F.col("p_brand") == "Brand#23")
+        j = li.join(p, li.l_partkey == p.p_partkey).agg(F.count("*").alias("n"))
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in optimized, optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
