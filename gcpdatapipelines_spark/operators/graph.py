@@ -1,0 +1,166 @@
+"""Distributed connected components over near-dup pair graphs.
+
+The missing last step of every dedup pipeline: detectors (fingerprint /
+Jaccard / MinHash / SimHash — operators/dedup.py) emit PAIRS, but what
+a training-data pipeline keeps is one canonical document per GROUP, and
+groups are the transitive closure of the pair relation (A~B, B~C puts
+A,C in one group even when A~C was never emitted).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — the
+standard shuffle-bounded CC for exactly this setting:
+
+- large-star(u): connect every strictly-larger neighbor of u to
+  m(u) = min(neighborhood(u) + {u});
+- small-star(u): connect every strictly-smaller neighbor, and u
+  itself, to the same m(u).
+
+Both steps are a symmetrize + groupBy-min + equi-join — pure DataFrame
+ops, partitioned by node id, no driver-side graph state. The edge set
+converges to a star forest (every node points at its component
+minimum) in O(log^2 n) rounds; real near-dup graphs (dense clusters,
+tiny diameter) converge in 2-3. Per-round lineage is truncated with
+localCheckpoint so the plan does not grow with the iteration count —
+at 100 TB substitute a reliable checkpoint dir.
+
+Convergence is detected from the round's aggregate signature
+(edge count + commutative hash-sum), computed on the SAME action that
+materializes the round — one job per round, no extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected edge, self-loops dropped."""
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+
+
+def _min_over_neighborhood(sym: DataFrame) -> DataFrame:
+    """m(u) = min over the closed neighborhood (neighbors + u itself)."""
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = _symmetrize(edges)
+    m = _min_over_neighborhood(sym)
+    # (v, m(u)) for every neighbor v > u: larger nodes re-attach to the
+    # locally-known minimum. Canonical direction (first > second) holds
+    # because v > u >= m(u).
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    sym = _symmetrize(edges)
+    lower = sym.filter(F.col("v") < F.col("u"))
+    m = (
+        lower.groupBy("u")
+        .agg(F.min("v").alias("m"))  # strictly-smaller neighbors, so m < u
+    )
+    with_m = lower.join(m, "u")
+    # u itself and each smaller neighbor attach to m; (u, m) keeps the
+    # canonical direction, neighbor edges (v, m) need v != m only.
+    self_edges = with_m.select("u", F.col("m").alias("v")).distinct()
+    nbr_edges = (
+        with_m.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return self_edges.union(nbr_edges).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple:
+    """(count, commutative hash-sum) — order-insensitive edge-set id,
+    computed in the single action that also materializes the round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # commutative + ANSI-overflow-free (sum of hashes can overflow
+        # long); edges are distinct so no pair cancels its twin
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = the minimum node id reachable through the pair graph.
+
+    ``pairs`` is any near-dup pair frame (undirected; duplicates and
+    orientation don't matter). Nodes with no pair are absent — callers
+    keep singletons with a left join + coalesce(component, id).
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # Fixpoint is a star forest: every non-root points straight at its
+    # component minimum; roots are the minima themselves.
+    non_roots = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return non_roots.union(roots).distinct()
+
+
+def cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Every row of ``df`` labeled with its near-dup cluster id
+    (cluster = min member id; singletons are their own cluster) plus
+    ``is_canonical`` — the keep-one-per-group selector a dedup
+    pipeline actually consumes. One broadcast-sized join against the
+    CC output (components are pair-graph-sized, << corpus-sized)."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    out = (
+        df.join(
+            F.broadcast(comp.withColumnRenamed("node", "__node")),
+            df[id_col] == F.col("__node"),
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), df[id_col]).cast("long")
+        )
+        .drop("__node", "component")
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean")
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcpdatapipelines_spark import serving
@@ -62,3 +63,47 @@ def test_web_apps_import_gated(spark):
     for factory in (serving.make_flask_app, serving.make_fastapi_app):
         app = factory(n, "n_name", {"n_regionkey": 0})
         assert app is None or app is not None  # no exception is the contract
+
+
+def test_flask_app_end_to_end(spark):
+    """Drive the Flask serving app over real request/response cycles
+    (reference Flask_app/main.py:14-47): /hello smoke endpoint, a hit
+    with case-insensitive key matching, and the missing-key contract
+    (zero-filled defaults + echoed key, HTTP 200 — never an error)."""
+    flask = pytest.importorskip("flask")
+    n = read_table(spark, SF_SMOKE, "nation")
+    app = serving.make_flask_app(n, "n_name", {"n_regionkey": 0, "n_nationkey": -1})
+    assert app is not None
+    client = app.test_client()
+
+    r = client.get("/hello")
+    assert r.status_code == 200
+    assert r.data == b"Hello World!"  # reference Flask_app/main.py:10-12
+
+    first = n.first()
+    hit = client.get(f"/lookup/{first['n_name'].upper()}")
+    assert hit.status_code == 200
+    body = hit.get_json()
+    assert body["n_name"] == first["n_name"]
+    assert body["n_nationkey"] == first["n_nationkey"]
+
+    miss = client.get("/lookup/atlantis")
+    assert miss.status_code == 200  # missing key is NOT an error
+    assert miss.get_json() == {
+        "n_regionkey": 0,
+        "n_nationkey": -1,
+        "n_name": "atlantis",
+    }
+
+
+def test_fastapi_app_end_to_end(spark):
+    """Same contract over FastAPI (reference Fast_API/main.py:19-44);
+    skip-gated — fastapi/starlette are absent from this image."""
+    pytest.importorskip("fastapi")
+    starlette_tc = pytest.importorskip("starlette.testclient")
+    n = read_table(spark, SF_SMOKE, "nation")
+    app = serving.make_fastapi_app(n, "n_name", {"n_regionkey": 0, "n_nationkey": -1})
+    client = starlette_tc.TestClient(app)
+    assert client.get("/hello").json() == {"msg": "Hello World!"}
+    miss = client.get("/lookup/atlantis").json()
+    assert miss == {"n_regionkey": 0, "n_nationkey": -1, "n_name": "atlantis"}

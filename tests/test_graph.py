@@ -1,0 +1,107 @@
+"""Connected-components clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators import graph as G
+from tests.conftest import SF_SMOKE
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_1 LONG, id_2 LONG")
+    return {
+        (r["node"], r["component"])
+        for r in G.connected_components(pairs).collect()
+    }
+
+
+def test_cc_single_chain(spark):
+    # transitive closure: 1-2, 2-3, 3-4 is ONE component rooted at 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_cc_two_components_any_orientation(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (5, 6), (7, 6), (2, 2)])
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5), (7, 5)}
+
+
+def test_cc_long_path_exceeds_round_count(spark):
+    # a 64-node path needs label propagation across 63 hops — far more
+    # than the handful of star rounds, which must still converge
+    # (log^2 n rounds, not diameter rounds)
+    n = 64
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_cc_brute_force_parity_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    # brute-force union-find oracle
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        (v, find(v)) for v in nodes if any(v in e for e in edges)
+    }
+    assert _cc(spark, edges) == want
+
+
+def test_cluster_assignments_singletons_and_canonicals(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_1 LONG, id_2 LONG")
+    out = G.cluster_assignments(df, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (1, False),
+        4: (4, True),
+        5: (1, False),
+    }
+    # exactly one canonical per cluster
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_cluster)
+
+
+def test_cc_fixture_documents_clusters(spark):
+    """End-to-end over the documents fixture: clusters from jaccard
+    pairs must be consistent with the pair set (every pair inside one
+    cluster) and reflexively complete (every doc labeled)."""
+    from gcpdatapipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    out = G.cluster_assignments(docs, pairs, "doc_id")
+    assert out.count() == docs.count()
+    lbl = out.select("doc_id", "cluster_id")
+    both = (
+        pairs.join(lbl.withColumnRenamed("doc_id", "id_1"), "id_1")
+        .withColumnRenamed("cluster_id", "c1")
+        .join(lbl.withColumnRenamed("doc_id", "id_2"), "id_2")
+        .withColumnRenamed("cluster_id", "c2")
+    )
+    assert both.filter(F.col("c1") != F.col("c2")).count() == 0

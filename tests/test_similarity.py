@@ -238,3 +238,53 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.2, f"PQ recall@10 {recall:.2f} below floor"
+
+
+def test_srp_signatures_shape_and_determinism(spark):
+    vecs = _clustered_vectors(spark)
+    s1 = S.srp_signatures(vecs, nbits=16, bands=4, seed=7)
+    assert s1.columns == ["vec_id", "band_0", "band_1", "band_2", "band_3"]
+    rows = {r["vec_id"]: tuple(r)[1:] for r in s1.collect()}
+    rows2 = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in S.srp_signatures(vecs, nbits=16, bands=4, seed=7).collect()
+    }
+    assert rows == rows2  # seeded hyperplanes -> reproducible plans
+    # 4 bits per band
+    assert all(0 <= b <= 15 for sig in rows.values() for b in sig)
+
+
+def test_srp_rejects_uneven_bands(spark):
+    vecs = _clustered_vectors(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.srp_signatures(vecs, nbits=10, bands=4)
+
+
+def test_srp_lsh_pairs_subset_and_recall(spark):
+    """Verified SRP candidates must be a SUBSET of the exact pair set
+    (precision 1.0 by construction) with near-total recall at a
+    near-dup threshold on clustered data."""
+    vecs = _clustered_vectors(spark)
+    exact = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    got = {
+        (r["id_1"], r["id_2"]): r["sim"]
+        for r in S.srp_lsh_pairs(vecs, threshold=0.95, nbits=32, bands=8, seed=42).collect()
+    }
+    assert set(got) <= set(exact)
+    assert len(got) >= 0.9 * len(exact) and exact
+    # verified sims are the SAME exact scorer -> values match exactly
+    assert all(exact[k] == v for k, v in got.items())
+
+
+def test_srp_max_bucket_caps_degenerate_bands(spark):
+    """With a tiny cap every bucket (three 40-member clusters sharing
+    band keys) trips the guardrail and the candidate set empties —
+    the cap is a real cost ceiling, not advisory."""
+    vecs = _clustered_vectors(spark)
+    got = S.srp_lsh_pairs(vecs, threshold=0.95, max_bucket=2).count()
+    assert got == 0
