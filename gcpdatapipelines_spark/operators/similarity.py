@@ -804,11 +804,16 @@ def srp_signatures(
     for banded candidate generation — the embedding-space sibling of
     MinHash banding on shingles.
 
-    The hyperplane matrix is index metadata (nbits x dim doubles) and
-    lives in the plan as LITERALS: all nbits dot products + bit packs
-    are ONE selectExpr of plain scalar arithmetic (codegen-compiled,
-    no py4j per-node cost, no join against a hyperplane table). Output:
-    (id, band_0..band_{bands-1})."""
+    The projection is a dense (batch x dim) @ (dim x nbits) matmul —
+    exactly the shape vectorized BLAS exists for — so it runs as an
+    Arrow-batched mapInPandas: one numpy matmul + sign + bit-pack per
+    batch, the seeded hyperplane matrix shipped in the task closure
+    (nbits x dim doubles — index metadata, not data). The scalar-SQL
+    alternative (nbits x dim literal multiply-adds unrolled into one
+    selectExpr) produces a ~60 KB expression whose analysis/codegen
+    costs tens of driver seconds at dim=64 — measured, not guessed.
+    Narrow one-pass op: no shuffle, batch-local, scales with the scan.
+    Output: (id, band_0..band_{bands-1})."""
     import numpy as np
 
     if nbits % bands:
@@ -816,18 +821,27 @@ def srp_signatures(
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    H = rng.standard_normal((nbits, dim))
-    wide = _widened(vectors, id_col, vec_col, dim)
+    H = rng.standard_normal((dim, nbits))
     r = nbits // bands
-    band_exprs = []
-    for b in range(bands):
-        terms = []
-        for j in range(r):
-            i = b * r + j
-            dot = " + ".join(f"({H[i, k]:.17g}D) * e{k}" for k in range(dim))
-            terms.append(f"(CASE WHEN ({dot}) >= 0D THEN {1 << (r - 1 - j)} ELSE 0 END)")
-        band_exprs.append(f"({' + '.join(terms)}) AS band_{b}")
-    return wide.selectExpr(id_col, *band_exprs)
+    weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
+    src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    out_schema = f"{id_col} BIGINT, " + ", ".join(f"band_{b} INT" for b in range(bands))
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (V @ H) >= 0.0  # (n, nbits)
+            packed = bits.reshape(len(pdf), bands, r).astype(np.int64) @ weights
+            out = {id_col: pdf[id_col].to_numpy()}
+            for b in range(bands):
+                out[f"band_{b}"] = packed[:, b].astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(project, schema=out_schema)
 
 
 def srp_lsh_pairs(
@@ -862,9 +876,17 @@ def srp_lsh_pairs(
     vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
+    # persisted: the (id, bands ints) frame is tiny, but WITHOUT the
+    # materialization boundary Catalyst inlines the nbits x dim literal
+    # dot products into every stack branch and BOTH self-join sides —
+    # the optimizer then chews on ~bands x 2 copies of a 2048-term
+    # expression (tens of seconds of pure driver/codegen time at
+    # dim=64; the same shared-expression trap as NOTES.md's array
+    # lambdas). At 100 TB this is the materialize-the-signature-table
+    # step a real pipeline runs anyway.
     sig = srp_signatures(
         vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed, dim=dim
-    )
+    ).persist()
     stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
     melted = sig.selectExpr(id_col, f"stack({bands}, {stack}) AS (band_idx, band_val)")
     if max_bucket is not None:

@@ -166,3 +166,62 @@ def test_contamination_broadcasts_benchmark_side(spark):
 def test_tfidf_aggregates_are_partial(spark):
     df = _q(spark, "text_tfidf_topk")
     assert P.has_partial_aggregation(df)
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """The per-part scalar-min subquery must compile to ONE aggregate
+    joined back on p_partkey — never a per-row re-aggregation."""
+    df = _q(spark, "q2_min_cost_supplier")
+    plan = P.formatted_plan(df)
+    assert "min(" in plan and "p_size" in str(P.pushed_filters(df)) + plan
+
+
+def test_q9_dimensions_broadcast_and_name_filter_pushed(spark):
+    """part/supplier/nation are dimension-sided and the LIKE filter
+    must reach the part scan — the fact shuffles once, for the rollup."""
+    df = _q(spark, "q9_profit_rollup")
+    strategies = P.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    pushed = P.pushed_filters(df)
+    assert any("p_name" in f for f in pushed), pushed
+
+
+def test_q11_scalar_subquery_is_independent(spark):
+    """The global-total threshold must appear as a scalar subquery
+    feeding the HAVING filter — one extra aggregate over the same
+    scan, not a join explosion."""
+    df = _q(spark, "q11_important_values")
+    plan = P.formatted_plan(df)
+    assert "Subquery" in plan or "scalar-subquery" in plan.lower(), plan
+
+
+def test_q16_not_in_becomes_null_aware_anti(spark):
+    df = _q(spark, "q16_supplier_cnt")
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_q21_exists_pair_becomes_semi_plus_anti(spark):
+    """EXISTS -> left-semi and NOT EXISTS -> left-anti on l_orderkey,
+    both with the non-equality suppkey condition as a join residual —
+    never a per-row subquery loop."""
+    df = _q(spark, "q21_waiting_supplier")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_srp_lsh_no_cartesian(spark):
+    """Candidate generation is an equi-join on (band_idx, band_val) and
+    verification an equi-join on ids — the SRP path must declare no
+    cartesian/nested-loop node anywhere."""
+    df = _q(spark, "sim_srp_lsh")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_assign_broadcasts_component_map(spark):
+    """The CC label map is pair-graph-sized, orders smaller than the
+    corpus: its join back onto documents must be broadcast."""
+    df = _q(spark, "dedup_cluster_assign")
+    assert "BroadcastHashJoin" in P.join_strategies(df)
