@@ -59,6 +59,22 @@ def _decimal_revenue():
     return F.round(F.sum(rev), 2).cast("double")
 
 
+def _decimal_sum(col: str, ndigits: int = 2):
+    """Exact decimal sum of a 2-dp money column, rounded and cast back
+    to double (same rationale as _decimal_revenue)."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,2)")), ndigits).cast("double")
+
+
+def _decimal_avg(col: str, ndigits: int):
+    """Mean of a 2-dp money column with an exact decimal SUM, then one
+    deterministic double division (q17 pattern): sum-of-doubles
+    reassociation is the only engine-divergent step in avg(), so doing
+    the sum in decimal makes the mean bit-identical across engines."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double") / F.count(col), ndigits
+    )
+
+
 # Session-scoped shared prep: the dedup family all consumes the same
 # tokenize(->shingle) derivation of the documents corpus; at 100 TB
 # you materialize that ONCE and run every detector over it rather than
@@ -106,7 +122,7 @@ def _doc_shingles_cached(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFr
     """
     SELECT n_name,
            count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            round(avg(l_quantity), 4) AS avg_qty
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -132,7 +148,7 @@ def flagship_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _decimal_revenue().alias("revenue"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
@@ -143,12 +159,12 @@ def flagship_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sess AS (
         SELECT user_id,
-               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_s
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         FROM events GROUP BY user_id
     )
     SELECT n_name,
            count(*) AS n_users,
-           round(avg(dur_s), 4) AS avg_duration_s
+           round(sum(dur_us) / 1000000.0 / count(dur_us), 4) AS avg_duration_s
     FROM sess
     JOIN customer ON user_id = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -162,15 +178,20 @@ def visit_duration_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # Durations stay in exact integer microseconds until the final
+    # division: the long sum is associative, so the mean is
+    # bit-identical across engines (avg-of-doubles is not — NOTES.md).
     sess = ev.groupBy("user_id").agg(
-        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)).alias("dur_s")
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
     )
     enriched = J.broadcast_enrich(
         sess, c.select("c_custkey", "c_nationkey"), sess.user_id == c.c_custkey
     ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
     return enriched.groupBy("n_name").agg(
         F.count("*").alias("n_users"),
-        F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+        F.round(F.sum("dur_us") / F.lit(1000000.0) / F.count("dur_us"), 4).alias(
+            "avg_duration_s"
+        ),
     )
 
 
@@ -179,11 +200,11 @@ def visit_duration_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -196,12 +217,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pushed to the parquet scan."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01 00:00:00")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
+        # l_quantity is integral-valued: double sums are exact below
+        # 2^53, no decimal detour needed for it (or for avg_qty).
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        _decimal_sum("l_extendedprice").alias("sum_base_price"),
+        _decimal_revenue().alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        _decimal_avg("l_extendedprice", 4).alias("avg_price"),
+        _decimal_avg("l_discount", 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
