@@ -321,6 +321,69 @@ def contamination_overlap(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, most-frequent-unigram fraction, and
+    most-frequent-bigram fraction, plus a composite keep-flag
+    (thresholds are demo values). Repetition filters are the standard
+    complement to the density heuristics in :func:`quality_score`.
+
+    Scale shape: ONE corpus scan, ONE shuffle. Tokens are posexploded
+    (never a computed array fed to per-element lambdas — that
+    re-inlines the split quadratically, NOTES.md), repartitioned by
+    doc once, bigrams derived with a per-doc ``lead`` window, and the
+    two term spaces unpivoted (``stack``) into a single (doc, kind,
+    term) frame — hash partitioning on doc_id satisfies both
+    downstream groupBys, so neither adds an exchange, and there is no
+    branch that would rescan the corpus (a naive two-branch
+    unigram/bigram plan scans it twice: column pruning makes the
+    branches' exchanges non-identical, defeating ReusedExchange).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
+    ).repartition(F.col(id_col))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    terms = (
+        words.withColumn("__nxt", F.lead("word").over(w))
+        .select(
+            id_col,
+            F.expr(
+                "stack(2, 'u', word, 'b',"
+                " CASE WHEN __nxt IS NULL THEN NULL"
+                " ELSE concat(word, ' ', __nxt) END) AS (kind, term)"
+            ),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    tcnt = terms.groupBy(id_col, "kind", "term").agg(F.count("*").alias("c"))
+    is_u = F.col("kind") == "u"
+    stats = tcnt.groupBy(id_col).agg(
+        F.sum(F.when(is_u, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_u, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_u, F.col("c"))).alias("top_cnt"),
+        F.coalesce(F.max(F.when(~is_u, F.col("c"))), F.lit(0)).alias("top2_cnt"),
+    )
+    out = stats.select(
+        id_col,
+        F.col("n_words"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("top2_cnt") / F.col("n_words"), 6).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("dup_word_frac") <= 0.7)
+            & (F.col("top_word_frac") <= 0.2)
+            & (F.col("top_bigram_frac") <= 0.2)
+        ).cast("int"),
+    )
+
+
 def lang_scores(
     df: DataFrame,
     id_col: str,

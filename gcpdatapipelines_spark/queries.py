@@ -1592,6 +1592,53 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    ucnt AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS word FROM base)
+        GROUP BY doc_id, word
+    ),
+    ustat AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS top_cnt
+        FROM ucnt GROUP BY doc_id
+    ),
+    bcnt AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1]
+                             for i in generate_series(1, len(ws)-1)]) AS bg
+              FROM base)
+        GROUP BY doc_id, bg
+    ),
+    bstat AS (SELECT doc_id, max(c) AS top2_cnt FROM bcnt GROUP BY doc_id),
+    fr AS (
+        SELECT u.doc_id, u.n_words,
+               round(1.0 - u.n_distinct * 1.0 / u.n_words, 6) AS dup_word_frac,
+               round(u.top_cnt * 1.0 / u.n_words, 6) AS top_word_frac,
+               round(COALESCE(b.top2_cnt, 0) * 1.0 / u.n_words, 6) AS top_bigram_frac
+        FROM ustat u LEFT JOIN bstat b USING (doc_id)
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+           CAST(dup_word_frac <= 0.7
+                AND top_word_frac <= 0.2
+                AND top_bigram_frac <= 0.2 AS INT) AS keep
+    FROM fr
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word / top-unigram /
+    top-bigram fractions + keep flag (operators/text.repetition_stats)."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "text_langid",
     """
     WITH scored AS (

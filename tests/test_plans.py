@@ -225,3 +225,15 @@ def test_cluster_assign_broadcasts_component_map(spark):
     corpus: its join back onto documents must be broadcast."""
     df = _q(spark, "dedup_cluster_assign")
     assert "BroadcastHashJoin" in P.join_strategies(df)
+
+
+def test_text_repetition_single_scan_single_exchange(spark):
+    """Unigram+bigram repetition stats must stay ONE corpus scan and
+    ONE shuffle: the stack-unpivot keeps both term spaces in a single
+    lineage, and hash partitioning on doc_id satisfies every
+    downstream groupBy (a two-branch plan would rescan the corpus)."""
+    df = _q(spark, "text_repetition")
+    plan = P.formatted_plan(df)
+    assert len(P.scan_columns(df)) == 1, plan
+    assert P.num_exchanges(df) == 1, plan
+    assert len(P.join_strategies(df)) == 0, plan

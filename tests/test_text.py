@@ -209,3 +209,30 @@ def test_contamination_fractions(spark):
     assert out[11] == 1.0
     assert out[12] == 0.0
     assert 10 not in out  # benchmark side excluded from candidates
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a": 5 words, 2 distinct, top word "a" x3,
+    # bigrams: "a b","b a","a b","b a" -> top bigram x2
+    out = T.repetition_stats(_one(spark, "a b a b a"), "doc_id", "text").collect()[0]
+    assert out["n_words"] == 5
+    assert out["dup_word_frac"] == 0.6
+    assert out["top_word_frac"] == 0.6
+    assert out["top_bigram_frac"] == 0.4
+    assert out["keep"] == 0
+
+
+def test_repetition_stats_unique_doc_keeps(spark):
+    out = T.repetition_stats(
+        _one(spark, "one two three four five six seven eight"), "doc_id", "text"
+    ).collect()[0]
+    assert out["dup_word_frac"] == 0.0
+    assert out["top_word_frac"] == 0.125
+    assert out["keep"] == 1
+
+
+def test_repetition_stats_single_word(spark):
+    # no bigrams at all: fraction coalesces to 0, doc still present
+    out = T.repetition_stats(_one(spark, "solo"), "doc_id", "text").collect()[0]
+    assert out["n_words"] == 1
+    assert out["top_bigram_frac"] == 0.0
