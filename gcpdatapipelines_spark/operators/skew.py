@@ -66,6 +66,65 @@ def salted_join(
     return out.drop("__salt")
 
 
+def quantile_repartition(
+    df: DataFrame,
+    col: str,
+    num_partitions: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Equal-frequency repartition on a skewed numeric column: one
+    approxQuantile pass computes ``num_partitions`` equal-count bucket
+    boundaries (bounded driver-side metadata — NOTES.md), rows are
+    assigned a bucket with a literal comparison chain, and a value so
+    hot it spans multiple quantile buckets is SCATTERED uniformly
+    across all the buckets it spans.
+
+    That last part is the point: ``repartitionByRange`` must keep
+    equal keys in one partition (its contract is a total sort order),
+    so a value holding 30% of a 100 TB table becomes one 30 TB
+    partition no matter how many partitions you ask for. Here the
+    output is not sorted — it is sized: every partition carries ~1/Nth
+    of the rows, which is what parquet file sizing and downstream
+    per-partition memory actually need.
+
+    NULLs sort below every boundary (bucket 0). Result content is
+    identical to the input; only the layout changes.
+    """
+    if num_partitions < 2:
+        return df.coalesce(1)
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.stat.approxQuantile(col, qs, rel_err)
+    from collections import Counter
+
+    mult = Counter(bounds)
+    uniq = sorted(mult)
+    if not uniq:  # all-NULL or empty input: nothing to range over
+        return df.repartition(num_partitions)
+    x = F.col(col)
+    # buckets strictly below x: each distinct boundary contributes its
+    # multiplicity (a boundary repeated m times means some value fills
+    # m whole buckets)
+    base = None
+    for b in uniq:
+        t = (x > F.lit(float(b))).cast("int") * F.lit(mult[b])
+        base = t if base is None else base + t
+    # how many buckets does x itself span? >1 only when x equals a
+    # repeated boundary — the heavy-value case we scatter over
+    width = F.lit(1)
+    for b, m in mult.items():
+        if m > 1:
+            width = F.when(x == F.lit(float(b)), F.lit(m)).otherwise(width)
+    scatter = F.pmod(
+        F.xxhash64(F.spark_partition_id() + F.monotonically_increasing_id()), width
+    )
+    bucket = F.coalesce(base + scatter, F.lit(0))
+    return (
+        df.withColumn("__qb", bucket)
+        .repartitionByRange(num_partitions, F.col("__qb"))
+        .drop("__qb")
+    )
+
+
 def salted_count_per_key(
     df: DataFrame, key: str, salt_buckets: int = 8, alias: str = "cnt"
 ) -> DataFrame:

@@ -306,3 +306,47 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quantile_repartition_splits_heavy_value(spark):
+    """A single value holding ~60% of the rows defeats
+    repartitionByRange (equal keys must share a partition — one
+    partition ends up with 60% of the data); quantile_repartition
+    scatters the heavy value across the quantile buckets it spans, so
+    every partition carries ~1/Nth of the rows."""
+    heavy = spark.range(6000).selectExpr("0.5D AS v")
+    tail = spark.range(4000).selectExpr("1.0D + id AS v")
+    df = heavy.union(tail)
+
+    naive = (
+        df.repartitionByRange(8, F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count()
+    )
+    naive_max = max(r["count"] for r in naive.collect())
+    assert naive_max >= 6000  # the heavy key is one straggler partition
+
+    out = skew.quantile_repartition(df, "v", 8)
+    parts = (
+        out.withColumn("pid", F.spark_partition_id()).groupBy("pid").count()
+    )
+    sizes = [r["count"] for r in parts.collect()]
+    assert sum(sizes) == 10000
+    assert max(sizes) < 3000, sizes  # heavy value split, no straggler
+
+
+def test_quantile_repartition_preserves_content(spark):
+    df = spark.range(1000).selectExpr("cast(id % 97 as double) AS v", "id")
+    out = skew.quantile_repartition(df, "v", 8)
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_quantile_repartition_nulls_and_degenerate(spark):
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id < 10 THEN NULL ELSE cast(id as double) END AS v", "id"
+    )
+    out = skew.quantile_repartition(df, "v", 4)
+    assert out.count() == 100
+    all_null = spark.range(50).selectExpr("cast(NULL as double) AS v", "id")
+    assert skew.quantile_repartition(all_null, "v", 4).count() == 50
