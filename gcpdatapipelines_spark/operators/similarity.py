@@ -738,6 +738,147 @@ def pq_topk(
     )
 
 
+def pq_decode(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    out_col: str = "recon",
+) -> DataFrame:
+    """Reconstruct each PQ-coded vector: per subspace, the centroid the
+    code points at, concatenated in subspace order. (id, recon
+    ARRAY<DOUBLE>). Inverse of pq_encode up to quantization error —
+    used by OPQ training and by anyone inspecting what the index
+    actually stores. One broadcast join + one per-id fold."""
+    rows = codes.select(id_col, F.posexplode(F.col("code")).alias("sub_id", "cent_id"))
+    joined = rows.join(F.broadcast(codebooks), ["sub_id", "cent_id"])
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub_id"), F.col("cent_vec")))
+                ),
+                lambda s: s.getField("cent_vec"),
+            )
+        ).alias(out_col)
+    )
+
+
+def rotate_vectors(
+    vectors: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a fixed D x D rotation matrix (driver-side index metadata,
+    like SRP's hyperplanes) to every vector: one Arrow-batched numpy
+    matmul per batch via mapInPandas — narrow, batch-local, no shuffle,
+    scales with the scan. Returns (id, vec_col ARRAY<DOUBLE>)."""
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+    src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    out_schema = f"{id_col} BIGINT, {vec_col} ARRAY<DOUBLE>"
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            rot = V @ R
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), vec_col: list(rot)})
+
+    return src.mapInPandas(project, schema=out_schema)
+
+
+def _cross_correlation(pairs: DataFrame, a_col: str, b_col: str, dim: int):
+    """C = Σ_i a_i b_iᵀ (D x D) over a joined (a, b) frame:
+    per-partition numpy partial sums via
+    mapInPandas, then the ≤ num-partitions partial matrices (D*D
+    doubles each — bounded index metadata, NOTES.md) are summed on the
+    driver. The data itself is never collected."""
+    import numpy as np
+
+    def part(batches):
+        import pandas as pd
+
+        acc = np.zeros((dim, dim))
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            acc += A.T @ B
+            seen = True
+        if seen:
+            yield pd.DataFrame({"c": [acc.ravel().tolist()]})
+
+    parts = pairs.select(a_col, b_col).mapInPandas(part, schema="c ARRAY<DOUBLE>")
+    C = np.zeros((dim, dim))
+    for r in parts.collect():
+        C += np.asarray(r["c"], dtype=np.float64).reshape(dim, dim)
+    return C
+
+
+def opq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    kmeans_iter: int = 10,
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013, OPQ_NP):
+    learn an orthogonal rotation R that aligns the data with PQ's
+    contiguous-subspace split before quantizing — correlated or
+    unbalanced dimensions are PQ's worst case, and a rotation is free
+    at query time (rotate the query once).
+
+    Alternating minimization: (1) fit PQ codebooks on X R, (2) encode +
+    decode to get the reconstruction X̂, (3) solve the orthogonal
+    Procrustes problem min_R ||X R - X̂||_F via SVD of Xᵀ X̂ (a D x D
+    driver-side solve — the distributed work is one cross-correlation
+    scan per iteration). Returns (R, codebooks) where codebooks are fit
+    on the final rotation; encode with
+    ``pq_encode(rotate_vectors(X, R), codebooks)`` and query with
+    ``pq_topk`` on queries rotated the same way.
+
+    Training cost is iters x (m KMeans fits + an encode/decode pass) —
+    a build step, too heavy for the bench catalog (like pq_build);
+    recall/MSE-tested in tests."""
+    import numpy as np
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    R = np.eye(dim)
+    src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    codebooks = None
+    for _ in range(max(1, iters)):
+        rot = rotate_vectors(src, R, id_col, vec_col)
+        codebooks = pq_build(
+            rot, id_col, vec_col, m=m, ksub=ksub, seed=seed, max_iter=kmeans_iter
+        )
+        recon = pq_decode(
+            pq_encode(rot, codebooks, id_col, vec_col), codebooks, id_col
+        )
+        pairs = src.join(recon, id_col)
+        C = _cross_correlation(pairs, vec_col, "recon", dim)
+        U, _, Vt = np.linalg.svd(C)
+        R = U @ Vt
+    # codebooks were fit on the PREVIOUS R; refit once on the final one
+    # so the returned pair is self-consistent
+    rot = rotate_vectors(src, R, id_col, vec_col)
+    codebooks = pq_build(
+        rot, id_col, vec_col, m=m, ksub=ksub, seed=seed, max_iter=kmeans_iter
+    )
+    return R, codebooks
+
+
 def ivf_topk(
     assignments: DataFrame,
     centroids: DataFrame,
