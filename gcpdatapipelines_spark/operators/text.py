@@ -285,6 +285,58 @@ def tfidf_top_terms(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus's own
+    unigram language model: score(d) = (1/|d|) Σ_t -ln p(t), with
+    p(t) = count(t) / total tokens. High-surprisal documents are
+    improbable under the corpus distribution — gibberish, boilerplate
+    markup, wrong-language shards — and low-surprisal ones are
+    near-pure stopword runs; both tails are standard pretraining
+    quality cuts (the cheap stand-in for a trained-LM perplexity
+    filter, cf. CCNet's fasttext+KenLM stage).
+
+    Scale shape: (doc, token) counts are one partial-agg shuffle; the
+    LM itself is a second partial agg over that frame keyed by token
+    (vocab-bounded, NOT corpus-bounded); the join back to tf is a
+    plain equi-join on token that AQE broadcasts whenever the vocab is
+    small enough. The corpus total is a one-row broadcast literal.
+    Nothing here is O(corpus²) and no Python touches the hot path.
+
+    Float parity: each term is rounded to 6 dp THEN summed as
+    DECIMAL(28,6) — exact and associative — so the per-doc mean is
+    bit-identical across engines regardless of partial-agg order
+    (NOTES.md money-sum rule, applied to ln terms).
+
+    Returns (id, n_tok, surprisal)."""
+    from .dedup import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = lm.select(F.sum("cnt").alias("total"))
+    term = (
+        tf.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("total") * F.lit(1.0) / F.col("cnt")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("term"),
+        )
+    )
+    return term.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tok"),
+        F.round(F.sum("term").cast("double") / F.sum("tf"), 6).alias("surprisal"),
+    )
+
+
 def contamination_overlap(
     shingles: DataFrame,
     id_col: str,

@@ -1814,6 +1814,39 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), lm AS (
+        SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm
+    ), term AS (
+        SELECT doc_id, tf,
+               CAST(round(tf * ln(total * 1.0 / cnt), 6) AS DECIMAL(28,6)) AS term
+        FROM tf JOIN lm USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+           round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS surprisal
+    FROM term GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM surprisal per document — the cheap
+    perplexity-style quality filter. Terms rounded then decimal-summed
+    so partial-agg order can't move the mean (NOTES.md float rules)."""
+    from .operators.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal plumbing (fabricated binary assets)
 # ---------------------------------------------------------------------------

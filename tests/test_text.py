@@ -236,3 +236,40 @@ def test_repetition_stats_single_word(spark):
     out = T.repetition_stats(_one(spark, "solo"), "doc_id", "text").collect()[0]
     assert out["n_words"] == 1
     assert out["top_bigram_frac"] == 0.0
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id BIGINT, text STRING"
+    )
+    out = {
+        r["doc_id"]: r for r in T.unigram_surprisal(docs, "doc_id", "text").collect()
+    }
+    ln = math.log
+    s_a = round(ln(5 / 3), 6)
+    s_b = round(ln(5 / 1), 6)
+    # doc 1: (2*s_a + s_b) / 3, each term rounded then decimal-summed
+    exp1 = round((round(2 * s_a, 6) + round(s_b, 6)) / 3, 6)
+    exp2 = round((round(s_a, 6) + round(s_b, 6)) / 2, 6)
+    assert out[1]["n_tok"] == 3
+    assert out[2]["n_tok"] == 2
+    assert abs(out[1]["surprisal"] - exp1) < 1e-9
+    assert abs(out[2]["surprisal"] - exp2) < 1e-9
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "the quetzalcoatl zyzzyva obelisk"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["surprisal"]
+        for r in T.unigram_surprisal(docs, "doc_id", "text").collect()
+    }
+    assert out[2] > out[1]
