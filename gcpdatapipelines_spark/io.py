@@ -150,7 +150,17 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S2: table scan (BigQuery table -> warehouse parquet)."""
+    """S2: table scan (BigQuery table -> warehouse parquet).
+
+    Timestamp normalization: fixture timestamps have shipped both as
+    TIMESTAMP(NANOS) (older data, int64 under nanosAsLong) and as
+    TIMESTAMP(MICROS) without a tz marker (current data, which Spark 4
+    reads as TIMESTAMP_NTZ under inferTimestampNTZ). Both are lifted to
+    the session TimestampType here so every downstream operator sees ONE
+    type — NTZ is not castable to double and is rejected by
+    ``unix_micros``. The session tz is UTC (session.py), so the
+    NTZ -> LTZ cast is value-identity and matches DuckDB's naive read.
+    """
     if name in _NANOS_TS_COLS:
         # runtime-set so sessions built without session.get_spark (the
         # driver creates its own) can still scan TIMESTAMP(NANOS)
@@ -160,6 +170,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col] if col in df.columns else None
         if field is not None and field.dataType.simpleString() == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

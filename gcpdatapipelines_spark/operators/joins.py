@@ -137,8 +137,11 @@ def range_join_bucketed(
     row lands in O(1) buckets."""
 
     def bucket_of(col):
-        # timestamp -> epoch seconds -> bucket ordinal
-        return F.floor(col.cast("double") / bucket_seconds).cast("long")
+        # timestamp -> epoch seconds -> bucket ordinal; the intermediate
+        # cast("timestamp") lifts TIMESTAMP_NTZ (how Spark 4 reads
+        # parquet TIMESTAMP(MICROS) without a tz marker) to the session
+        # timestamp type, which *is* castable to double — NTZ is not
+        return F.floor(col.cast("timestamp").cast("double") / bucket_seconds).cast("long")
 
     start = F.col(left_ts) - F.expr(f"INTERVAL {lower_bound}")
     end = (

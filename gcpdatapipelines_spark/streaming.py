@@ -28,25 +28,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # events.parquet stores ts as TIMESTAMP(NANOS); the session reads nanos
 # as int64 (see session.py) and we convert — identical to io.read_table.
 EVENTS_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (file source; schema must be
-    declared for streaming reads)."""
-    # runtime-set for driver-created sessions (see io.read_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    declared for streaming reads). The fixture stores ts as
+    TIMESTAMP(MICROS); declaring ts TIMESTAMP reads it straight into the
+    session timestamp type (UTC), matching io.read_table's batch view."""
     # the streaming file source requires a directory; point it at the
     # fixture dir and glob-filter to the events file
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_DDL)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -82,12 +82,7 @@ def test_dedup_stream_removes_duplicates(spark, tmp_path):
     # two copies of the same events file = every event duplicated
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events.parquet")
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "events2.parquet")
-    raw = (
-        spark.readStream.schema(S.EVENTS_DDL)
-        .format("parquet")
-        .load(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = spark.readStream.schema(S.EVENTS_DDL).format("parquet").load(str(src))
     deduped = S.run_available_now(
         S.dedup_stream(raw), "t_dedup", output_mode="append"
     )
