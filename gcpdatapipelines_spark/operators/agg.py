@@ -44,3 +44,58 @@ def collect_all(df: DataFrame, value: str, alias: str = "all_vals") -> DataFrame
 def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
     """A7: whole-row Distinct (reference schema_generator.ipynb cell 23)."""
     return (df.select(*cols) if cols else df).distinct()
+
+
+def zscore_per_key(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    out_col: str = "zscore",
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-group z-score of a fixed-point value column, computed from
+    EXACT decimal sums so the result is bit-identical across engines.
+
+    stddev()/avg() over doubles reassociate differently per engine and
+    partitioning; instead the group moments are decimal sums (sum(x),
+    sum(x*x) — associative, exact for 2-dp money columns), and the
+    mean/variance/z arithmetic is a fixed scalar double expression:
+    z = (x - s1/n) / sqrt((s2 - s1*s1/n) / (n - 1)).
+
+    Window-function shape: ONE shuffle on the group key; the moments
+    are window aggregates, so no second join to attach them back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    xd = F.col(value_col).cast(decimal_type)
+    s1 = F.sum(xd).over(w).cast("double")
+    s2 = F.sum(xd * xd).over(w).cast("double")
+    n = F.count(value_col).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return df.withColumn(out_col, (F.col(value_col) - mean) / F.sqrt(var))
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram: count per bucket over [lo, hi), values
+    outside clamped into the edge buckets. The bucket index is a pure
+    scalar expression (floor of one double division — deterministic,
+    engine-identical), so the whole thing is a single partial+final
+    hash aggregate over at most ``nbins`` keys: the cheapest possible
+    profile scan, and the shape to prefer over exact percentiles when
+    a distribution sketch is all that's needed."""
+    width = (hi - lo) / nbins
+    idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1)).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))
+    )

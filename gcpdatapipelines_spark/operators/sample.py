@@ -69,3 +69,38 @@ def train_test_split(
         "split",
         F.when(hash_bucket(F.col(key_col), buckets) < cutoff, "test").otherwise("train"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, buckets: int = BUCKETS
+) -> DataFrame:
+    """Per-row weighted inclusion: keep a row iff its hash-uniform draw
+    in [0, 1) falls below ``weight`` (a Column in [0, 1]; clamp before
+    passing). The quality/importance-weighted corpus downsampler —
+    higher-scored documents survive proportionally more often, and the
+    decision stays deterministic per key (same row, same verdict, every
+    run and engine). Same narrow no-shuffle shape as
+    ``deterministic_sample``; that function is the constant-weight
+    special case."""
+    u = hash_bucket(F.col(key_col), buckets).cast("double") / F.lit(float(buckets))
+    return df.filter(u < weight)
+
+
+def topk_per_stratum(
+    df: DataFrame, key_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-row sample per stratum: rank rows inside each
+    stratum by (md5(key), key) and keep the first k. The distributed
+    stand-in for per-group reservoir sampling — same k rows on every
+    run/engine, one shuffle on the stratum, per-partition sort only
+    (no global sort). The hash order makes the pick uniform-ish rather
+    than biased by storage order."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

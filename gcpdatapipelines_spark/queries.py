@@ -2639,6 +2639,287 @@ def pivot_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal tables: keep-latest compaction, SCD2 history, snapshot diff
+# (operators/history.py — the warehouse layer over append-only ingests
+# like reference csv_to_bq.py:38-49 once sources re-send rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: collapse each user's event stream to the single
+    latest row (row_number()=1 over one shuffle; event_id is the
+    deterministic tiebreak for equal timestamps)."""
+    from .operators.history import keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return keep_latest(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@register(
+    "scd2_event_history",
+    """
+    WITH one_per_ts AS (
+        SELECT user_id, ts, event_type
+        FROM (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    chg AS (
+        SELECT user_id, event_type, ts
+        FROM (
+            SELECT user_id, event_type, ts,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS prev
+            FROM one_per_ts
+        ) WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM chg
+    """,
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build: each user's event_type timeline becomes
+    versioned rows with [valid_from, valid_to) validity — consecutive
+    identical values collapse into one interval, the open interval is
+    flagged current. Same-ts duplicates are pre-compacted with
+    keep_latest so the lag/lead ordering is engine-deterministic."""
+    from .operators.history import keep_latest, scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    one_per_ts = keep_latest(ev, ["user_id", "ts"], "ts", "event_id")
+    return scd2_intervals(
+        one_per_ts.drop("event_id"), ["user_id"], "ts", ["event_type"]
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "diff_snapshots",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    n AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 >= 5 AND o_orderkey % 100 < 10
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM t WHERE o_orderkey % 100 >= 5
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM t WHERE o_orderkey % 100 < 5
+    )
+    SELECT o_orderkey, change_type FROM (
+        SELECT coalesce(t.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN t.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR t.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed' END AS change_type
+        FROM t FULL OUTER JOIN n ON t.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-over-load audit: diff two synthetic snapshots of orders
+    (5% of keys removed+re-added under new keys, 5% price-bumped) into
+    added/removed/changed rows — one shuffle join, no driver-side
+    comparison. The +1.0-not-*1.1 rule from merge_upsert applies."""
+    from .operators.history import snapshot_diff
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    bucket = F.col("o_orderkey") % 100
+    changed = t.filter(bucket >= 5).withColumn(
+        "o_totalprice",
+        F.when((bucket >= 5) & (bucket < 10), F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    readded = t.filter(bucket < 5).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    new = changed.unionByName(readded)
+    return snapshot_diff(t, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted / per-stratum deterministic sampling (sample.py extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted",
+    f"""
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE ({_BUCKET_SQL.format(key="c_custkey")}) / 10000.0 < c_acctbal / 10000.0
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted downsampling: each customer survives with
+    probability proportional to account balance (hash-uniform draw vs
+    a per-row weight — deterministic, no RNG, no shuffle). The
+    quality-score-weighted corpus sampler in miniature."""
+    from .operators.sample import weighted_sample
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    return weighted_sample(c, "c_custkey", F.col("c_acctbal") / F.lit(10000.0))
+
+
+@register(
+    "sample_topk_per_stratum",
+    """
+    SELECT c_mktsegment, c_custkey
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (the distributed
+    reservoir-sample stand-in): rank by md5(key) inside each segment,
+    keep the first 5. Same 5 rows every run and engine."""
+    from .operators.sample import topk_per_stratum
+
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    return topk_per_stratum(c, "c_custkey", "c_mktsegment", 5)
+
+
+# ---------------------------------------------------------------------------
+# Distribution stats: exact-decimal z-scores, fixed-width histograms,
+# quantile buckets (agg.py extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a13_zscore_outliers",
+    """
+    SELECT c_custkey, c_mktsegment, round(z, 4) AS zscore
+    FROM (
+        SELECT c_custkey, c_mktsegment,
+               (c_acctbal - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS z
+        FROM (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                            * CAST(c_acctbal AS DECIMAL(18,2)))
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS s2,
+                   CAST(count(c_acctbal)
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS n
+            FROM customer
+        )
+    ) WHERE abs(z) > 1.5
+    """,
+)
+def a13_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score outliers over exact decimal moments:
+    stddev()/avg() of doubles reassociate per engine, so the group
+    moments are associative decimal sums and the z arithmetic is one
+    fixed scalar expression — bit-identical across engines (NOTES.md
+    float-parity rules). One shuffle (window over the segment)."""
+    from .operators.agg import zscore_per_key
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    z = zscore_per_key(c, "c_acctbal", ["c_mktsegment"], out_col="z")
+    return z.filter(F.abs(F.col("z")) > 1.5).select(
+        "c_custkey", "c_mktsegment", F.round("z", 4).alias("zscore")
+    )
+
+
+@register(
+    "a14_histogram",
+    """
+    SELECT bucket, count(*) AS n,
+           round(0.0 + bucket * 5000.0, 6) AS lo_edge
+    FROM (
+        SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0),
+                                   0.0), 23.0) AS BIGINT) AS bucket
+        FROM lineitem
+    )
+    GROUP BY bucket
+    """,
+)
+def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (24 x 5000 buckets, edges clamped):
+    the bucket index is one deterministic double division, so the whole
+    profile is a single partial+final hash aggregate over <=24 keys —
+    the shape to prefer over exact percentiles for distribution
+    sketches at 100 TB."""
+    from .operators.agg import histogram_fixed_width
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_fixed_width(li, "l_extendedprice", 0.0, 120000.0, 24)
+
+
+@register(
+    "w8_ntile_quartiles",
+    """
+    SELECT c_mktsegment, quartile, count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def w8_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding per segment: ntile(4) over a totally-ordered
+    window (c_custkey tiebreak makes the banding engine-stable), then
+    per-band count/min/max — the balance-band profile as one window
+    pass + one aggregate on the same partitioning."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

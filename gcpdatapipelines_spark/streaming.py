@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the session reads nanos
-# as int64 (see session.py) and we convert — identical to io.read_table.
+# events.parquet stores ts as TIMESTAMP(MICROS); declaring TIMESTAMP in
+# the read schema yields the session timestamp type (UTC) — identical to
+# io.read_table's batch view.
 EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
@@ -426,3 +427,30 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def routed_write_stream(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    route_col: str = "lang",
+) -> None:
+    """Per-route streaming sink: writeStream partitioned BY the routing
+    column — each micro-batch appends its rows under
+    ``{out_path}/{route_col}=<value>/``, so downstream per-language
+    consumers (per-language dedup, per-language tokenizers) read ONLY
+    their partition via partition pruning. This is the streaming twin
+    of the multi-sink fan-out (K5): one query, N routes, no per-route
+    job; new route values appear as new directories with no schema or
+    query change. Exactly-once per file via the checkpoint + file-sink
+    manifest."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(route_col)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,115 @@
+"""Temporal-table operators: keep-latest, SCD2 intervals, snapshot
+diff — semantics on hand-built frames + scale-plan contracts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import plans as PL
+from gcpdatapipelines_spark.operators.history import (
+    keep_latest,
+    scd2_intervals,
+    snapshot_diff,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _log(spark):
+    # user 1: a -> a -> b (the repeat must collapse); user 2: single row
+    return spark.createDataFrame(
+        [
+            (1, _ts(0), "a", 10),
+            (1, _ts(5), "a", 11),
+            (1, _ts(9), "b", 12),
+            (2, _ts(3), "x", 13),
+        ],
+        "k BIGINT, ts TIMESTAMP, attr STRING, seq BIGINT",
+    )
+
+
+def test_keep_latest_picks_newest_row(spark):
+    out = {r["k"]: r["attr"] for r in keep_latest(_log(spark), ["k"], "ts", "seq").collect()}
+    assert out == {1: "b", 2: "x"}
+
+
+def test_keep_latest_tiebreak_on_equal_ts(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), "lo", 1), (1, _ts(0), "hi", 2)],
+        "k BIGINT, ts TIMESTAMP, attr STRING, seq BIGINT",
+    )
+    (row,) = keep_latest(df, ["k"], "ts", "seq").collect()
+    assert row["attr"] == "hi"  # larger tiebreak wins
+
+
+def test_scd2_collapses_and_builds_intervals(spark):
+    rows = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(_log(spark).drop("seq"), ["k"], "ts", ["attr"]).collect()
+    }
+    # user 1: 'a' valid [t0, t9), 'b' open; the t5 repeat of 'a' vanished
+    assert rows[(1, "a")] == (_ts(0), _ts(9), False)
+    assert rows[(1, "b")] == (_ts(9), None, True)
+    assert rows[(2, "x")] == (_ts(3), None, True)
+    assert len(rows) == 3
+
+
+def test_scd2_no_collapse_keeps_every_row(spark):
+    out = scd2_intervals(
+        _log(spark).drop("seq"), ["k"], "ts", ["attr"], collapse=False
+    ).collect()
+    assert len(out) == 4
+
+
+def test_scd2_null_attr_change_detected(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(1), None), (1, _ts(2), None), (1, _ts(3), "a")],
+        "k BIGINT, ts TIMESTAMP, attr STRING",
+    )
+    out = scd2_intervals(df, ["k"], "ts", ["attr"]).collect()
+    # a -> NULL -> a : three versions (NULL run collapses, NULL != 'a')
+    assert [r["attr"] for r in sorted(out, key=lambda r: r["valid_from"])] == [
+        "a",
+        None,
+        "a",
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes share one partitioning: exactly ONE exchange."""
+    df = scd2_intervals(_log(spark).drop("seq"), ["k"], "ts", ["attr"])
+    assert PL.num_exchanges(df) == 1
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k BIGINT, s STRING, v DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, "d", 4.0)], "k BIGINT, s STRING, v DOUBLE"
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # key 1 unchanged -> absent; 2 changed; 3 removed; 4 added
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_key_not_misclassified(spark):
+    """A NULL key present in both snapshots with equal payload is
+    unchanged — presence markers, not key nullability (ADVICE.md
+    merge.py pattern)."""
+    old = spark.createDataFrame([(None, "a", 1.0)], "k BIGINT, s STRING, v DOUBLE")
+    new = spark.createDataFrame([(None, "a", 1.0)], "k BIGINT, s STRING, v DOUBLE")
+    assert snapshot_diff(old, new, ["k"], ["s", "v"]).count() == 0
+
+
+def test_snapshot_diff_null_payload_change(spark):
+    old = spark.createDataFrame([(1, None, 1.0)], "k BIGINT, s STRING, v DOUBLE")
+    new = spark.createDataFrame([(1, "x", 1.0)], "k BIGINT, s STRING, v DOUBLE")
+    (row,) = snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    assert row["change_type"] == "changed"

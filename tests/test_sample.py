@@ -62,3 +62,42 @@ def test_sample_plan_is_narrow(spark):
     o = read_table(spark, SF_SMOKE, "orders")
     df = deterministic_sample(o, "o_orderkey", 0.1)
     assert PL.num_exchanges(df) == 0
+
+
+def test_weighted_sample_extremes_and_monotonicity(spark):
+    from gcpdatapipelines_spark.operators.sample import weighted_sample
+
+    c = read_table(spark, SF_SMOKE, "customer")
+    # weight 1 keeps everything, weight 0 (and negative) keeps nothing
+    assert weighted_sample(c, "c_custkey", F.lit(1.0)).count() == c.count()
+    assert weighted_sample(c, "c_custkey", F.lit(0.0)).count() == 0
+    assert weighted_sample(c, "c_custkey", F.lit(-5.0)).count() == 0
+    # a higher uniform weight keeps a superset of a lower one
+    lo = {r["c_custkey"] for r in weighted_sample(c, "c_custkey", F.lit(0.2)).collect()}
+    hi = {r["c_custkey"] for r in weighted_sample(c, "c_custkey", F.lit(0.6)).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+
+def test_weighted_sample_is_narrow(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.operators.sample import weighted_sample
+
+    c = read_table(spark, SF_SMOKE, "customer")
+    df = weighted_sample(c, "c_custkey", F.col("c_acctbal") / F.lit(10000.0))
+    assert PL.num_exchanges(df) == 0
+
+
+def test_topk_per_stratum_exact_k_and_deterministic(spark):
+    from gcpdatapipelines_spark.operators.sample import topk_per_stratum
+
+    c = read_table(spark, SF_SMOKE, "customer")
+    out = topk_per_stratum(c, "c_custkey", "c_mktsegment", 3)
+    counts = {r["c_mktsegment"]: r["n"] for r in out.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 3 for n in counts.values())
+    # deterministic: a second evaluation picks the identical rows
+    a = {(r["c_mktsegment"], r["c_custkey"]) for r in out.collect()}
+    b = {
+        (r["c_mktsegment"], r["c_custkey"])
+        for r in topk_per_stratum(c, "c_custkey", "c_mktsegment", 3).collect()
+    }
+    assert a == b

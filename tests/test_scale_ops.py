@@ -350,3 +350,45 @@ def test_quantile_repartition_nulls_and_degenerate(spark):
     assert out.count() == 100
     all_null = spark.range(50).selectExpr("cast(NULL as double) AS v", "id")
     assert skew.quantile_repartition(all_null, "v", 4).count() == 50
+
+
+def test_zscore_matches_local_computation(spark):
+    """Exact-decimal z-scores equal a numpy reference within fp noise."""
+    import numpy as np
+
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.agg import zscore_per_key
+
+    c = read_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    got = zscore_per_key(c, "c_acctbal", ["c_mktsegment"]).toPandas()
+    for seg, grp in got.groupby("c_mktsegment"):
+        x = grp["c_acctbal"].to_numpy()
+        want = (x - x.mean()) / x.std(ddof=1)
+        assert np.allclose(grp["zscore"].to_numpy(), want, atol=1e-9)
+
+
+def test_zscore_single_exchange(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.agg import zscore_per_key
+
+    c = read_table(spark, SF_SMOKE, "customer")
+    assert PL.num_exchanges(zscore_per_key(c, "c_acctbal", ["c_mktsegment"])) == 1
+
+
+def test_histogram_counts_and_clamping(spark):
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.agg import histogram_fixed_width
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    h = histogram_fixed_width(li, "l_extendedprice", 0.0, 120000.0, 24).toPandas()
+    assert h["n"].sum() == li.count()  # every row lands in a bucket
+    assert h["bucket"].between(0, 23).all()
+    # partial aggregation over <=nbins keys
+    from gcpdatapipelines_spark import plans as PL
+
+    assert PL.has_partial_aggregation(
+        histogram_fixed_width(li, "l_extendedprice", 0.0, 120000.0, 24)
+    )
