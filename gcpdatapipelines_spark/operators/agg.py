@@ -99,3 +99,18 @@ def histogram_fixed_width(
         .agg(F.count("*").alias("n"))
         .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))
     )
+
+
+def approx_distinct_per_key(
+    df: DataFrame, value: str, *keys: str, rsd: float = 0.05,
+    alias: str = "approx_distinct",
+) -> DataFrame:
+    """HyperLogLog++ distinct counts (approx_count_distinct): the scale
+    path for cardinality — exact count(DISTINCT) shuffles every
+    distinct value, HLL shuffles one ~1.5 KB sketch per group and
+    merges map-side. ``rsd`` is the target relative standard deviation.
+    Engine-specific sketch values — rows-only checkable, tolerance
+    against the exact count is pinned in tests."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value, rsd=rsd).alias(alias)
+    )

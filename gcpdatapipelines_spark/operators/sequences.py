@@ -1,0 +1,91 @@
+"""Behavior-sequence construction: ordered per-key event sequences,
+transition (Markov) counts, and rolling aggregates.
+
+The bridge from an event log to sequence-model training data: each
+user's clickstream becomes one ordered array (the training example),
+the transition matrix is the cheapest sanity check / baseline model
+over those sequences, and rolling aggregates are the standard
+point-in-time features. No reference analogue (the reference's log
+pipeline stops at per-visit duration, pipeline.py:44-71).
+
+Scale shapes: everything here shuffles ONCE on the entity key;
+sequences use array_sort over collect_list (order-independent input,
+deterministic output — collect_list alone has no ordering guarantee
+across retries/partitions); transitions and rolling stats are window
+passes sharing that same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_sequences(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    out_col: str = "seq",
+) -> DataFrame:
+    """One row per key with the chronologically-ordered array of
+    ``value_col``. Sort happens inside the array (array_sort over
+    (ts, tiebreak, value) structs), not in the shuffle, so the result
+    is deterministic regardless of partitioning/retries. Keys with
+    pathologically long histories should be length-capped downstream
+    (F.slice) before feeding a trainer."""
+    packed = F.struct(F.col(ts_col), F.col(tiebreak), F.col(value_col).alias("__v"))
+    return df.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(packed)), lambda s: s.getField("__v")
+        ).alias(out_col)
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition counts over each key's ordered
+    state stream: one (prev_state, state, n) row per observed
+    transition type. lag() over (key, ts, tiebreak) + one partial+final
+    count — the |states|^2-row baseline model / drift detector for
+    sequence corpora."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    steps = df.withColumn("prev_state", F.lag(F.col(state_col)).over(w)).filter(
+        F.col("prev_state").isNotNull()
+    )
+    return (
+        steps.groupBy("prev_state", F.col(state_col).alias("state"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rolling_mean(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    n_rows: int,
+    out_col: str = "rolling_mean",
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Trailing mean of the last ``n_rows`` values per key (current row
+    inclusive) — the standard point-in-time feature. The windowed SUM
+    runs in decimal (associative, exact), so the mean is bit-identical
+    across engines regardless of how their moving-aggregate algorithms
+    (running sum vs segment tree) associate the additions; one double
+    division at the end."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    s = F.sum(F.col(value_col).cast(decimal_type)).over(w).cast("double")
+    n = F.count(value_col).over(w)
+    return df.withColumn(out_col, s / n)

@@ -2920,6 +2920,127 @@ def w8_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Profiling, behavior sequences, rolling features, HLL cardinality
+# (operators/profile.py, operators/sequences.py, agg.py extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct,
+           round(CAST(min(o_custkey) AS DOUBLE), 6) AS min_num,
+           round(CAST(max(o_custkey) AS DOUBLE), 6) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           round(CAST(max(o_totalprice) AS DOUBLE), 6)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest preflight: null/distinct/min/max per column in ONE scan
+    (the oracle states it as three scans; Spark's plan is a single
+    aggregate + Expand for the multi-column exact distincts, unpivoted
+    with stack()). approx=True swaps HLL in for the 100 TB profile."""
+    from .operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "seq_user_events",
+    """
+    SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def seq_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training examples: each user's event types as one
+    chronologically-ordered array. Ordering lives INSIDE the array
+    (array_sort over (ts, event_id, value) structs), so the result is
+    deterministic under any partitioning — bare collect_list is not."""
+    from .operators.sequences import event_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    return event_sequences(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "seq_transitions",
+    """
+    SELECT prev_state, state, count(*) AS n
+    FROM (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state,
+               event_type AS state
+        FROM events
+    ) WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, state
+    """,
+)
+def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    lag() on one (user, time) shuffle + a partial+final count over
+    |states|^2 keys — the baseline sequence model / corpus drift
+    detector."""
+    from .operators.sequences import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "w9_rolling_mean",
+    """
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w, 4) AS rolling_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w9_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-event mean of value per user — the standard
+    point-in-time feature. The moving SUM runs in decimal so the mean
+    is bit-identical across engines no matter how each one's moving-
+    aggregate algorithm (running sum vs segment tree) associates the
+    additions (NOTES.md float-parity rules)."""
+    from .operators.sequences import rolling_mean
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = rolling_mean(ev, "user_id", "ts", "value", "event_id", n_rows=3)
+    return out.select(
+        "user_id", "event_id", F.round("rolling_mean", 4).alias("rolling_mean")
+    )
+
+
+@register("a15_approx_distinct")  # rows-only: HLL sketch values are
+# engine-specific (Spark HLL++ vs DuckDB HLL give different estimates
+# for the same set); the 5%-of-exact tolerance is pinned in
+# tests/test_scale_ops.py::test_approx_distinct_tolerance
+def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality at scale: HLL++ distinct customers per order status —
+    one ~1.5 KB sketch per group crosses the shuffle instead of every
+    distinct value."""
+    from .operators.agg import approx_distinct_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    return approx_distinct_per_key(o, "o_custkey", "o_orderstatus")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -1,0 +1,129 @@
+"""Profiling + behavior-sequence operators: semantics on hand-built
+frames, determinism, and plan shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import plans as PL
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators.profile import profile_columns
+from gcpdatapipelines_spark.operators.sequences import (
+    event_sequences,
+    rolling_mean,
+    transition_counts,
+)
+from tests.conftest import SF_SMOKE
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, 7.5), (3, "b", 0.5)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nonnull"] == 4
+    assert rows["k"]["n_distinct"] == 3
+    assert (rows["k"]["min_num"], rows["k"]["max_num"]) == (1.0, 3.0)
+    assert rows["s"]["n_nonnull"] == 3 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_num"] is None  # non-numeric: no min/max
+    assert rows["v"]["n_nonnull"] == 3
+    assert (rows["v"]["min_num"], rows["v"]["max_num"]) == (0.5, 7.5)
+
+
+def test_profile_approx_within_tolerance(spark):
+    o = read_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(o, ["o_custkey", "o_orderstatus"]).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(
+            o, ["o_custkey", "o_orderstatus"], approx=True
+        ).collect()
+    }
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(1, 0.1 * n), (c, approx[c], n)
+
+
+def test_event_sequences_ordered_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(5), 11, "b"),
+            (1, _ts(0), 10, "a"),
+            (1, _ts(5), 12, "c"),  # same ts as 11: event_id breaks the tie
+            (2, _ts(1), 20, "x"),
+        ],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, ev STRING",
+    )
+    out = {r["k"]: r["seq"] for r in event_sequences(df, "k", "ts", "ev", "eid").collect()}
+    assert out == {1: ["a", "b", "c"], 2: ["x"]}
+    # repartitioned input must give the identical arrays
+    out2 = {
+        r["k"]: r["seq"]
+        for r in event_sequences(df.repartition(7), "k", "ts", "ev", "eid").collect()
+    }
+    assert out2 == out
+
+
+def test_transition_counts_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(i), i, ev) for i, ev in enumerate(["a", "b", "a", "b"])]
+        + [(2, _ts(0), 10, "a"), (2, _ts(1), 11, "b")],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, ev STRING",
+    )
+    out = {
+        (r["prev_state"], r["state"]): r["n"]
+        for r in transition_counts(df, "k", "ts", "ev", "eid").collect()
+    }
+    assert out == {("a", "b"): 3, ("b", "a"): 1}
+    # total transitions = total rows - one per key
+    assert sum(out.values()) == df.count() - 2
+
+
+def test_rolling_mean_trailing_window(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(i), i, float(v)) for i, v in enumerate([2, 4, 6, 8])],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, v DOUBLE",
+    )
+    out = {
+        r["eid"]: r["rolling_mean"]
+        for r in rolling_mean(df, "k", "ts", "v", "eid", n_rows=3).collect()
+    }
+    # trailing-3 inclusive: [2], [2,4], [2,4,6], [4,6,8]
+    assert out == {0: 2.0, 1: 3.0, 2: 4.0, 3: 6.0}
+
+
+def test_sequence_ops_single_exchange(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    assert PL.num_exchanges(event_sequences(ev, "user_id", "ts", "event_type", "event_id")) == 1
+    assert PL.num_exchanges(rolling_mean(ev, "user_id", "ts", "value", "event_id", 3)) == 1
+    # transitions: window shuffle + final agg exchange over tiny keys
+    assert PL.num_exchanges(transition_counts(ev, "user_id", "ts", "event_type", "event_id")) <= 2
+
+
+def test_approx_distinct_tolerance(spark):
+    from gcpdatapipelines_spark.operators.agg import approx_distinct_per_key
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["approx_distinct"]
+        for r in approx_distinct_per_key(o, "o_custkey", "o_orderstatus").collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)

@@ -323,51 +323,17 @@ def test_streaming_partitioned_write_routes_by_lang(spark, tmp_path):
     write shape (hive layout, partition-prunable downstream)."""
     import os
 
-    out = str(tmp_path / "routed")
-    ckpt = str(tmp_path / "ckpt")
-    docs = S.stream_documents(spark, SF_SMOKE)
-    q = (
-        docs.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .partitionBy("lang")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
-    assert len(langs) >= 2, langs
-    back = spark.read.parquet(out)
-    want = read_table(spark, SF_SMOKE, "documents")
-    assert back.count() == want.count()
-    # partition pruning works on the routed layout
-    one = sorted(langs)[0].split("=", 1)[1]
-    assert back.filter(F.col("lang") == one).count() == want.filter(
-        F.col("lang") == one
-    ).count()
-
-
-def test_routed_write_stream_partitions_by_lang(spark, tmp_path):
-    """Streaming per-language router: one query fans documents out to
-    lang=<value> partition dirs with exact per-lang row counts, and a
-    single-lang read prunes to its own partition."""
-    import os
-
-    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    out, ckpt = str(tmp_path / "routed"), str(tmp_path / "ckpt")
     docs = S.stream_documents(spark, SF_SMOKE)
     S.routed_write_stream(docs, out, ckpt, route_col="lang")
 
     batch = read_table(spark, SF_SMOKE, "documents")
     want = {r["lang"]: r["n"] for r in batch.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     dirs = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("lang=")}
-    assert dirs == set(want)
+    assert dirs == set(want) and len(dirs) >= 2
     written = spark.read.parquet(out)
     got = {r["lang"]: r["n"] for r in written.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == want
-    # partition pruning: a one-lang filter reads one partition only
+    # partition pruning works on the routed layout
     one = sorted(want)[0]
-    from gcpdatapipelines_spark import plans as PL
-
-    pruned = written.filter(F.col("lang") == one)
-    assert pruned.count() == want[one]
+    assert written.filter(F.col("lang") == one).count() == want[one]
