@@ -114,3 +114,40 @@ def approx_distinct_per_key(
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(value, rsd=rsd).alias(alias)
     )
+
+
+def linear_fit_per_key(
+    df: DataFrame,
+    x: "F.Column",
+    y: "F.Column",
+    keys: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group least-squares line + Pearson correlation from EXACT
+    decimal co-moments: ``x``/``y`` must already be decimal-typed
+    Columns (cast with a scale that makes them exact — integral
+    seconds, 2-dp money). The five sums (x, y, xy, xx, yy) are
+    associative decimals, so every engine computes identical moments;
+    slope/intercept/corr are then ONE fixed scalar double expression —
+    bit-identical across engines. stddev()/corr() built-ins cannot
+    promise this (double reassociation). Single partial+final hash
+    aggregate; five extra decimal columns per group in the shuffle."""
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return g.select(
+        *keys,
+        F.round(num / dx, ndigits).alias("slope"),
+        F.round((sy - (num / dx) * sx) / n, ndigits).alias("intercept"),
+        F.round(num / F.sqrt(dx * dy), ndigits).alias("corr"),
+    )

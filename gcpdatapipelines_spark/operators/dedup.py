@@ -370,3 +370,24 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame, corpus_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental-ingest dedup: admit from ``new_df`` one
+    representative (min id) per normalized fingerprint that does NOT
+    already exist in ``corpus_df`` — dedup a fresh crawl increment
+    against the standing corpus without re-deduping the corpus.
+
+    Scale shape: the corpus side collapses to DISTINCT 32-byte
+    fingerprints before the anti-join (never full documents), the
+    anti-join shuffles on fp (runtime bloom/DPP-eligible), and the
+    within-increment dedup is one partial+final min. At 100 TB the
+    corpus fingerprint set is the only state carried between ingests —
+    materialize it once and anti-join every increment against it."""
+    fp = content_fingerprint(F.col(text_col))
+    inc = new_df.select(F.col(id_col), fp.alias("fp"))
+    seen = corpus_df.select(fp.alias("fp")).distinct()
+    fresh = inc.join(seen, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col, "fp")

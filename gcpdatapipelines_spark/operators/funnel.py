@@ -1,0 +1,113 @@
+"""Product-analytics operators: ordered funnels and retention cohorts.
+
+The analytics layer the reference's log pipeline (pipeline.py:44-71)
+was feeding toward: given an event log, how many users complete an
+ordered step sequence (funnel), and how do weekly signup cohorts keep
+coming back (retention triangle).
+
+Scale shapes:
+- ``funnel_counts``: ONE pass over events -> per-user conditional
+  min-timestamps (partial+final hash agg on user), then a single
+  <=n_steps-row count — no self-joins, no step-to-step shuffles. The
+  ordered-sequence semantics (step k counts only after step k-1) are
+  sequential conditional aggregates over the SAME grouped pass.
+- ``retention_cohorts``: two hash aggregates (per-user cohort, then
+  (cohort, offset) distinct-user counts) — the cohort triangle at any
+  scale is |cohorts| x |offsets| rows.
+
+Week bucketing uses day-number arithmetic (epoch days / 7), NOT
+date_trunc('week'), so the bucket is engine- and locale-independent
+(weekday origins differ across engines — NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_user_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-user earliest completion time of each ORDERED funnel step:
+    ``t1 = min ts of step1; t_k = min ts of step_k AFTER t_{k-1}``.
+
+    All steps resolve in one grouped pass: step k's aggregate is
+    ``min(CASE WHEN type = step_k THEN ts END)`` over rows later than
+    the previous step's aggregate — expressed with nested aggregates
+    via a two-level trick: collect each step's candidate timestamps as
+    a sorted array once, then walk the chain in a scalar expression.
+    Emits one row per user with ``t_1..t_n`` (NULL = never reached)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    # one grouped pass: per step, the sorted array of that user's
+    # timestamps for the step (bounded by per-user event counts)
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"__ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(user_col).agg(*aggs)
+    # walk the chain: t_k = first element of __ts_k strictly after
+    # t_{k-1}. F.get (0-based) yields NULL on an empty array, unlike
+    # element_at which throws under ANSI mode
+    out = per_user.withColumn("t_1", F.get(F.col("__ts_0"), 0))
+    for k in range(1, len(steps)):
+        prev = F.col(f"t_{k}")
+        nxt = F.get(F.filter(F.col(f"__ts_{k}"), lambda t: t > prev), 0)
+        out = out.withColumn(f"t_{k + 1}", nxt)
+    return out.select(user_col, *[f"t_{k + 1}" for k in range(len(steps))])
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of users whose
+    ordered journey reached it. Monotonically non-increasing by
+    construction (step k requires a step-k event after step k-1)."""
+    stages = funnel_user_stages(df, user_col, ts_col, type_col, steps)
+    counts = stages.agg(
+        *[F.count(F.col(f"t_{k + 1}")).alias(f"__n_{k}") for k in range(len(steps))]
+    )
+    parts = ", ".join(
+        f"{k + 1}, '{s}', __n_{k}" for k, s in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {parts}) AS (step, step_name, n_users)"
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Retention triangle: users are cohorted by the period of their
+    FIRST event (epoch-day div period — engine-independent); each
+    (cohort, offset) cell counts distinct users active ``offset``
+    periods after their cohort period. Two hash aggregates, both
+    partial+final; output is |cohorts| x |offsets| rows."""
+    day = F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
+    periods = df.select(
+        F.col(user_col).alias("__u"),
+        F.floor(day / period_days).cast("bigint").alias("__p"),
+    ).distinct()
+    first = periods.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        periods.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )

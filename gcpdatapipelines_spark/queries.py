@@ -3041,6 +3041,186 @@ def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_per_key(o, "o_custkey", "o_orderstatus")
 
 
+# ---------------------------------------------------------------------------
+# Product analytics (funnels, retention), engine-exact trend fits,
+# incremental-ingest dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w10_funnel",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS step_name,
+           (SELECT count(*) FROM t1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    """,
+)
+def w10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase: users counted at
+    step k only if a step-k event follows their step-(k-1) completion.
+    ONE grouped pass (per-step sorted timestamp arrays + a scalar
+    chain walk) — no step-to-step self-joins; the oracle states the
+    same semantics as iterative min-after-join CTEs."""
+    from .operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"])
+
+
+@register(
+    "w11_retention",
+    """
+    WITH p AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(floor(floor(epoch(ts) / 86400.0) / 7) AS BIGINT) AS p
+        FROM events
+    ),
+    f AS (SELECT u, min(p) AS cohort FROM p GROUP BY u)
+    SELECT f.cohort AS cohort_period, p.p - f.cohort AS offset,
+           count(DISTINCT p.u) AS n_users
+    FROM p JOIN f ON p.u = f.u
+    GROUP BY f.cohort, p.p - f.cohort
+    """,
+)
+def w11_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = period of first activity,
+    each (cohort, offset) cell counts users still active offset weeks
+    later. Periods come from epoch-day arithmetic, NOT
+    date_trunc('week') — weekday origins differ across engines
+    (NOTES.md). Two hash aggregates; tiny output."""
+    from .operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period_days=7)
+
+
+@register(
+    "a16_trend_per_user",
+    """
+    SELECT user_id,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM (
+        SELECT user_id,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM (
+            SELECT user_id,
+                   CAST((epoch_us(ts) - 1704067200000000) // 1000000
+                        AS DECIMAL(12,0)) AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y
+            FROM events
+        ) GROUP BY user_id
+    )
+    """,
+)
+def a16_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trend fit: least-squares slope/intercept and Pearson
+    corr of event value over time, from EXACT decimal co-moments
+    (integral seconds x, 2-dp y) — built-in corr()/regr_slope() sum
+    doubles and reassociate per engine; this is bit-identical. One
+    partial+final aggregate."""
+    from .operators.agg import linear_fit_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr(
+        "CAST((unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) DIV 1000000"
+        " AS DECIMAL(12,0))"
+    )
+    y = F.col("value").cast("decimal(18,2)")
+    return linear_fit_per_key(ev, x, y, ["user_id"])
+
+
+@register(
+    "a17_price_qty_corr",
+    """
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+            FROM lineitem
+        ) GROUP BY l_returnflag
+    )
+    """,
+)
+def a17_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag via the
+    same exact-decimal co-moment machinery (slope/intercept dropped
+    from the projection)."""
+    from .operators.agg import linear_fit_per_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    fit = linear_fit_per_key(
+        li,
+        F.col("l_quantity").cast("decimal(18,2)"),
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+        ["l_returnflag"],
+    )
+    return fit.select("l_returnflag", "corr")
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 100 < 50),
+    inc AS (SELECT doc_id, fp FROM fp WHERE doc_id % 100 >= 50)
+    SELECT min(doc_id) AS doc_id, fp
+    FROM inc
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    GROUP BY fp
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit one representative per
+    fingerprint from the new half of the corpus that the standing half
+    has never seen — the anti-join carries 32-byte fingerprints, never
+    documents, so each ingest's cost is O(increment) + a fingerprint
+    probe."""
+    from .operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 100 < 50)
+    inc = d.filter(F.col("doc_id") % 100 >= 50)
+    out = incremental_dedup(inc, corpus, "text", "doc_id")
+    return out.select("doc_id", "fp")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -1,0 +1,129 @@
+"""Funnel / retention / trend-fit / incremental-dedup semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark import plans as PL
+from gcpdatapipelines_spark.operators.funnel import (
+    funnel_counts,
+    funnel_user_stages,
+    retention_cohorts,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u BIGINT, ts TIMESTAMP, ev STRING")
+
+
+def test_funnel_requires_order(spark):
+    df = _events(
+        spark,
+        [
+            # u1 completes A -> B -> C in order
+            (1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(2), "C"),
+            # u2 does C BEFORE B: must stop at step B
+            (2, _ts(0), "A"), (2, _ts(1), "C"), (2, _ts(2), "B"),
+            # u3 never starts: B and C only
+            (3, _ts(0), "B"), (3, _ts(1), "C"),
+        ],
+    )
+    out = {r["step_name"]: r["n_users"] for r in funnel_counts(df, "u", "ts", "ev", ["A", "B", "C"]).collect()}
+    assert out == {"A": 2, "B": 2, "C": 1}
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    """Steps require STRICTLY later timestamps: a simultaneous B does
+    not advance the funnel."""
+    df = _events(spark, [(1, _ts(0), "A"), (1, _ts(0), "B")])
+    (row,) = funnel_user_stages(df, "u", "ts", "ev", ["A", "B"]).collect()
+    assert row["t_1"] is not None and row["t_2"] is None
+
+
+def test_funnel_picks_earliest_valid_chain(spark):
+    """t_k is the FIRST step-k event after t_{k-1}, not any later one."""
+    df = _events(
+        spark,
+        [(1, _ts(0), "A"), (1, _ts(5), "B"), (1, _ts(9), "B"), (1, _ts(7), "C")],
+    )
+    (row,) = funnel_user_stages(df, "u", "ts", "ev", ["A", "B", "C"]).collect()
+    # chain: A@0 -> first B after = @5 -> first C after 5 = @7
+    assert (row["t_1"], row["t_2"], row["t_3"]) == (_ts(0), _ts(5), _ts(7))
+
+
+def test_funnel_single_grouped_pass(spark):
+    df = _events(spark, [(1, _ts(0), "A")])
+    # one exchange for the user grouping; the summary count adds its
+    # single-row aggregate on top
+    assert PL.num_exchanges(funnel_user_stages(df, "u", "ts", "ev", ["A", "B"])) == 1
+
+
+def test_retention_cohort_triangle(spark):
+    day = 24 * 60
+    df = _events(
+        spark,
+        [
+            # u1: first seen week 0, active weeks 0 and 2
+            (1, _ts(0), "x"), (1, _ts(15 * day), "x"),
+            # u2: first seen week 0 only
+            (2, _ts(1 * day), "x"),
+            # u3: first seen week 1, active weeks 1 and 2
+            (3, _ts(8 * day), "x"), (3, _ts(14 * day), "x"),
+        ],
+    )
+    out = {
+        (r["cohort_period"], r["offset"]): r["n_users"]
+        for r in retention_cohorts(df, "u", "ts", period_days=7).collect()
+    }
+    # cohorts are absolute period ordinals; normalize to the min
+    base = min(c for c, _ in out)
+    norm = {(c - base, o): n for (c, o), n in out.items()}
+    assert norm == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_linear_fit_exact_line(spark):
+    from gcpdatapipelines_spark.operators.agg import linear_fit_per_key
+
+    df = spark.createDataFrame(
+        [(1, float(x), 2.0 * x + 3.0) for x in range(10)]
+        + [(2, float(x), -0.5 * x + 1.0) for x in range(10)],
+        "k BIGINT, x DOUBLE, y DOUBLE",
+    )
+    fit = {
+        r["k"]: (r["slope"], r["intercept"], r["corr"])
+        for r in linear_fit_per_key(
+            df,
+            F.col("x").cast("decimal(18,2)"),
+            F.col("y").cast("decimal(18,2)"),
+            ["k"],
+        ).collect()
+    }
+    assert fit[1] == (2.0, 3.0, 1.0)
+    assert fit[2] == (-0.5, 1.0, -1.0)
+
+
+def test_incremental_dedup_admits_only_unseen(spark):
+    from gcpdatapipelines_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello World"), (2, "old news")], "doc_id BIGINT, text STRING"
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "hello,   WORLD"),  # normalizes to a corpus fp -> rejected
+            (11, "fresh content"),
+            (12, "Fresh CONTENT!"),  # dup of 11 within the increment
+            (13, "also new"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"] for r in incremental_dedup(inc, corpus, "text", "doc_id").collect()}
+    assert out == {11, 13}
