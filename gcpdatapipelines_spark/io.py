@@ -356,3 +356,32 @@ def write_fanout(df: DataFrame, raw_path: str, agg_df: DataFrame, agg_path: str)
         write_overwrite(agg_df, agg_path)
     finally:
         df.unpersist()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_bytes`` files (the post-streaming-ingest maintenance job —
+    file sinks emit one file per micro-batch per partition, and a 100 TB
+    table of 1 MB files makes every scan pay 100M open/seek/footer
+    costs). File count derives from the ACTUAL on-disk byte size via the
+    Hadoop FileSystem API (works on HDFS/S3A/local alike), not a row
+    estimate; the rewrite is one round-robin repartition — no skew, no
+    sort, no shuffle beyond the single exchange. Returns the number of
+    files written."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(in_path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files

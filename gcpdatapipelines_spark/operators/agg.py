@@ -151,3 +151,24 @@ def linear_fit_per_key(
         F.round((sy - (num / dx) * sx) / n, ndigits).alias("intercept"),
         F.round(num / F.sqrt(dx * dy), ndigits).alias("corr"),
     )
+
+
+def merge_partial_aggregates(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Materialized-view maintenance: combine a stored aggregate table
+    with the aggregate of a new increment by summing the partial sums
+    per key — ``agg(old_data UNION increment) == merge(agg(old_data),
+    agg(increment))`` for any algebraic aggregate carried as sums
+    (count = sum of counts, mean = total/count at read time).
+
+    The 100 TB rationale: a daily ingest re-aggregates ONLY the
+    increment (plus the |keys|-sized state table), never the full
+    history. Union + one partial+final hash aggregate over the key
+    space; keep sums in decimal columns upstream for engine-exact
+    maintenance (NOTES.md money-sum rules)."""
+    u = state.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
+    return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])

@@ -3221,6 +3221,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fp")
 
 
+@register(
+    "incr_agg_maintenance",
+    """
+    SELECT o_orderstatus, n_orders,
+           CAST(round(total_price, 2) AS DOUBLE) AS total_price,
+           round(CAST(total_price AS DOUBLE) / n_orders, 4) AS avg_price
+    FROM (
+        SELECT o_orderstatus, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    """,
+)
+def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-status rollup is built
+    from TWO simulated loads (70% then 30% of orders), the second
+    merged into the first's aggregate state with
+    merge_partial_aggregates — and must equal the oracle's one-shot
+    aggregate over everything (the algebraic-merge guarantee). Sums
+    stay decimal through the merge so the equality is exact; the mean
+    is derived at read time (mean-of-means would be wrong)."""
+    from .operators.agg import merge_partial_aggregates
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    bucket = F.col("o_orderkey") % 100
+
+    def load_agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+
+    state = load_agg(o.filter(bucket < 70))
+    delta = load_agg(o.filter(bucket >= 70))
+    merged = merge_partial_aggregates(
+        state, delta, ["o_orderstatus"], ["n_orders", "total_price"]
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("total_price", 2).cast("double").alias("total_price"),
+        F.round(F.col("total_price").cast("double") / F.col("n_orders"), 4).alias(
+            "avg_price"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -392,3 +392,50 @@ def test_histogram_counts_and_clamping(spark):
     assert PL.has_partial_aggregation(
         histogram_fixed_width(li, "l_extendedprice", 0.0, 120000.0, 24)
     )
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    """agg(A ∪ B) == merge(agg(A), agg(B)) — the algebraic guarantee,
+    exact because sums stay decimal through the merge."""
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.agg import merge_partial_aggregates
+
+    o = read_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), F.sum("p").alias("total")
+        )
+
+    a, b = o.filter(F.col("o_orderkey") % 3 == 0), o.filter(F.col("o_orderkey") % 3 != 0)
+    merged = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in merge_partial_aggregates(agg(a), agg(b), ["o_orderstatus"], ["n", "total"]).collect()
+    }
+    full = {r["o_orderstatus"]: (r["n"], r["total"]) for r in agg(o).collect()}
+    assert merged == full
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """50 tiny files -> byte-targeted handful; rows and values intact."""
+    import glob
+
+    from gcpdatapipelines_spark.io import compact_parquet
+    from gcpdatapipelines_spark.io import read_table
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    o = read_table(spark, SF_SMOKE, "orders")
+    o.repartition(50).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small == 50
+    total_bytes = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_parquet(spark, src, dst, target_bytes=total_bytes // 4)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n <= 6
+    back = spark.read.parquet(dst)
+    assert back.count() == o.count()
+    assert back.agg(F.sum("o_orderkey")).first()[0] == o.agg(F.sum("o_orderkey")).first()[0]
