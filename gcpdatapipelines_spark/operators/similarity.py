@@ -1057,3 +1057,68 @@ def srp_lsh_pairs(
         .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def label_centroids_long(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-class mean embedding (the class centroid / prototype), in
+    long form: one (label, pos, mean_val) row per dimension.
+
+    posexplode + one partial+final hash aggregate on (label, pos): the
+    shuffle carries only |labels| x dim partially-summed rows after
+    map-side combine, never the corpus. Sums run in decimal(18,9)
+    (exact for float32 inputs after the deterministic cast), so the
+    centroid is bit-identical across engines; one double division at
+    the end. Repack to arrays with :func:`pack_centroids`."""
+    ex = vectors.select(label_col, F.posexplode(F.col(vec_col)).alias("__p0", "__x"))
+    return (
+        ex.groupBy(label_col, (F.col("__p0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("__x").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                ndigits,
+            ).alias("mean_val")
+        )
+    )
+
+
+def pack_centroids(
+    long_df: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """(label, pos, mean_val) rows -> (label, centroid ARRAY<DOUBLE>)
+    with positions restored in order (sort inside the array — stable
+    under any partitioning)."""
+    packed = F.struct(F.col("pos"), F.col("mean_val").alias("__v"))
+    return long_df.groupBy(label_col).agg(
+        F.transform(F.array_sort(F.collect_list(packed)), lambda s: s.getField("__v"))
+        .alias("centroid")
+    )
+
+
+def norm_stats_per_label(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding QA: min/mean/max L2 norm per class — the cheap drift
+    check that catches an unnormalized batch or a collapsed encoder
+    before anything downstream consumes the vectors. Each row computes
+    its norm once (JVM-side float64 dot); the mean sums decimals so the
+    stat is engine-exact."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
+    with_norm = vectors.select(label_col, norm.alias("__norm"))
+    return with_norm.groupBy(label_col).agg(
+        F.round(F.min("__norm"), ndigits).alias("min_norm"),
+        F.round(
+            F.sum(F.col("__norm").cast("decimal(18,9)")).cast("double") / F.count("*"),
+            ndigits,
+        ).alias("mean_norm"),
+        F.round(F.max("__norm"), ndigits).alias("max_norm"),
+    )

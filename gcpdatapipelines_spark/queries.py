@@ -3268,6 +3268,57 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label, i AS pos,
+           round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+               AS mean_val
+    FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids over the embedding corpus in long form: the
+    shuffle carries |labels| x dim partial sums after map-side combine
+    (never the vectors); decimal sums make every centroid coordinate
+    bit-identical across engines."""
+    from .operators.similarity import label_centroids_long
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroids_long(e, "label", "embedding")
+
+
+@register(
+    "sim_norm_stats",
+    """
+    SELECT label,
+           round(min(nrm), 6) AS min_norm,
+           round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+               AS mean_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM (
+        SELECT label, sqrt(list_inner_product(embedding, embedding)) AS nrm
+        FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-class L2-norm min/mean/max — catches an
+    unnormalized batch or encoder collapse in one cheap scan. Norms
+    are float64 dots (bit-identical to DuckDB list_inner_product —
+    NOTES.md); the mean sums decimals."""
+    from .operators.similarity import norm_stats_per_label
+
+    e = _t(spark, sf_dir, "embeddings")
+    return norm_stats_per_label(e, "label", "embedding")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

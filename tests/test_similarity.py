@@ -358,3 +358,38 @@ def test_pq_decode_roundtrip_exact_on_centroids(spark):
     }
     assert [round(x, 9) for x in recon[0]] == base
     assert [round(x, 9) for x in recon[1]] == far
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    got = S.label_centroids_long(emb, "label", "embedding").toPandas()
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
+        g = got[got["label"] == label].sort_values("pos")["mean_val"].to_numpy()
+        assert np.allclose(g, want, atol=2e-6), label
+
+
+def test_pack_centroids_roundtrip(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    long = S.label_centroids_long(emb, "label", "embedding")
+    packed = {r["label"]: r["centroid"] for r in S.pack_centroids(long).collect()}
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(v) == dim for v in packed.values())
+    # spot-check one label against the long form
+    some = sorted(packed)[0]
+    want = [
+        r["mean_val"]
+        for r in long.filter(F.col("label") == some).orderBy("pos").collect()
+    ]
+    assert packed[some] == want
+
+
+def test_norm_stats_bounds(spark):
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    out = S.norm_stats_per_label(emb, "label", "embedding").collect()
+    assert out
+    for r in out:
+        assert 0 < r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
