@@ -32,9 +32,12 @@ def funnel_user_stages(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Per-user earliest completion time of each ORDERED funnel step:
-    ``t1 = min ts of step1; t_k = min ts of step_k AFTER t_{k-1}``.
+    ``t1 = min ts of step1; t_k = min ts of step_k AFTER t_{k-1}``
+    (and, with ``within`` — an INTERVAL string like '1 hour' — no
+    later than ``t_{k-1} + within``: the conversion-window variant).
 
     All steps resolve in one grouped pass: step k's aggregate is
     ``min(CASE WHEN type = step_k THEN ts END)`` over rows later than
@@ -54,12 +57,21 @@ def funnel_user_stages(
     ]
     per_user = df.groupBy(user_col).agg(*aggs)
     # walk the chain: t_k = first element of __ts_k strictly after
-    # t_{k-1}. F.get (0-based) yields NULL on an empty array, unlike
-    # element_at which throws under ANSI mode
+    # t_{k-1} (and within the window, if set). F.get (0-based) yields
+    # NULL on an empty array, unlike element_at which throws under ANSI
+    gap = F.expr(f"INTERVAL {within}") if within else None
+
+    # closure factory: a default-arg lambda would change the INSPECTED
+    # arity and make pyspark pass the array index as a second argument
+    # (NOTES.md HOF-lambda rule)
+    def _after(prev):
+        if gap is not None:
+            return lambda t: (t > prev) & (t <= prev + gap)
+        return lambda t: t > prev
+
     out = per_user.withColumn("t_1", F.get(F.col("__ts_0"), 0))
     for k in range(1, len(steps)):
-        prev = F.col(f"t_{k}")
-        nxt = F.get(F.filter(F.col(f"__ts_{k}"), lambda t: t > prev), 0)
+        nxt = F.get(F.filter(F.col(f"__ts_{k}"), _after(F.col(f"t_{k}"))), 0)
         out = out.withColumn(f"t_{k + 1}", nxt)
     return out.select(user_col, *[f"t_{k + 1}" for k in range(len(steps))])
 
@@ -70,11 +82,12 @@ def funnel_counts(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Funnel summary: one row per step with the number of users whose
     ordered journey reached it. Monotonically non-increasing by
     construction (step k requires a step-k event after step k-1)."""
-    stages = funnel_user_stages(df, user_col, ts_col, type_col, steps)
+    stages = funnel_user_stages(df, user_col, ts_col, type_col, steps, within=within)
     counts = stages.agg(
         *[F.count(F.col(f"t_{k + 1}")).alias(f"__n_{k}") for k in range(len(steps))]
     )

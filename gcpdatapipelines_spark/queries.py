@@ -3319,6 +3319,81 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm_stats_per_label(e, "label", "embedding")
 
 
+@register(
+    "w12_funnel_windowed",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 4 HOUR
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 4 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS step_name,
+           (SELECT count(*) FROM t1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    """,
+)
+def w12_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each step must land within 4 hours of
+    the previous one (the marketing-attribution variant of w10). Same
+    one-grouped-pass plan; only the chain predicate changes."""
+    from .operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"],
+        within="4 hours",
+    )
+
+
+@register(
+    "compliance_deletes",
+    """
+    WITH del AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 20 = 0)
+    SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+    WHERE c_custkey NOT IN (SELECT id FROM del)
+    UNION ALL
+    SELECT 'events', count(*) FROM events
+    WHERE user_id NOT IN (SELECT id FROM del)
+    UNION ALL
+    SELECT 'orders', count(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT id FROM del)
+    """,
+)
+def compliance_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: a deterministic 5% subject set is
+    anti-joined out of customer/orders/events in one coordinated pass
+    (delete set broadcast; fact sides never shuffle), closed by the
+    per-table retained-count audit row."""
+    from .operators.compliance import deletion_audit, propagate_deletes
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    subjects = c.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    retained = propagate_deletes(
+        {"customer": c, "orders": o, "events": ev},
+        subjects,
+        {"customer": "c_custkey", "orders": "o_custkey", "events": "user_id"},
+    )
+    return deletion_audit(retained)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -127,3 +127,25 @@ def test_incremental_dedup_admits_only_unseen(spark):
     )
     out = {r["doc_id"] for r in incremental_dedup(inc, corpus, "text", "doc_id").collect()}
     assert out == {11, 13}
+
+
+def test_funnel_window_constrains_chain(spark):
+    """With a conversion window, a step landing too late fails the
+    funnel even though an unwindowed chain would pass."""
+    df = _events(
+        spark,
+        [
+            (1, _ts(0), "A"), (1, _ts(10), "B"),   # within 15m -> converts
+            (2, _ts(0), "A"), (2, _ts(30), "B"),   # too late
+        ],
+    )
+    open_counts = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, "u", "ts", "ev", ["A", "B"]).collect()
+    }
+    windowed = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, "u", "ts", "ev", ["A", "B"], within="15 minutes").collect()
+    }
+    assert open_counts == {"A": 2, "B": 2}
+    assert windowed == {"A": 2, "B": 1}

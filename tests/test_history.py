@@ -113,3 +113,31 @@ def test_snapshot_diff_null_payload_change(spark):
     new = spark.createDataFrame([(1, "x", 1.0)], "k BIGINT, s STRING, v DOUBLE")
     (row,) = snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
     assert row["change_type"] == "changed"
+
+
+def test_propagate_deletes_and_audit(spark):
+    from gcpdatapipelines_spark.operators.compliance import (
+        deletion_audit,
+        propagate_deletes,
+    )
+
+    t1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "uid BIGINT, v STRING")
+    t2 = spark.createDataFrame([(1, 1.0), (1, 2.0), (4, 3.0)], "owner BIGINT, x DOUBLE")
+    subjects = spark.createDataFrame([(1,), (1,), (9,)], "id BIGINT")
+    kept = propagate_deletes(
+        {"t1": t1, "t2": t2}, subjects, {"t1": "uid", "t2": "owner"}
+    )
+    assert {r["uid"] for r in kept["t1"].collect()} == {2, 3}
+    assert {r["owner"] for r in kept["t2"].collect()} == {4}
+    audit = {r["table_name"]: r["n_rows"] for r in deletion_audit(kept).collect()}
+    assert audit == {"t1": 2, "t2": 1}
+
+
+def test_propagate_deletes_is_broadcast(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.operators.compliance import propagate_deletes
+
+    t = spark.createDataFrame([(1, "a")], "uid BIGINT, v STRING")
+    ids = spark.createDataFrame([(1,)], "id BIGINT")
+    (kept,) = propagate_deletes({"t": t}, ids, {"t": "uid"}).values()
+    assert "BroadcastHashJoin" in PL.join_strategies(kept)

@@ -105,3 +105,20 @@ def test_csv_rejects_quarantined(spark, tmp_path):
     assert g == {(1, "alice", 10.5), (3, "carol", 7.25)}
     rj = [r["raw"] for r in rejects.collect()]
     assert rj == ["2,bob,not_a_number"]
+
+
+def test_merge_schema_read_unifies_evolved_files(spark, tmp_path):
+    """Schema evolution: files written before and after a column was
+    added read back as ONE unified schema under mergeSchema, with the
+    missing column NULL for old files — the contract an append-only
+    ingest (reference csv_to_bq.py APPEND mode) relies on when the
+    source adds a field."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id BIGINT, v1 STRING").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, v1 STRING, v2 DOUBLE"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
