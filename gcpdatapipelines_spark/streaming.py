@@ -454,3 +454,65 @@ def routed_write_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    within: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Real-time ordered-funnel tracking: per-user state walks the step
+    chain as events arrive and emits ONE row the moment a user
+    completes the final step — the streaming twin of
+    funnel.funnel_user_stages (greedy earliest-chain semantics match
+    the batch operator's min-after-previous chain exactly).
+
+    State per user is (stage, t_prev) — O(1), dropped on completion,
+    so state size is bounded by in-flight (non-converted) users. Late
+    events older than the user's current chain position are ignored
+    (the standard streaming-funnel trade-off; the batch operator is
+    the late-data-correct reprocessing path).
+
+    Output (append): user_id, completed_at."""
+    gap_us = int(pd.Timedelta(within).total_seconds() * 1_000_000) if within else None
+    n = len(steps)
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            stage, prev_us = state.get  # property, not a method
+        else:
+            stage, prev_us = 0, -1  # -1 = chain not started
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for _, r in rows.iterrows():
+            if stage >= n:
+                break
+            if r[type_col] != steps[stage]:
+                continue
+            t_us = int(pd.Timestamp(r["ts"]).value // 1000)
+            if stage > 0:
+                if t_us <= prev_us:
+                    continue
+                if gap_us is not None and t_us > prev_us + gap_us:
+                    continue
+            stage, prev_us = stage + 1, t_us
+        if stage >= n:
+            state.remove()  # converted: state freed immediately
+            yield pd.DataFrame(
+                {"user_id": [user_id], "completed_at": [pd.Timestamp(prev_us * 1000)]}
+            )
+        else:
+            state.update((int(stage), int(prev_us)))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, completed_at TIMESTAMP",
+        stateStructType="stage INT, t_prev_us BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -337,3 +337,67 @@ def test_streaming_partitioned_write_routes_by_lang(spark, tmp_path):
     # partition pruning works on the routed layout
     one = sorted(want)[0]
     assert written.filter(F.col("lang") == one).count() == want[one]
+
+
+def test_funnel_stream_matches_batch(spark):
+    """Streaming funnel completions == batch users whose final chain
+    stage is non-NULL (greedy earliest-chain == min-after-previous)."""
+    from gcpdatapipelines_spark.operators.funnel import funnel_user_stages
+
+    steps = ["signup", "click", "purchase"]
+    ev = S.stream_events(spark, SF_SMOKE)
+    got = S.run_available_now(
+        S.funnel_stream(ev, steps), "t_funnel", output_mode="append"
+    )
+    batch = funnel_user_stages(
+        read_table(spark, SF_SMOKE, "events"), "user_id", "ts", "event_type", steps
+    )
+    want = {
+        (r["user_id"], r["t_3"]) for r in batch.collect() if r["t_3"] is not None
+    }
+    assert {(r["user_id"], r["completed_at"]) for r in got.collect()} == want
+    assert want  # fixture must actually exercise conversions
+
+
+def test_funnel_stream_state_spans_batches(spark, tmp_path):
+    """A chain whose steps arrive in different micro-batches must still
+    convert (state carries the stage across batches); a user whose
+    step-2 event precedes their step-1 event must not."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: u1 does A; u2 does B only (out of order — B first)
+    write_batch("a", [(1, mins(0), "A"), (2, mins(0), "B")], 1_700_000_000)
+    # batch 2: u1 does B (converts); u2 does A (stuck at stage B now gone)
+    write_batch("b", [(1, mins(10), "B"), (2, mins(10), "A")], 1_700_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    got = S.run_available_now(
+        S.funnel_stream(stream, ["A", "B"]), "t_funnel_2b", output_mode="append"
+    )
+    rows = {(r["user_id"], r["completed_at"]) for r in got.collect()}
+    assert rows == {(1, mins(10))}
