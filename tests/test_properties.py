@@ -129,3 +129,99 @@ def test_pack_chunks_covers_token_stream_exactly(spark, texts, chunk):
             expected_start += n_tok
             want = set(range(start // chunk, (start + n_tok - 1) // chunk + 1))
             assert chunks == want, (doc_id, chunks, want)
+
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),           # key
+        st.integers(min_value=0, max_value=10_000),      # minutes offset
+        st.sampled_from(["a", "b", "c"]),                # state/attr
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _ts_frame(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (k, t0 + dt.timedelta(minutes=m), s, i)
+        for i, (k, m, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "k BIGINT, ts TIMESTAMP, attr STRING, seq BIGINT")
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_keep_latest_one_row_per_key_from_input(spark, rows):
+    from gcpdatapipelines_spark.operators.history import keep_latest
+
+    df = _ts_frame(spark, rows)
+    out = keep_latest(df, ["k"], "ts", "seq").collect()
+    keys = {r[0] for r in rows}
+    assert {r["k"] for r in out} == keys and len(out) == len(keys)
+    # each winner is that key's max (ts, seq) input row
+    by_key = {}
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for i, (k, m, s) in enumerate(rows):
+        t = t0 + dt.timedelta(minutes=m)
+        if k not in by_key or (t, i) > by_key[k][:2]:
+            by_key[k] = (t, i, s)
+    for r in out:
+        assert r["attr"] == by_key[r["k"]][2]
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_scd2_intervals_tile_each_keys_timeline(spark, rows):
+    """Per key: intervals are chronologically contiguous (next
+    valid_from == previous valid_to), exactly one open interval, and
+    adjacent versions always differ in the attribute."""
+    from gcpdatapipelines_spark.operators.history import keep_latest, scd2_intervals
+
+    df = _ts_frame(spark, rows)
+    one = keep_latest(df, ["k", "ts"], "ts", "seq").drop("seq")
+    out = scd2_intervals(one, ["k"], "ts", ["attr"]).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r)
+    for k, ivs in per_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1 and ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"] or (
+                a["attr"] is None) != (b["attr"] is None)
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    from gcpdatapipelines_spark.operators.funnel import funnel_counts
+
+    df = _ts_frame(spark, rows).withColumnRenamed("attr", "ev")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, "k", "ts", "ev", ["a", "b", "c"]).collect()
+    }
+    assert out[1] >= out[2] >= out[3] >= 0
+
+
+@given(rows=EVENT_ROWS)
+@SLOW
+def test_event_sequences_are_permutation_of_inputs(spark, rows):
+    from gcpdatapipelines_spark.operators.sequences import event_sequences
+
+    df = _ts_frame(spark, rows)
+    out = {r["k"]: r["seq"] for r in event_sequences(df, "k", "ts", "attr", "seq").collect()}
+    want = {}
+    for k, m, s in rows:
+        want.setdefault(k, []).append(s)
+    assert {k: sorted(v) for k, v in out.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
