@@ -91,3 +91,40 @@ def merge_upsert(
         else:
             out.append(F.when(is_insert, scol).otherwise(tcol).alias(c))
     return joined.select(*out)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    on: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+    tiebreak: str | None = None,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a CDC changeset — rows tagged ``'I'``/``'U'``/``'D'`` in
+    ``op_col`` — to a target table: I/U rows replace-or-insert by key,
+    D rows delete. The third MERGE clause (WHEN MATCHED AND op='D'
+    THEN DELETE) that merge_upsert doesn't model.
+
+    With ``order_col`` (+ unique ``tiebreak``) the changeset is first
+    compacted to each key's LATEST change, so a full binlog segment
+    (insert then update then delete of one key) applies as its net
+    effect. Without it the changeset must already be one row per key.
+
+    Plan shape mirrors merge_upsert's scalable path: ALL touched keys
+    leave via ONE (broadcastable) anti-join over the target, survivors
+    union with the I/U payload — the 100 TB target never shuffles."""
+    from .history import keep_latest
+
+    if order_col is not None:
+        if tiebreak is None:
+            raise ValueError("order_col requires a tiebreak column")
+        changes = keep_latest(changes, on, order_col, tiebreak)
+    extra = [c for c in (order_col, tiebreak) if c is not None]
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col, *extra)
+    touched = changes.select(*on)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    untouched = target.join(touched, on, "left_anti")
+    return untouched.unionByName(upserts)

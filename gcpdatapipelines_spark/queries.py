@@ -3394,6 +3394,53 @@ def compliance_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deletion_audit(retained)
 
 
+@register(
+    "cdc_apply",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 100 < 5
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM t WHERE NOT (o_orderkey % 100 >= 5 AND o_orderkey % 100 < 10)
+    UNION ALL
+    SELECT o_orderkey + 20000000, 'I', o_totalprice
+    FROM t WHERE o_orderkey % 100 < 5
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset application: updates (5% of keys, price bumped),
+    deletes (next 5%), inserts (re-keyed copies) applied in ONE
+    broadcast anti-join + union — the WHEN MATCHED DELETE clause
+    merge_upsert lacks; the oracle restates the net effect
+    declaratively."""
+    from .operators.merge import apply_cdc
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    bucket = F.col("o_orderkey") % 100
+    updates = t.filter(bucket < 5).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    deletes = t.filter((bucket >= 5) & (bucket < 10)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("D").alias("op")
+    )
+    inserts = t.filter(bucket < 5).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_cdc(t, changes, ["o_orderkey"])
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

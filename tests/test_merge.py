@@ -101,3 +101,75 @@ def test_partial_update_null_merge_key_target_row_survives(spark):
     rows = {r["status"]: (r["k"], r["amount"]) for r in out.collect()}
     assert rows["orphan"] == (None, 99.0)  # survived untouched
     assert rows["done"] == (1, 10.0)  # patched, amount kept
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from gcpdatapipelines_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k BIGINT, s STRING, v DOUBLE"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 9.0, "U"), (3, None, None, "D"), (4, "d", 4.0, "I")],
+        "k BIGINT, s STRING, v DOUBLE, op STRING",
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in apply_cdc(target, changes, ["k"]).collect()}
+    assert out == {1: ("a", 1.0), 2: ("b2", 9.0), 4: ("d", 4.0)}
+
+
+def test_apply_cdc_binlog_compaction_nets_out(spark):
+    """insert -> update -> delete of one key in a single segment must
+    apply as its NET effect (the key ends deleted); a key whose last
+    change is an update keeps only the final value."""
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.merge import apply_cdc
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    target = spark.createDataFrame([(1, "x", 0.0)], "k BIGINT, s STRING, v DOUBLE")
+    changes = spark.createDataFrame(
+        [
+            (5, "new", 1.0, "I", ts(0), 1),
+            (5, "newer", 2.0, "U", ts(1), 2),
+            (5, None, None, "D", ts(2), 3),
+            (1, "x1", 1.0, "U", ts(0), 4),
+            (1, "x2", 2.0, "U", ts(1), 5),
+        ],
+        "k BIGINT, s STRING, v DOUBLE, op STRING, ts TIMESTAMP, seq BIGINT",
+    )
+    out = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_cdc(
+            target, changes, ["k"], order_col="ts", tiebreak="seq"
+        ).collect()
+    }
+    assert out == {1: ("x2", 2.0)}
+
+
+def test_apply_cdc_idempotent(spark):
+    from gcpdatapipelines_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k BIGINT, s STRING, v DOUBLE")
+    changes = spark.createDataFrame(
+        [(1, "a2", 5.0, "U"), (2, None, None, "D")], "k BIGINT, s STRING, v DOUBLE, op STRING"
+    )
+    once = apply_cdc(target, changes, ["k"])
+    twice = apply_cdc(once, changes, ["k"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_apply_cdc_target_never_shuffles(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, s STRING, v DOUBLE")
+    changes = spark.createDataFrame(
+        [(1, "a2", 2.0, "U")], "k BIGINT, s STRING, v DOUBLE, op STRING"
+    )
+    out = apply_cdc(target, changes, ["k"])
+    assert "BroadcastHashJoin" in PL.join_strategies(out)
+    assert PL.num_exchanges(out) == 0
