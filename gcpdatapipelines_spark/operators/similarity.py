@@ -233,59 +233,56 @@ def embedding_neardup_pairs_codegen(
 def _assign_nearest(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid — as PURE SCALAR
-    PROJECTIONS: the centroid set is bounded (nlist rows, index
-    metadata like PQ codebooks or quantile boundaries), so it is
-    collected once and inlined as literal arithmetic. Assignment then
-    adds ZERO shuffles and stays inside whole-stage codegen; the
-    previous form (crossJoin + per-id window argmax) shuffled
-    corpus x nlist rows just to pick a max.
+    """Assign each vector to its max-cosine centroid — as an
+    Arrow-batched BLAS matmul (the SRP-signature pattern): the centroid
+    set is bounded index metadata (nlist rows), so its unit matrix is
+    closed over as a numpy literal in a mapInPandas kernel, and each
+    Arrow batch computes all nlist cosines in one dgemm. No shuffle,
+    scales with the scan, and — unlike the previous 1024-term scalar
+    codegen chain — no one-time janino compile (~8 s per session at
+    nlist=16, dim=64; BLAS does the same arithmetic in microseconds).
+    The earlier crossJoin + window-argmax form shuffled corpus x nlist
+    rows just to pick a max; both rewrites avoid that.
 
-    Ties break to the lowest cent_id (same contract as the old window
-    orderBy). Returns (id, vec, cent_id, __cs)."""
-    import math
+    Assignment quality only affects PRUNING/probe choice downstream,
+    never pair-scan results (pruned == exact is tested independently),
+    so the fp reassociation difference between BLAS and scalar chains
+    is immaterial. Ties break to the lowest cent_id (np.argmax takes
+    the first max over the cent_id-sorted matrix — same contract as
+    the old window orderBy). Returns (id, vec, cent_id, __cs)."""
+    import numpy as np
 
-    # the 16..1024-term scalar chains below stall Catalyst's
-    # super-linear constraint inference; effort-only conf, never results
-    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     cents = sorted(centroids.collect(), key=lambda r: r["cent_id"])
     if not cents:
         raise ValueError("empty centroid set")
-    dim = len(cents[0]["cent_vec"])
+    C = np.asarray([[float(x) for x in r["cent_vec"]] for r in cents], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cu = C / cn[:, None]
+    cent_ids = np.asarray([int(r["cent_id"]) for r in cents])
+    cent_id_type = centroids.schema["cent_id"].dataType
 
-    # The expressions are assembled as SQL STRINGS and parsed in ONE
-    # selectExpr call each: building nlist*dim Column objects through
-    # the py4j bridge costs one JVM round-trip per node (~6 s of pure
-    # driver overhead at 16x64); a string parse is a single call.
-    # `D` suffixes force double literals (bare decimals parse as
-    # DECIMAL in Spark SQL and would change the arithmetic).
-    x_exprs = [f"CAST({vec_col}[{i}] AS DOUBLE) AS __x{i}" for i in range(dim)]
-    wide = vectors.selectExpr(id_col, vec_col, *x_exprs)
-    self_dot = " + ".join(f"__x{i} * __x{i}" for i in range(dim))
-    wide = wide.selectExpr("*", f"sqrt({self_dot}) AS __vn")
-
-    # ONE array_max over (cs, -cent_id) structs: each centroid's dot
-    # chain appears exactly once per output reference (a greatest +
-    # when-chain argmax would re-inline every chain per comparison —
-    # the scalar form of the quadratic projection-collapse trap);
-    # struct ordering gives max cs with ties to the LOWEST cent_id via
-    # the negated id field.
-    entries = []
-    for r in cents:
-        cvec = [float(x) for x in r["cent_vec"]]
-        cnorm = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        dot = " + ".join(f"__x{i} * {cvec[i]!r}D" for i in range(dim))
-        entries.append(
-            f"struct(({dot}) / (__vn * {cnorm!r}D) AS cs, "
-            f"{-int(r['cent_id'])} AS negid)"
-        )
-    best = f"array_max(array({', '.join(entries)}))"
-    return wide.selectExpr(
-        id_col,
-        vec_col,
-        f"-(({best}).negid) AS cent_id",
-        f"({best}).cs AS __cs",
+    src = vectors.select(id_col, vec_col)
+    out_schema = StructType(
+        list(src.schema.fields)
+        + [StructField("cent_id", cent_id_type), StructField("__cs", DoubleType())]
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            cs = (X / xn[:, None]) @ Cu.T
+            idx = np.argmax(cs, axis=1)
+            out = pdf.copy()
+            out["cent_id"] = cent_ids[idx]
+            out["__cs"] = cs[np.arange(len(idx)), idx]
+            yield out
+
+    return src.mapInPandas(kernel, schema=out_schema)
 
 
 def _cell_index(
