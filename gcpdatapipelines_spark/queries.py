@@ -3441,6 +3441,57 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(t, changes, ["o_orderkey"])
 
 
+@register(
+    "quality_gate_orders",
+    """
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'not_null(o_custkey)' AS rule,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0,1000000)',
+               sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                        OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               sum(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)', count(*) - count(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'references(o_custkey)',
+               (SELECT count(*) FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+    )
+    """,
+)
+def quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest quality gate over orders: null/range/set rules share ONE
+    aggregate pass, uniqueness is a distinct-count delta, referential
+    integrity is a broadcast anti-probe against customer — the
+    pre-publish checklist as a single DataFrame artifact."""
+    from .operators.quality import in_range, in_set, not_null, quality_checks
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return quality_checks(
+        o,
+        row_rules=[
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1000000),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+        unique=["o_orderkey"],
+        references={"o_custkey": (c, "c_custkey")},
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -516,3 +516,50 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def upsert_sink_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    on: list[str],
+    order_col: str,
+    tiebreak: str,
+) -> None:
+    """Streaming UPSERT sink via foreachBatch: each micro-batch is
+    compacted to its latest row per key (history.keep_latest) and
+    MERGEd into the parquet target (merge.merge_upsert) — the
+    lakehouse change-stream ingestion pattern, where the plain file
+    sink's append-only contract (incremental_pipeline) is wrong
+    because keys re-send.
+
+    Delivery: foreachBatch may replay a batch after failure, but the
+    merge is idempotent (same source twice is a no-op), so the target
+    converges exactly-once. The read-merge-overwrite here materializes
+    the merged frame before overwriting (you cannot lazily overwrite a
+    path you are reading); a production deployment swaps in a staging
+    directory or a table format with atomic commits, scoping rewrites
+    to changed partitions via dynamic partition overwrite."""
+    from .operators.history import keep_latest
+    from .operators.merge import merge_upsert
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = keep_latest(batch_df, on, order_col, tiebreak)
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, compact, on, broadcast_source=True)
+        except Exception:  # first batch: no target yet
+            merged = compact
+        merged = merged.cache()
+        merged.count()  # materialize BEFORE overwriting the input path
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -127,3 +127,56 @@ def test_approx_distinct_tolerance(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
+
+
+def test_quality_checks_detects_violations(spark):
+    from gcpdatapipelines_spark.operators.quality import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        quality_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0, "a@b.com"),
+            (1, "ok", -1.0, "nope"),      # dup key, below range, bad email
+            (None, "bad", 50.0, None),    # null key, bad status, null email
+        ],
+        "k BIGINT, status STRING, v DOUBLE, email STRING",
+    )
+    dim = spark.createDataFrame([(1,)], "k BIGINT")
+    out = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in quality_checks(
+            df,
+            row_rules=[
+                not_null("k"),
+                in_range("v", 0, 10),
+                in_set("status", ["ok"]),
+                matches("email", r"[a-z]+@[a-z]+\.[a-z]+"),
+            ],
+            unique=["k"],
+            references={"k": (dim, "k")},
+        ).collect()
+    }
+    assert out["not_null(k)"] == (1, False)
+    assert out["in_range(v,0,10)"] == (2, False)  # -1.0 and the 50.0
+    assert out["in_set(status)"] == (1, False)
+    assert out["matches(email)"] == (2, False)
+    assert out["unique(k)"] == (2, False)  # 3 rows, 2 distinct non-null... NULL counts
+    assert out["references(k)"] == (1, False)  # the NULL key misses the dim
+
+
+def test_quality_checks_all_pass_single_agg(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.operators.quality import in_range, not_null, quality_checks
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    out = quality_checks(
+        o, row_rules=[not_null("o_orderkey"), in_range("o_totalprice", 0, 10**7)]
+    )
+    rows = {r["rule"]: r["passed"] for r in out.collect()}
+    assert all(rows.values())
+    assert PL.has_partial_aggregation(out)

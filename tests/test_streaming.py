@@ -401,3 +401,56 @@ def test_funnel_stream_state_spans_batches(spark, tmp_path):
     )
     rows = {(r["user_id"], r["completed_at"]) for r in got.collect()}
     assert rows == {(1, mins(10))}
+
+
+def test_upsert_sink_stream_converges_to_latest(spark, tmp_path):
+    """Re-sent keys across micro-batches must collapse to each key's
+    latest version in the target; replaying the same input into a
+    fresh checkpoint must not change the target (idempotent merge)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k BIGINT, ts TIMESTAMP, v STRING, seq BIGINT"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    write_batch("a", [(1, mins(0), "v1", 1), (2, mins(0), "w1", 2)], 1_700_000_000)
+    write_batch("b", [(1, mins(10), "v2", 3), (3, mins(10), "x1", 4)], 1_700_000_100)
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        S.upsert_sink_stream(
+            stream,
+            str(tmp_path / "target"),
+            str(tmp_path / ckpt_name),
+            on=["k"],
+            order_col="ts",
+            tiebreak="seq",
+        )
+
+    run("ckpt1")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(tmp_path / "target")).collect()}
+    assert got == {1: "v2", 2: "w1", 3: "x1"}
+    run("ckpt2")  # full replay into the same target
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(str(tmp_path / "target")).collect()}
+    assert got2 == got
