@@ -391,3 +391,41 @@ def incremental_dedup(
     seen = corpus_df.select(fp.alias("fp")).distinct()
     fresh = inc.join(seen, "fp", "left_anti")
     return fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col, "fp")
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    band_width: int = 8,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs with BLOCKING: only
+    strings sharing a block — (first character, length band) — are
+    compared, the classic record-linkage move that keeps the quadratic
+    edit-distance comparison off a cartesian product. The block join is
+    a plain equi-join (hash-partitioned by block), so cost is
+    sum-of-block-sizes², not corpus².
+
+    Recall trade-off (standard for single-pass blocking): pairs whose
+    lengths straddle a band boundary or whose first characters differ
+    are not compared. Tighten by unioning shifted-band passes, or use
+    the shingle/MinHash family for token-level similarity."""
+    b = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.substring(F.col(text_col), 1, 1).alias("__c0"),
+        F.floor(F.length(text_col) / band_width).alias("__band"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col(f"a.__c0") == F.col(f"c.__c0"))
+        & (F.col(f"a.__band") == F.col(f"c.__band"))
+        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_1"),
+        F.col(f"c.{id_col}").alias("id_2"),
+        F.levenshtein(F.col(f"a.{text_col}"), F.col(f"c.{text_col}")).alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

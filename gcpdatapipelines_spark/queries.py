@@ -3492,6 +3492,62 @@ def quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_blocked",
+    """
+    SELECT a.p_partkey AS id_1, c.p_partkey AS id_2,
+           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS distance
+    FROM (
+        SELECT p_partkey, p_name, substr(p_name, 1, 1) AS c0,
+               CAST(floor(length(p_name) / 8) AS BIGINT) AS band
+        FROM part
+    ) a
+    JOIN (
+        SELECT p_partkey, p_name, substr(p_name, 1, 1) AS c0,
+               CAST(floor(length(p_name) / 8) AS BIGINT) AS band
+        FROM part
+    ) c
+      ON a.c0 = c.c0 AND a.band = c.band AND a.p_partkey < c.p_partkey
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup part names under (first char,
+    length band) blocking — Levenshtein runs only inside blocks, an
+    equi-join away from the cartesian product it would otherwise be."""
+    from .operators.dedup import fuzzy_pairs_blocked
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = fuzzy_pairs_blocked(p, "p_partkey", "p_name", max_distance=2)
+    return out.select("id_1", "id_2", F.col("distance").cast("bigint").alias("distance"))
+
+
+@register(
+    "p18_pseudonymize",
+    """
+    SELECT event_id,
+           sha256('corpus-v1:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def p18_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level pseudonymization: the subject key is replaced by a
+    salted SHA-256 digest — joinable across tables (same salt -> same
+    pseudonym) but not reversible without the salt. The narrow
+    compliance companion to compliance_deletes: one projection, no
+    shuffle, hex-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(F.concat(F.lit("corpus-v1:"), F.col("user_id").cast("string")), 256).alias(
+            "user_pseudo"
+        ),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -77,3 +77,36 @@ def test_simhash_deterministic(spark):
     a = D.simhash(df, "doc_id", "text").collect()[0]["simhash"]
     b = D.simhash(df, "doc_id", "text").collect()[0]["simhash"]
     assert a == b
+
+
+def test_fuzzy_pairs_blocked_semantics(spark):
+    from gcpdatapipelines_spark.operators.dedup import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine"),
+            (2, "spark enginX"),   # distance 1, same block
+            (3, "spark engin"),    # distance 1 from id 1
+            (4, "Xpark engine"),   # distance 1 BUT different first char -> blocked out
+            (5, "totally other"),
+        ],
+        "id BIGINT, name STRING",
+    )
+    out = {
+        (r["id_1"], r["id_2"]): r["distance"]
+        for r in fuzzy_pairs_blocked(df, "id", "name", max_distance=2).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert (1, 4) not in out  # blocking trade-off: first char differs
+    assert all(k[0] < k[1] for k in out)
+
+
+def test_fuzzy_pairs_blocked_never_cartesian(spark):
+    from gcpdatapipelines_spark import plans as PL
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.dedup import fuzzy_pairs_blocked
+
+    p = read_table(spark, SF_SMOKE, "part").select("p_partkey", "p_name")
+    strategies = set(PL.join_strategies(fuzzy_pairs_blocked(p, "p_partkey", "p_name")))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
