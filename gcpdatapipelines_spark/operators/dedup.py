@@ -399,31 +399,41 @@ def fuzzy_pairs_blocked(
     text_col: str,
     max_distance: int = 2,
     band_width: int = 8,
+    prefix_len: int = 1,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs with BLOCKING: only
-    strings sharing a block — (first character, length band) — are
-    compared, the classic record-linkage move that keeps the quadratic
-    edit-distance comparison off a cartesian product. The block join is
-    a plain equi-join (hash-partitioned by block), so cost is
-    sum-of-block-sizes², not corpus².
+    strings sharing a block — (``prefix_len``-char prefix, length
+    band) — are compared, the classic record-linkage move that keeps
+    the quadratic edit-distance comparison off a cartesian product.
+    The block join is a plain equi-join (hash-partitioned by block),
+    so cost is sum-of-block-sizes², not corpus².
 
     Recall trade-off (standard for single-pass blocking): pairs whose
-    lengths straddle a band boundary or whose first characters differ
-    are not compared. Tighten by unioning shifted-band passes, or use
-    the shingle/MinHash family for token-level similarity."""
+    lengths straddle a band boundary or whose prefixes differ are not
+    compared — pass ``prefix_len=0`` (length-band-only blocking) when
+    edits concentrate at the string head. Tighten by unioning
+    shifted-band passes, or use the shingle/MinHash family for
+    token-level similarity. For row tables over a low-entropy value
+    domain, fuzzy-match the DISTINCT values and map back by equi-join
+    (see dedup_fuzzy_blocked in the catalog)."""
+    base = [F.col(id_col)] if id_col == text_col else [F.col(id_col), F.col(text_col)]
+    prefix = (
+        [F.substring(F.col(text_col), 1, prefix_len).alias("__c0")]
+        if prefix_len > 0
+        else []
+    )
     b = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.substring(F.col(text_col), 1, 1).alias("__c0"),
+        *base,
+        *prefix,
         F.floor(F.length(text_col) / band_width).alias("__band"),
     )
     a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col(f"a.__c0") == F.col(f"c.__c0"))
-        & (F.col(f"a.__band") == F.col(f"c.__band"))
-        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    cond = (F.col("a.__band") == F.col("c.__band")) & (
+        F.col(f"a.{id_col}") < F.col(f"c.{id_col}")
     )
+    if prefix:
+        cond = cond & (F.col("a.__c0") == F.col("c.__c0"))
+    pairs = a.join(c, cond)
     return pairs.select(
         F.col(f"a.{id_col}").alias("id_1"),
         F.col(f"c.{id_col}").alias("id_2"),
