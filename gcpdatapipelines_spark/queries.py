@@ -3551,6 +3551,44 @@ def p18_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w13_rollup_chain",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def w13_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate chain (the hypertable rollup pattern): the
+    daily rollup is computed FROM the hourly rollup, never from raw
+    events — and must equal the oracle's direct daily aggregate (sums
+    stay decimal through the chain, so re-aggregation is exact). At
+    scale each resolution maintains incrementally from the next finer
+    one via merge_partial_aggregates; raw data is touched once."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 
