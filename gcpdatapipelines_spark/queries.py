@@ -3589,6 +3589,89 @@ def w13_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_ivf_exhaustive():
+    # Shares the brute-force oracle VERBATIM: at nprobe == nlist the
+    # IVF machinery scans every cell, so its top-k must equal the
+    # exact scan bit-for-bit (same 6-dp rounding + id tiebreak). This
+    # upgrades the IVF plumbing from rows-only/recall-tested to
+    # oracle-proven at its exactness ceiling; the nprobe<nlist entry
+    # (sim_ivf_topk) remains the approximate scale path.
+    @register("sim_ivf_exhaustive", ORACLE_SQL["sim_topk_bruteforce"])
+    def sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.similarity import ivf_build, ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        assignments, centroids = ivf_build(emb, nlist=16)
+        return ivf_topk(assignments, centroids, qs, k=10, nprobe=16)
+
+    sim_ivf_exhaustive.__doc__ = (
+        "IVF top-k at nprobe=nlist: every cell probed == exact scan; "
+        "shares sim_topk_bruteforce's oracle verbatim."
+    )
+
+
+_register_ivf_exhaustive()
+
+
+@register(
+    "w14_funnel_value",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_converters,
+           CAST(round(sum(CAST(conv_value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_conv_value
+    FROM (
+        SELECT t3.user_id, max(e.value) AS conv_value
+        FROM t3 JOIN events e
+          ON e.user_id = t3.user_id AND e.ts = t3.t3
+         AND e.event_type = 'purchase'
+        GROUP BY t3.user_id
+    )
+    """,
+)
+def w14_funnel_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution value: total value of each converter's
+    conversion purchase (the event that completed the chain; max()
+    collapses same-timestamp ties deterministically). Composition of
+    funnel_user_stages + one join back to events — the revenue number
+    next to w10's count."""
+    from .operators.funnel import funnel_user_stages
+
+    ev = _t(spark, sf_dir, "events")
+    stages = funnel_user_stages(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    ).filter(F.col("t_3").isNotNull())
+    # join back on (user, exact conversion ts, purchase)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    conv = stages.join(
+        p, (stages.user_id == p.p_user) & (stages.t_3 == p.p_ts)
+    ).groupBy("user_id").agg(F.max("value").alias("conv_value"))
+    return conv.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.sum(F.col("conv_value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_conv_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 
