@@ -89,3 +89,36 @@ def rolling_mean(
     s = F.sum(F.col(value_col).cast(decimal_type)).over(w).cast("double")
     n = F.count(value_col).over(w)
     return df.withColumn(out_col, s / n)
+
+
+def ema_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.7,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average per key over the chronological value
+    stream: s_0 = x_0, s_i = alpha*s_{i-1} + (1-alpha)*x_i; returns
+    each key's FINAL smoothed value (the recency-weighted feature).
+
+    EMA is inherently sequential — no algebraic partial-agg form — so
+    it folds over the per-key sorted array (array_sort inside the
+    aggregate, one shuffle, state O(history) bounded by per-key event
+    counts; cap with F.slice upstream for unbounded keys). The fold
+    order is total (ts, tiebreak), so the result is deterministic and
+    engine-identical: the same double multiply-add sequence."""
+    packed = F.struct(F.col(ts_col), F.col(tiebreak), F.col(value_col).alias("__v"))
+    vals = F.transform(
+        F.array_sort(F.collect_list(packed)), lambda s: s.getField("__v").cast("double")
+    )
+    grouped = df.groupBy(key).agg(vals.alias("__vals"))
+    a, b = float(alpha), float(1.0 - alpha)
+    ema = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.get(F.col("__vals"), 0),
+        lambda acc, x: acc * F.lit(a) + x * F.lit(b),
+    )
+    return grouped.select(key, F.round(ema, 6).alias(out_col))

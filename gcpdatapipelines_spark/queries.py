@@ -3672,6 +3672,31 @@ def w14_funnel_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seq_ema",
+    """
+    SELECT user_id,
+           round(list_reduce(vals,
+                 (acc, x) -> acc * 0.7::DOUBLE + x * 0.3::DOUBLE), 6) AS ema
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def seq_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per user: EMA (alpha=0.7) folded over the
+    chronological stream. Inherently sequential (no algebraic partial
+    form), so it folds in-array over one shuffle; the total (ts,
+    event_id) order makes the double multiply-add sequence — and hence
+    the result — engine-identical (DuckDB's no-init list_reduce ==
+    Spark's aggregate seeded with the first element)."""
+    from .operators.sequences import ema_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ema_per_key(ev, "user_id", "ts", "value", "event_id", alpha=0.7)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(SPARK_QUERIES)
 

@@ -180,3 +180,16 @@ def test_quality_checks_all_pass_single_agg(spark):
     rows = {r["rule"]: r["passed"] for r in out.collect()}
     assert all(rows.values())
     assert PL.has_partial_aggregation(out)
+
+
+def test_ema_per_key_matches_python_fold(spark):
+    from gcpdatapipelines_spark.operators.sequences import ema_per_key
+
+    df = spark.createDataFrame(
+        [(1, _ts(i), i, float(v)) for i, v in enumerate([10, 20, 30])]
+        + [(2, _ts(0), 9, 5.0)],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, v DOUBLE",
+    )
+    out = {r["k"]: r["ema"] for r in ema_per_key(df, "k", "ts", "v", "eid", alpha=0.5).collect()}
+    # user 1: ((10*0.5 + 20*0.5)*0.5 + 30*0.5) = 22.5; single row folds to itself
+    assert out == {1: 22.5, 2: 5.0}
