@@ -1,10 +1,16 @@
 """Benchmark harness: runs the catalog's queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output (driver tail-captures stdout with a bounded buffer — round 2's
+single giant line overflowed it): several short
+``{"metric": "catalog_queries_part", ...}`` lines carrying the
+per-query map in <=1.2 KB chunks, then ONE compact summary line LAST:
 
-One SparkSession for the whole run (JVM startup amortized —
+    {"metric": "catalog_total_wall", "value": N, "unit": "sec", ...}
+
+The complete record is also written to BENCH_SELF.json next to this
+file. One SparkSession for the whole run (JVM startup amortized —
 BASELINE.md); each query is timed over a no-op write so the full plan
 executes without driver-side collection costs.
 """
@@ -59,17 +65,51 @@ def main() -> None:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
     total = round(time.time() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # The driver tail-captures stdout with a bounded buffer: one giant
+    # line with all 127 per-query timings overflowed it in round 2
+    # ("parsed": null). Emit the per-query map CHUNKED across short
+    # earlier lines, then a compact summary (total first) as the FINAL
+    # line so the last line always fits the buffer and parses alone.
+    names = list(timings)
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for n in names:
+        chunk[n] = timings[n]
+        if len(json.dumps(chunk)) > 1200:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, part in enumerate(chunks, 1):
+        print(
+            json.dumps(
+                {
+                    "metric": "catalog_queries_part",
+                    "part": i,
+                    "of": len(chunks),
+                    "queries": part,
+                }
+            )
         )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
+    summary = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "slowest": slowest,
+    }
+    # Full machine-readable record on disk regardless of stdout capture.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+        "w",
+    ) as fh:
+        json.dump({**summary, "queries": timings}, fh, indent=2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

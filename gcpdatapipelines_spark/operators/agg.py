@@ -89,12 +89,16 @@ def histogram_fixed_width(
     engine-identical), so the whole thing is a single partial+final
     hash aggregate over at most ``nbins`` keys: the cheapest possible
     profile scan, and the shape to prefer over exact percentiles when
-    a distribution sketch is all that's needed."""
+    a distribution sketch is all that's needed.
+
+    NULL values are excluded (greatest/least skip NULLs, so an
+    unfiltered NULL index would silently clamp into bucket 0)."""
     width = (hi - lo) / nbins
     idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bucket = F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1)).cast("bigint")
     return (
-        df.select(bucket.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
         .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))

@@ -91,12 +91,19 @@ def funnel_counts(
     counts = stages.agg(
         *[F.count(F.col(f"t_{k + 1}")).alias(f"__n_{k}") for k in range(len(steps))]
     )
-    parts = ", ".join(
-        f"{k + 1}, '{s}', __n_{k}" for k, s in enumerate(steps)
+    # typed literals, not interpolated selectExpr: a step name holding
+    # a quote must not be able to break (or inject into) the SQL parse
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"__n_{k}").alias("n_users"),
+            )
+            for k, s in enumerate(steps)
+        ]
     )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {parts}) AS (step, step_name, n_users)"
-    )
+    return counts.select(F.inline(rows))
 
 
 def retention_cohorts(

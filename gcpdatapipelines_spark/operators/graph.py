@@ -143,16 +143,28 @@ def cluster_assignments(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 25,
+    broadcast_threshold: int | None = 8_000_000,
 ) -> DataFrame:
     """Every row of ``df`` labeled with its near-dup cluster id
     (cluster = min member id; singletons are their own cluster) plus
     ``is_canonical`` — the keep-one-per-group selector a dedup
-    pipeline actually consumes. One broadcast-sized join against the
-    CC output (components are pair-graph-sized, << corpus-sized)."""
+    pipeline actually consumes.
+
+    The join against the CC output is broadcast only while the
+    component map stays under ``broadcast_threshold`` rows (counted on
+    the already-checkpointed star forest — one cheap job). Component
+    maps are pair-graph-sized, normally << corpus-sized, but an
+    adversarial near-dup corpus (every document paired) makes them
+    corpus-scale, where an unconditional broadcast OOMs the driver;
+    past the valve the join falls back to a hash shuffle that AQE may
+    still re-plan. ``None`` disables broadcasting outright."""
     comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    comp = comp.withColumnRenamed("node", "__node")
+    if broadcast_threshold is not None and comp.count() <= broadcast_threshold:
+        comp = F.broadcast(comp)
     out = (
         df.join(
-            F.broadcast(comp.withColumnRenamed("node", "__node")),
+            comp,
             df[id_col] == F.col("__node"),
             "left",
         )

@@ -74,6 +74,12 @@ def scd2_intervals(
         cond = changed[0]
         for c in changed[1:]:
             cond = cond | c
+        # A key's first row is ALWAYS a version start: lag() is NULL
+        # there, so when the leading attrs are also NULL eqNullSafe is
+        # true and `cond` alone would drop the opening interval (or the
+        # whole key when every row is NULL). Same window → still one
+        # exchange + one sort.
+        cond = (F.row_number().over(w) == 1) | cond
         out = out.withColumn("__chg", cond).filter(F.col("__chg")).drop("__chg")
     out = out.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(F.col(ts_col)).over(w)
@@ -106,10 +112,11 @@ def snapshot_diff(
     )
     cond = [o[k].eqNullSafe(n[f"__n_{k}"]) for k in keys]
     j = o.join(n, cond, "full_outer")
-    same = None
+    # keys-only audit (compare_cols=[]): nothing can ever differ, so
+    # `same` is vacuously true and only added/removed rows are emitted.
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(c).eqNullSafe(F.col(f"__n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(c).eqNullSafe(F.col(f"__n_{c}"))
     change = (
         F.when(F.col("__o_present").isNull(), F.lit("added"))
         .when(F.col("__n_present").isNull(), F.lit("removed"))

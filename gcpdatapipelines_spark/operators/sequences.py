@@ -122,3 +122,57 @@ def ema_per_key(
         lambda acc, x: acc * F.lit(a) + x * F.lit(b),
     )
     return grouped.select(key, F.round(ema, 6).alias(out_col))
+
+
+def ema_series_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.7,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Per-EVENT exponential moving average: every row gets its
+    smoothed value s_i = alpha*s_{i-1} + (1-alpha)*x_i (s_0 = x_0) —
+    the full feature series :func:`ema_per_key` truncates to.
+
+    Implemented as ONE incremental in-array fold that appends each
+    step's state (array_append accumulator), then exploded back to
+    rows — the same single shuffle as ema_per_key. The closed-form
+    prefix trick (s_i = a^i * prefix_sum(x_j * a^-j * b)) was
+    evaluated and REJECTED: a^-j overflows/loses all precision beyond
+    ~20 steps (a=0.7 ⇒ a^-150 ≈ 1e23, so the renormalizing multiply
+    cancels 23 digits), while the fold is numerically exact-as-spec.
+
+    Engine parity: prefix i of the fold performs the identical
+    multiply-add sequence as DuckDB's no-init list_reduce over the
+    first i values, so the series is engine-identical, not just
+    tolerance-close. Per-key cost is O(n) multiply-adds but O(n^2)
+    bytes of array copies (append reallocates); histories are bounded
+    by per-key event counts — slice upstream for unbounded keys, as
+    with ema_per_key."""
+    packed = F.struct(
+        F.col(ts_col), F.col(tiebreak), F.col(value_col).cast("double").alias("__v")
+    )
+    grouped = df.groupBy(key).agg(
+        F.array_sort(F.collect_list(packed)).alias("__evs")
+    )
+    vals = F.transform(F.col("__evs"), lambda s: s.getField("__v"))
+    a, b = float(alpha), float(1.0 - alpha)
+    series = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.get(vals, 0)),
+        lambda acc, x: F.array_append(
+            acc, F.element_at(acc, -1) * F.lit(a) + x * F.lit(b)
+        ),
+    )
+    z = grouped.select(
+        key, F.explode(F.arrays_zip(F.col("__evs"), series.alias("__s"))).alias("__z")
+    )
+    return z.select(
+        key,
+        F.col("__z.__evs").getField(ts_col).alias(ts_col),
+        F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
+        F.round(F.col("__z.__s"), 6).alias(out_col),
+    )

@@ -535,26 +535,36 @@ def upsert_sink_stream(
 
     Delivery: foreachBatch may replay a batch after failure, but the
     merge is idempotent (same source twice is a no-op), so the target
-    converges exactly-once. The read-merge-overwrite here materializes
-    the merged frame before overwriting (you cannot lazily overwrite a
-    path you are reading); a production deployment swaps in a staging
-    directory or a table format with atomic commits, scoping rewrites
-    to changed partitions via dynamic partition overwrite."""
+    converges exactly-once. Each batch writes the merged result to a
+    STAGING directory and renames it into place: the target path is
+    never overwritten while a plan is reading it (cache()+count() does
+    NOT guarantee that — evicted blocks recompute from the input path
+    mid-overwrite), and a crash mid-write leaves the old target
+    intact. Target existence is checked explicitly via the Hadoop
+    FileSystem, so a transient read or merge failure PROPAGATES
+    instead of silently replacing the table with one micro-batch. The
+    delete+rename swap has a sub-second non-atomic window on
+    object-store FSs; a table format with atomic commits closes it."""
     from .operators.history import keep_latest
     from .operators.merge import merge_upsert
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         compact = keep_latest(batch_df, on, order_col, tiebreak)
-        try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        tgt = hpath(target_path)
+        fs = tgt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tgt):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, compact, on, broadcast_source=True)
-        except Exception:  # first batch: no target yet
+        else:  # first batch: no target yet
             merged = compact
-        merged = merged.cache()
-        merged.count()  # materialize BEFORE overwriting the input path
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        staging = target_path.rstrip("/") + f".__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(tgt, True)
+        if not fs.rename(hpath(staging), tgt):
+            raise IOError(f"staging swap failed: {staging} -> {target_path}")
 
     q = (
         stream_df.writeStream.foreachBatch(do_batch)

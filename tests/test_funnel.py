@@ -40,6 +40,18 @@ def test_funnel_requires_order(spark):
     assert out == {"A": 2, "B": 2, "C": 1}
 
 
+def test_funnel_quoted_step_names(spark):
+    """Step names holding quotes must not break (or inject into) the
+    plan build — rows are typed literals, not interpolated SQL
+    (ADVICE.md)."""
+    df = _events(spark, [(1, _ts(0), "add_to_cart's"), (1, _ts(1), 'say "buy"')])
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, "u", "ts", "ev", ["add_to_cart's", 'say "buy"']).collect()
+    }
+    assert out == {"add_to_cart's": 1, 'say "buy"': 1}
+
+
 def test_funnel_equal_ts_not_counted(spark):
     """Steps require STRICTLY later timestamps: a simultaneous B does
     not advance the funnel."""

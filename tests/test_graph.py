@@ -87,6 +87,24 @@ def test_cluster_assignments_singletons_and_canonicals(spark):
     assert all(r["n"] == 1 for r in per_cluster)
 
 
+def test_cluster_assignments_broadcast_valve(spark):
+    """Small component maps broadcast; past the size valve (or with
+    broadcasting disabled) the label join falls back to a shuffle —
+    both paths produce identical labels (VERDICT r2 #8)."""
+    from gcpdatapipelines_spark import plans as PL
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_1 LONG, id_2 LONG")
+    small = G.cluster_assignments(df, pairs, "doc_id")
+    assert any("Broadcast" in s for s in PL.join_strategies(small))
+    valved = G.cluster_assignments(df, pairs, "doc_id", broadcast_threshold=0)
+    strategies = [s for s in PL.join_strategies(valved)]
+    assert strategies and not any("BroadcastHashJoin" in s for s in strategies)
+    assert {(r["doc_id"], r["cluster_id"]) for r in valved.collect()} == {
+        (r["doc_id"], r["cluster_id"]) for r in small.collect()
+    }
+
+
 def test_cc_fixture_documents_clusters(spark):
     """End-to-end over the documents fixture: clusters from jaccard
     pairs must be consistent with the pair set (every pair inside one

@@ -81,6 +81,24 @@ def test_scd2_null_attr_change_detected(spark):
     ]
 
 
+def test_scd2_leading_null_attrs_keep_first_interval(spark):
+    """A key whose history STARTS with NULL attributes must keep its
+    opening interval (ADVICE.md: lag()=NULL + eqNullSafe(NULL) marked
+    the first row 'unchanged' and dropped it)."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), None), (1, _ts(5), None), (1, _ts(9), "a"), (2, _ts(0), None)],
+        "k BIGINT, ts TIMESTAMP, attr STRING",
+    )
+    out = sorted(scd2_intervals(df, ["k"], "ts", ["attr"]).collect(),
+                 key=lambda r: (r["k"], r["valid_from"]))
+    # key 1: NULL interval [t0, t9) then 'a' open; key 2 (all-NULL) survives
+    assert [(r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in out] == [
+        (1, None, _ts(0), _ts(9)),
+        (1, "a", _ts(9), None),
+        (2, None, _ts(0), None),
+    ]
+
+
 def test_scd2_single_exchange(spark):
     """Both window passes share one partitioning: exactly ONE exchange."""
     df = scd2_intervals(_log(spark).drop("seq"), ["k"], "ts", ["attr"])
@@ -113,6 +131,15 @@ def test_snapshot_diff_null_payload_change(spark):
     new = spark.createDataFrame([(1, "x", 1.0)], "k BIGINT, s STRING, v DOUBLE")
     (row,) = snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
     assert row["change_type"] == "changed"
+
+
+def test_snapshot_diff_keys_only_audit(spark):
+    """compare_cols=[] is a legitimate presence audit: only added and
+    removed keys are emitted (ADVICE.md: `~None` raised TypeError)."""
+    old = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    new = spark.createDataFrame([(2,), (3,)], "k BIGINT")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 3: "added"}
 
 
 def test_propagate_deletes_and_audit(spark):

@@ -193,3 +193,21 @@ def test_ema_per_key_matches_python_fold(spark):
     out = {r["k"]: r["ema"] for r in ema_per_key(df, "k", "ts", "v", "eid", alpha=0.5).collect()}
     # user 1: ((10*0.5 + 20*0.5)*0.5 + 30*0.5) = 22.5; single row folds to itself
     assert out == {1: 22.5, 2: 5.0}
+
+
+def test_ema_series_per_key_full_series(spark):
+    """Every event carries its running smoothed value; the last one
+    equals ema_per_key's final value."""
+    from gcpdatapipelines_spark.operators.sequences import ema_series_per_key
+
+    df = spark.createDataFrame(
+        [(1, _ts(i), i, float(v)) for i, v in enumerate([10, 20, 30])]
+        + [(2, _ts(0), 9, 5.0)],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, v DOUBLE",
+    )
+    out = {
+        (r["k"], r["eid"]): r["ema"]
+        for r in ema_series_per_key(df, "k", "ts", "v", "eid", alpha=0.5).collect()
+    }
+    # s_0=10, s_1=10*.5+20*.5=15, s_2=15*.5+30*.5=22.5
+    assert out == {(1, 0): 10.0, (1, 1): 15.0, (1, 2): 22.5, (2, 9): 5.0}

@@ -394,6 +394,16 @@ def test_histogram_counts_and_clamping(spark):
     )
 
 
+def test_histogram_excludes_nulls(spark):
+    """NULL values must not inflate bucket 0 (ADVICE.md: greatest/least
+    skip NULLs, silently clamping a NULL index into the lowest edge)."""
+    from gcpdatapipelines_spark.operators.agg import histogram_fixed_width
+
+    df = spark.createDataFrame([(None,), (0.5,), (None,), (9.5,)], "v DOUBLE")
+    h = {r["bucket"]: r["n"] for r in histogram_fixed_width(df, "v", 0.0, 10.0, 10).collect()}
+    assert h == {0: 1, 9: 1}
+
+
 def test_merge_partial_aggregates_equals_full_recompute(spark):
     """agg(A ∪ B) == merge(agg(A), agg(B)) — the algebraic guarantee,
     exact because sums stay decimal through the merge."""

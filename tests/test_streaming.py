@@ -454,3 +454,32 @@ def test_upsert_sink_stream_converges_to_latest(spark, tmp_path):
     run("ckpt2")  # full replay into the same target
     got2 = {r["k"]: r["v"] for r in spark.read.parquet(str(tmp_path / "target")).collect()}
     assert got2 == got
+
+
+def test_upsert_sink_stream_merge_error_propagates(spark, tmp_path):
+    """A failing merge must RAISE and leave the existing target intact
+    — never silently replace the table with one micro-batch
+    (ADVICE.md: the old bare `except Exception` fallback did)."""
+    import datetime as dt
+
+    import pytest
+
+    target = str(tmp_path / "target")
+    # pre-existing target whose schema lacks the merge key -> merge raises
+    spark.createDataFrame([("orphan",)], "other STRING").write.parquet(target)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "v1", 1)], "k BIGINT, ts TIMESTAMP, v STRING, seq BIGINT"
+    ).write.parquet(str(src / "a.parquet"))
+    stream = (
+        spark.readStream.schema("k BIGINT, ts TIMESTAMP, v STRING, seq BIGINT")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    with pytest.raises(Exception):
+        S.upsert_sink_stream(
+            stream, target, str(tmp_path / "ckpt"), on=["k"], order_col="ts", tiebreak="seq"
+        )
+    # old target untouched by the failed batch
+    assert [r["other"] for r in spark.read.parquet(target).collect()] == ["orphan"]

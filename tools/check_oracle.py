@@ -89,17 +89,31 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        results[name] = rec
         try:
             spark_pd = fn(spark, sf_dir).toPandas()
         except Exception:
+            rec["err"] = "spark error"
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(spark_pd)
         if name not in oracles:
+            rec["err"] = "rows-only (no oracle by design)"
+            rec["rows_match"] = len(spark_pd) > 0
             print(f"ROWS  {name}: {len(spark_pd)} rows (no oracle; rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
             if len(spark_pd) == 0:
@@ -108,18 +122,34 @@ def main() -> int:
         try:
             duck_pd = con.sql(oracles[name]).df()
         except Exception:
+            rec["err"] = "duckdb error"
             print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(duck_pd)
         problems = compare(spark_pd, duck_pd)
+        rec["rows_match"] = len(spark_pd) == len(duck_pd)
+        rec["schema_match"] = sorted(spark_pd.columns) == sorted(duck_pd.columns)
+        rec["hash_match"] = not problems
         if problems:
             n_fail += 1
+            rec["err"] = "; ".join(problems)
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
         else:
             print(f"OK    {name}: {len(spark_pd)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{n_fail} failures / {len(only) if only else len(qs)} checked")
+    if not only:  # full-gate run: ship machine-readable self-verification
+        import json
+
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ORACLE_SELF.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
