@@ -3732,6 +3732,48 @@ def seq_ema_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema_series_per_key(ev, "user_id", "ts", "value", "event_id", alpha=0.7)
 
 
+@register(
+    "ts_gapfill_ffill",
+    """
+    WITH obs AS (
+        SELECT user_id, date_trunc('day', ts) AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+        FROM bounds
+    ), j AS (
+        SELECT g.user_id, g.bucket, o.v
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket AS day,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily value series: resample the event log to a
+    per-user-day decimal-exact sum, materialize each user's missing
+    days from their own [first, last] span (sequence+explode — no
+    global calendar cross join), forward-fill gaps with the last
+    observation. Parity is exact by construction: the fill copies a
+    value, never computes one. The grid, join, and fill window all
+    share the (user, day) partitioning — AQE coalesces the exchanges."""
+    from .operators.timeseries import gapfill_ffill, resample_sum
+
+    ev = _t(spark, sf_dir, "events")
+    obs = resample_sum(ev, "user_id", "ts", "value", unit="day")
+    out = gapfill_ffill(obs, "user_id", unit="day")
+    return out.select(
+        "user_id", F.col("bucket").alias("day"), "value", "is_gap"
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
