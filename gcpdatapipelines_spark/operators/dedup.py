@@ -439,3 +439,111 @@ def fuzzy_pairs_blocked(
         F.col(f"c.{id_col}").alias("id_2"),
         F.levenshtein(F.col(f"a.{text_col}"), F.col(f"c.{text_col}")).alias("distance"),
     ).filter(F.col("distance") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def positioned_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tokens, p, shingle): every word n-gram WITH its 1-based
+    start position — the positional sibling of :func:`doc_shingles`
+    (which distincts positions away). Docs shorter than n tokens carry
+    no shingle and are excluded. Narrow (tokenize + explode)."""
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    long = toks.select(
+        id_col, F.col("__toks"), F.size("__toks").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+    )
+    return long.select(
+        id_col,
+        "n_tokens",
+        F.posexplode(sh).alias("__pos0", "shingle"),
+    ).select(
+        id_col, "n_tokens", (F.col("__pos0") + 1).alias("p"), "shingle"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_df: int = 2,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection: for each document, the
+    maximal token spans covered by word n-grams that also occur in at
+    least ``min_df - 1`` OTHER documents — the substring-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), at n-gram (not suffix-array)
+    resolution.
+
+    Returns one row per document with >= n tokens:
+    (id, n_spans, dup_tokens, n_tokens, dup_frac) where overlapping /
+    adjacent duplicated n-grams are merged into maximal spans
+    (gaps-and-islands over start positions: a new span starts when the
+    gap between consecutive duplicated starts exceeds n) and
+    ``dup_tokens`` sums the merged span lengths. Downstream policy
+    (drop doc, cut spans, down-weight) is the caller's.
+
+    Scale shape: ONE shuffle on the shingle for document frequency
+    (count-distinct is partial-aggregable), an equi-join back on the
+    shingle (shuffle-partitioned, same key), then per-doc windows and
+    aggregates sharing one (id) partitioning. No pair join at all —
+    unlike Jaccard/MinHash this never compares documents, so there is
+    no candidate blow-up to guard; corpus-frequent "stop shingles" are
+    genuinely duplicated text and are KEPT (they are the signal, not
+    skew noise — the shingle join is 1:1 with the marker set, not a
+    pair explosion).
+    """
+    from pyspark.sql import Window
+
+    pos = positioned_shingles(df, id_col, text_col, n, tokens_df=tokens_df)
+    dup = (
+        pos.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("shingle")
+    )
+    marked = pos.join(dup, "shingle").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    islands = marked.withColumn(
+        "__new",
+        F.when(F.col("p") - F.lag("p").over(w) > n, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "__g",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy(id_col, "__g").agg(
+        F.min("p").alias("__s"), F.max("p").alias("__e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s") + n).alias("dup_tokens"),
+    )
+    base = pos.select(id_col, "n_tokens").distinct()
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        "n_tokens",
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

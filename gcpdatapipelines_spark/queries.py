@@ -3774,6 +3774,69 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_detect",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), long AS (
+        SELECT doc_id, l, len(l) AS n_tokens FROM toks WHERE len(l) >= 5
+    ), pos AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(1, len(l) - 4)) AS p,
+               unnest(list_transform(generate_series(1, len(l) - 4),
+                                     i -> array_to_string(l[i:i+4], ' ')))
+                   AS shingle
+        FROM long
+    ), dup AS (
+        SELECT shingle FROM pos GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 2
+    ), mk AS (
+        SELECT p.doc_id, p.p FROM pos p JOIN dup USING (shingle)
+    ), isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN p - prev > 5 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM (SELECT doc_id, p,
+                     lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+              FROM mk)
+    ), sp AS (
+        SELECT doc_id, g, min(p) AS s, max(p) AS e FROM isl GROUP BY doc_id, g
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 5) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY doc_id
+    )
+    SELECT l.doc_id, COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(dup_tokens, 0) AS dup_tokens, n_tokens,
+           round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+    FROM long l LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al., arXiv:2107.06499, at
+    5-gram resolution): per document, the maximal token spans whose
+    5-grams also appear in another document, merged gaps-and-islands
+    style, with the duplicated-token fraction. No document-pair join
+    anywhere — one shingle-frequency shuffle, one equi-join back, one
+    per-doc window — so it scales where pairwise detectors need
+    candidate pruning."""
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=5,
+        tokens_df=_doc_tokens_cached(spark, sf_dir),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -110,3 +110,63 @@ def test_fuzzy_pairs_blocked_never_cartesian(spark):
     strategies = set(PL.join_strategies(fuzzy_pairs_blocked(p, "p_partkey", "p_name")))
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark):
+    # doc 1 and doc 2 share the 6-token run "one two three four five six"
+    # (two overlapping duplicated 5-grams -> ONE merged 6-token span);
+    # doc 3 is all-unique text; doc 4 is too short for a 5-gram.
+    rows = [
+        (1, "one two three four five six unique1a unique1b unique1c"),
+        (2, "prefix2a prefix2b one two three four five six tail2a"),
+        (3, "only in this document nothing shared here at all"),
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_duplicated_spans_merges_overlapping_ngrams(spark):
+    from gcpdatapipelines_spark.operators.dedup import duplicated_spans
+
+    out = {
+        r.doc_id: r.asDict()
+        for r in duplicated_spans(_span_docs(spark), "doc_id", "text", n=5).collect()
+    }
+    # the shared 6-token run = positions {1,2} (doc1) -> one span of 6 tokens
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 6
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    assert 4 not in out  # < n tokens: no shingle, excluded
+    assert out[1]["dup_frac"] == round(6 / 9, 6)
+
+
+def test_duplicated_spans_two_separate_spans(spark):
+    from gcpdatapipelines_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c d e GAPX GAPY GAPZ v w x y z"),
+        (2, "a b c d e other2 tokens2 here2 v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r.asDict() for r in duplicated_spans(df, "doc_id", "text", n=5).collect()}
+    # "a b c d e" and "v w x y z" both duplicated, separated by a gap
+    assert out[1]["n_spans"] == 2 and out[1]["dup_tokens"] == 10
+
+
+def test_duplicated_spans_no_pair_join_plan(spark):
+    from gcpdatapipelines_spark.operators.dedup import duplicated_spans
+
+    plan = (
+        duplicated_spans(_span_docs(spark), "doc_id", "text", n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
