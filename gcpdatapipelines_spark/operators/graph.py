@@ -176,3 +176,117 @@ def cluster_assignments(
     return out.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean")
     )
+
+
+def triangle_counts(pairs: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """(node, n_triangles): each node's triangle participation count in
+    the undirected graph — the standard cohesion/spam-cluster signal
+    over co-occurrence graphs.
+
+    Degree-oriented node-iterator (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011): every
+    edge is directed from its lexicographically-smaller (degree, id)
+    endpoint to the larger, wedges are generated from the common LOW
+    endpoint, and a wedge counts iff its closing edge exists. The
+    orientation bounds out-degree by O(sqrt(m)), so the wedge join —
+    the only super-linear step — never explodes on skewed (celebrity-
+    node) graphs the way id-ordering does. All steps are equi-joins /
+    partial aggs partitioned on node ids; each triangle is found
+    exactly once.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).withColumnRenamed("u", "n")
+    # orient: (deg, id) of u < (deg, id) of v  =>  s=u, t=v else swapped
+    e = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    d = e.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    e1 = d.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    e2 = d.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = d.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    damping: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(node, rank) by power iteration over the UNDIRECTED graph
+    (each edge contributes both directions), ranks summing to 1.
+
+    Classic shuffle shape: ranks ⋈ out-degree-normalized edges →
+    groupBy(dst)-sum per iteration, lineage truncated with
+    localCheckpoint so the plan stays O(1) across iterations (swap in
+    a reliable checkpoint dir at cluster scale). The symmetrized graph
+    has no dangling nodes, so mass is conserved without a dangling
+    redistribution term. Convergence = L1 delta < tol, computed as a
+    2-value aggregate on the same action that materializes the round
+    (a sync barrier, not a data transfer — same protocol as
+    connected_components). Engine-portable parity is NOT claimed:
+    float sums reassociate across partitionings, so catalog exposure
+    is rows-only; exactness is pinned in tests against a dense
+    reference solver at 1e-9."""
+    sym = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    out_edges = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = out_edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    norm = out_edges.join(deg, "u").select(
+        "u", "v", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).localCheckpoint()
+    n = deg.count()
+    ranks = deg.select("u", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contrib = (
+            norm.join(ranks, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
+        )
+        new_ranks = contrib.select(
+            F.col("v").alias("u"),
+            (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
+        ).localCheckpoint()
+        delta = (
+            new_ranks.withColumnRenamed("rank", "__new")
+            .join(ranks, "u")
+            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks.select(F.col("u").alias("node"), "rank")

@@ -3837,6 +3837,87 @@ def dedup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_orders: int = 2) -> DataFrame:
+    """Part co-purchase graph: an edge between two parts that appear in
+    the same order at least ``min_orders`` times. The >= 2 support cut
+    is the graph-construction analogue of a stop-shingle cap: the raw
+    single-co-occurrence graph is quadratic-dense noise (avg degree
+    ~115 at sf0.01, growing with SF), while the supported graph stays
+    sparse AND stable as data scales. One self-equi-join on l_orderkey
+    (bounded by lines-per-order, ~7) + one partial-agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(
+            F.least("pa", "pb").alias("u"), F.greatest("pa", "pb").alias("v")
+        )
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_orders)
+        .select("u", "v")
+    )
+
+
+_COPURCHASE_EDGE_SQL = """
+    e AS (
+        SELECT least(a.l_partkey, b.l_partkey) AS u,
+               greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), nodes AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY part
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the supported co-purchase
+    graph — the cohesion signal behind community/spam-cluster mining.
+    Spark side runs the degree-ORIENTED node-iterator (out-degree
+    bounded by O(sqrt(m)) — survives celebrity-node skew at 100 TB);
+    the oracle counts the same triangles by plain id-ordering, proving
+    orientation changes nothing but the join sizes."""
+    from .operators.graph import triangle_counts
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+@register("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supported co-purchase graph (damping 0.85,
+    tol 1e-6) — iterative power method with per-round localCheckpoint
+    lineage truncation; rows-only BY DESIGN: per-iteration float sums
+    reassociate across partitionings, so no engine-portable bit-exact
+    twin exists (exactness vs a dense solver is pinned in
+    tests/test_graph.py at 1e-9)."""
+    from .operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    pr = pagerank(edges, damping=0.85, max_iter=30, tol=1e-6)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

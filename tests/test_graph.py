@@ -123,3 +123,68 @@ def test_cc_fixture_documents_clusters(spark):
         .withColumnRenamed("cluster_id", "c2")
     )
     assert both.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_k4_plus_tail(spark):
+    from gcpdatapipelines_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + tail 4-5-6 (none)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_invariance_and_dedup(spark):
+    from gcpdatapipelines_spark.operators.graph import triangle_counts
+
+    # duplicate + reversed + self-loop edges must not change counts
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_no_cartesian(spark):
+    from gcpdatapipelines_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "u BIGINT, v BIGINT")
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _dense_pagerank(edges, damping=0.85, iters=200):
+    """Reference dense power iteration over the symmetrized graph."""
+    import numpy as np
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for u, v in edges:
+        adj[idx[u]][idx[v]] = adj[idx[v]][idx[u]] = 1.0
+    out = adj.sum(axis=1)
+    m = adj / out[:, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (m.T @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_solver(spark):
+    from gcpdatapipelines_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    got = {r.node: r.rank for r in pagerank(df, tol=1e-12, max_iter=200).collect()}
+    want = _dense_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
