@@ -22,7 +22,7 @@ date_trunc('week'), so the bucket is engine- and locale-independent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,52 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("__u").alias("n_users"))
     )
+
+
+def attribution(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    channel_col: str,
+    value_col: str,
+    tiebreak: str,
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Marketing-style conversion attribution: every ``conversion``
+    event is credited to the user's most recent preceding non-
+    conversion channel (last-touch) AND their earliest one
+    (first-touch). Returns stacked rows
+    (model, channel, n_conversions, attributed_value) with an exact
+    decimal value sum (MONEY SUMS, NOTES.md); conversions with no
+    preceding touch are unattributable and excluded.
+
+    One window pass over (key, ts, tiebreak) computes both models —
+    last()/first() with ignorenulls over the strictly-preceding frame
+    — then two partial-agg rollups on the channel; no self-joins, no
+    per-conversion scans. The window and any upstream per-key work
+    share one partitioning."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(channel_col) != conversion, F.col(channel_col))
+    marked = df.withColumn("__last_ch", F.last(touch, ignorenulls=True).over(w)).withColumn(
+        "__first_ch", F.first(touch, ignorenulls=True).over(w)
+    )
+    pur = marked.filter(F.col(channel_col) == conversion)
+
+    def _roll(col: str, model: str) -> DataFrame:
+        return (
+            pur.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("channel"))
+            .agg(
+                F.count("*").alias("n_conversions"),
+                F.round(F.sum(F.col(value_col).cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("attributed_value"),
+            )
+            .select(F.lit(model).alias("model"), "channel", "n_conversions", "attributed_value")
+        )
+
+    return _roll("__last_ch", "last_touch").unionAll(_roll("__first_ch", "first_touch"))

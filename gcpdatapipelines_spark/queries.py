@@ -3918,6 +3918,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+@register(
+    "w15_attribution",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_ch,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_ch
+        FROM events
+    ), pur AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT 'last_touch' AS model, last_ch AS channel,
+           count(*) AS n_conversions,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS attributed_value
+    FROM pur WHERE last_ch IS NOT NULL GROUP BY last_ch
+    UNION ALL
+    SELECT 'first_touch', first_ch, count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM pur WHERE first_ch IS NOT NULL GROUP BY first_ch
+    """,
+)
+def w15_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch AND first-touch conversion attribution per channel in
+    ONE window pass (strictly-preceding frame, ignorenulls last/first)
+    + two channel rollups — the revenue-credit companion to the w10
+    funnel, with decimal-exact attributed value."""
+    from .operators.funnel import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev, "user_id", "ts", "event_type", "value", "event_id",
+        conversion="purchase",
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -161,3 +161,56 @@ def test_funnel_window_constrains_chain(spark):
     }
     assert open_counts == {"A": 2, "B": 2}
     assert windowed == {"A": 2, "B": 1}
+
+
+# ---------------------------------------------------------------------------
+# attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_first_vs_last_touch(spark):
+    from gcpdatapipelines_spark.operators.funnel import attribution
+
+    rows = [
+        # user 1: view -> click -> purchase(10): first=view, last=click
+        (1, _ts(0), 1, "view", 0.0),
+        (1, _ts(1), 2, "click", 0.0),
+        (1, _ts(2), 3, "purchase", 10.0),
+        # user 1 second purchase(5) right after: last=click (purchases
+        # are not touches), first=view
+        (1, _ts(3), 4, "purchase", 5.0),
+        # user 2: purchase with NO preceding touch -> unattributable
+        (2, _ts(0), 5, "purchase", 99.0),
+        # user 3: error -> purchase(1): both models credit 'error'
+        (3, _ts(0), 6, "error", 0.0),
+        (3, _ts(1), 7, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = attribution(df, "user_id", "ts", "event_type", "value", "event_id")
+    got = {(r.model, r.channel): (r.n_conversions, r.attributed_value) for r in out.collect()}
+    assert got[("last_touch", "click")] == (2, 15.0)
+    assert got[("first_touch", "view")] == (2, 15.0)
+    assert got[("last_touch", "error")] == (1, 1.0)
+    assert got[("first_touch", "error")] == (1, 1.0)
+    # user 2's 99.0 never appears
+    assert sum(v for _, v in got.values()) == 32.0
+
+
+def test_attribution_single_window_pass_plan(spark):
+    from gcpdatapipelines_spark.operators.funnel import attribution
+
+    rows = [(1, _ts(0), 1, "view", 0.0), (1, _ts(1), 2, "purchase", 3.0)]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    plan = (
+        attribution(df, "user_id", "ts", "event_type", "value", "event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both models reuse ONE window operator (last+first in the same frame)
+    assert plan.count("Window") <= 2  # one per union branch after reuse
+    assert "CartesianProduct" not in plan
