@@ -176,3 +176,44 @@ def merge_partial_aggregates(
     maintenance (NOTES.md money-sum rules)."""
     u = state.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
     return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
+def exact_quantiles(
+    df: DataFrame,
+    key: str,
+    value_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Per-key EXACT interpolated quantiles of each value column, in
+    long form: (key, p, <col>_q ...), one row per probability.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation
+    h = (n-1)p between the two straddling order statistics — the same
+    definition DuckDB's quantile_cont implements, verified
+    bit-identical across engines for both integral and 2-dp money
+    inputs because p and the interpolation weights are binary-exact
+    for quarter probabilities). All requested probabilities share one
+    sort per group — percentile(col, array(...)) — so the cost is one
+    per-key sort regardless of len(probs).
+
+    Scale note: exact percentile buffers each group's values (a
+    per-key sort, memory O(group)); it is the right tool for bounded
+    group sizes or audit passes. For corpus-wide streaming quantiles
+    at 100 TB switch to approx_percentile (GK sketch, mergeable,
+    bounded memory) and give up bit-exactness — the same trade
+    a15_approx_distinct documents for distinct counts."""
+    parr = "array(" + ", ".join(f"{p!r}D" for p in probs) + ")"
+    aggs = [
+        F.expr(f"percentile({c}, {parr})").alias(f"__q_{c}") for c in value_cols
+    ]
+    g = df.groupBy(key).agg(*aggs)
+    zipped = F.posexplode(
+        F.arrays_zip(*[F.col(f"__q_{c}").alias(c) for c in value_cols])
+    )
+    probs_lit = F.array(*[F.lit(float(p)) for p in probs])
+    out = g.select(key, zipped.alias("__i", "__z")).select(
+        key,
+        F.element_at(probs_lit, F.col("__i") + 1).alias("p"),
+        *[F.col("__z").getField(c).alias(f"{c}_q") for c in value_cols],
+    )
+    return out

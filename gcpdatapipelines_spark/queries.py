@@ -3960,6 +3960,43 @@ def w15_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a18_quantiles_exact",
+    """
+    WITH a AS (
+        SELECT l_returnflag,
+               [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.5),
+                quantile_cont(l_quantity, 0.75), quantile_cont(l_quantity, 0.95)]
+                   AS qq,
+               [quantile_cont(l_extendedprice, 0.25),
+                quantile_cont(l_extendedprice, 0.5),
+                quantile_cont(l_extendedprice, 0.75),
+                quantile_cont(l_extendedprice, 0.95)] AS qp
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+           unnest(qq) AS l_quantity_q,
+           unnest(qp) AS l_extendedprice_q
+    FROM a
+    """,
+)
+def a18_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p25/50/75/95) of quantity and
+    price per return flag, long form — bit-identical to DuckDB's
+    quantile_cont because both engines interpolate h=(n-1)p between
+    the same order statistics and quarter-probabilities are
+    binary-exact. One sort per group serves all probabilities and both
+    columns."""
+    from .operators.agg import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_returnflag", ["l_quantity", "l_extendedprice"],
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -449,3 +449,35 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == o.count()
     assert back.agg(F.sum("o_orderkey")).first()[0] == o.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_exact_quantiles_known_values(spark):
+    from gcpdatapipelines_spark.operators.agg import exact_quantiles
+
+    # values 1..5: p50 = 3, p25 = 2 (h = 4*0.25 = 1 -> exactly idx 1),
+    # p75 = 4, and p90 interpolates h = 3.6 -> 4 + 0.6*(5-4) = 4.6
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5]] + [("b", 10.0)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    out = exact_quantiles(df, "k", ["v"], [0.25, 0.5, 0.75, 0.9])
+    got = {(r.k, r.p): r.v_q for r in out.collect()}
+    assert got[("a", 0.25)] == 2.0
+    assert got[("a", 0.5)] == 3.0
+    assert got[("a", 0.75)] == 4.0
+    assert abs(got[("a", 0.9)] - 4.6) < 1e-12
+    # single-value group: every quantile is that value
+    assert got[("b", 0.5)] == 10.0 and got[("b", 0.9)] == 10.0
+
+
+def test_exact_quantiles_multi_column_single_agg(spark):
+    from gcpdatapipelines_spark.operators.agg import exact_quantiles
+
+    rows = [("a", 1.0, 100.0), ("a", 3.0, 300.0)]
+    df = spark.createDataFrame(rows, "k STRING, x DOUBLE, y DOUBLE")
+    out = exact_quantiles(df, "k", ["x", "y"], [0.5])
+    r = out.collect()[0]
+    assert (r.x_q, r.y_q) == (2.0, 200.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both columns share one aggregate (no second shuffle); count only
+    # the AQE final plan, not the echoed initial plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 1
