@@ -104,3 +104,52 @@ def topk_per_stratum(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_weights: dict[str, float],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Rebalance a corpus to an EXACT target domain mixture at maximum
+    yield — the DoReMi/Pile-style "domain reweighting" step a training
+    pipeline runs before tokenization.
+
+    Given target proportions ``target_weights`` (domain -> weight,
+    summing to 1), the kept sample satisfies E[n_kept(s)] = C * w_s
+    with the largest C for which no domain needs more rows than it
+    has: C = min_s(n_s / w_s). Domains absent from the weight map are
+    dropped. Selection is the deterministic md5 hash-bucket filter
+    (same rows every run/engine/layout); the per-domain rate is
+    rate_s = C * w_s / n_s, computed DISTRIBUTED: one partial-agg
+    count per domain, one global min — both tiny aggregates — then a
+    broadcast join back, so no driver-side collect and no second scan
+    of the corpus.
+
+    Returns the kept rows with a ``mix_rate`` column (the domain's
+    sampling rate). Exact IEEE parity of the rate across engines holds
+    because it is a fixed chain of integer-to-double divisions of
+    identical inputs — pin the weight literals textually when writing
+    an oracle twin.
+    """
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in kv]
+    )[F.col(domain_col)]
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    ratios = counts.withColumn("__w", w_expr).filter(F.col("__w").isNotNull())
+    c = ratios.agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__c")
+    )
+    rates = ratios.crossJoin(F.broadcast(c)).select(
+        domain_col,
+        (
+            F.col("__c") * F.col("__w") / F.col("__n").cast("double")
+        ).alias("mix_rate"),
+    )
+    out = df.join(F.broadcast(rates), domain_col)
+    return out.filter(
+        hash_bucket(F.col(key_col), buckets).cast("double")
+        < F.col("mix_rate") * buckets
+    )

@@ -3997,6 +3997,42 @@ def a18_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_domain_mix",
+    f"""
+    WITH w(source, w) AS (
+        VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+               ('src2', CAST(0.2 AS DOUBLE))
+    ), counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), r AS (
+        SELECT c.source, c.n, w.w FROM counts c JOIN w USING (source)
+    ), cc AS (
+        SELECT min(CAST(n AS DOUBLE) / w) AS c FROM r
+    ), rates AS (
+        SELECT source, (cc.c * w / CAST(n AS DOUBLE)) AS mix_rate FROM r, cc
+    )
+    SELECT d.doc_id, d.source, round(rates.mix_rate, 6) AS mix_rate
+    FROM documents d JOIN rates USING (source)
+    WHERE {_BUCKET_SQL.format(key="doc_id")} < rates.mix_rate * 10000
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (DoReMi/Pile shape): resample the
+    corpus to exact 50/30/20 proportions over three sources at maximum
+    yield (C = min n_s/w_s — the binding domain keeps rate 1.0),
+    dropping unlisted sources. Rates are computed distributed (two
+    tiny aggregates + broadcast join), selection is the deterministic
+    md5 bucket — same rows on any engine/cluster layout."""
+    from .operators.sample import domain_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = domain_mixture_sample(
+        docs, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source", F.round("mix_rate", 6).alias("mix_rate"))
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

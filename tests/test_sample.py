@@ -101,3 +101,36 @@ def test_topk_per_stratum_exact_k_and_deterministic(spark):
         for r in topk_per_stratum(c, "c_custkey", "c_mktsegment", 3).collect()
     }
     assert a == b
+
+
+def test_domain_mixture_exact_proportions_max_yield(spark):
+    from gcpdatapipelines_spark.operators.sample import domain_mixture_sample
+
+    # a: 100 rows, b: 50, c: 200 (dropped — not in weights)
+    rows = [(i, "a") for i in range(100)]
+    rows += [(1000 + i, "b") for i in range(50)]
+    rows += [(2000 + i, "c") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    out = domain_mixture_sample(df, "source", "doc_id", {"a": 0.5, "b": 0.5})
+    rates = {r.source: r.mix_rate for r in out.select("source", "mix_rate").distinct().collect()}
+    # C = min(100/0.5, 50/0.5) = 100 -> expected 50 a's, 50 b's
+    assert rates == {"a": 0.5, "b": 1.0}
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in per  # unlisted domain dropped
+    assert per["b"] == 50  # binding domain fully kept
+    assert 35 <= per["a"] <= 65  # ~50 expected, hash-bucket variance
+
+
+def test_domain_mixture_deterministic_and_no_extra_scan(spark):
+    from gcpdatapipelines_spark.operators.sample import domain_mixture_sample
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    out1 = {r.doc_id for r in domain_mixture_sample(df, "source", "doc_id", {"a": 0.7, "b": 0.3}).collect()}
+    out2 = {r.doc_id for r in domain_mixture_sample(df, "source", "doc_id", {"a": 0.7, "b": 0.3}).collect()}
+    assert out1 == out2  # same rows every run
+    plan = (
+        domain_mixture_sample(df, "source", "doc_id", {"a": 0.7, "b": 0.3})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
