@@ -1142,3 +1142,49 @@ def norm_stats_per_label(
         ).alias("mean_norm"),
         F.round(F.max("__norm"), ndigits).alias("max_norm"),
     )
+
+
+def pq_build_sample(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+) -> DataFrame:
+    """Deterministic sample codebooks: centroid j of every subspace is
+    the j-th lowest-id vector's subvector (the random-sample quantizer
+    baseline; :func:`pq_build` is the k-means-trained upgrade with the
+    identical (sub_id, cent_id, cent_vec) contract). Zero training
+    cost and engine-reproducible, which makes the FULL encode + ADC
+    pipeline oracle-checkable — the same trick ivf_build plays for
+    sim_ivf_exhaustive."""
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+    ranked = seeds.select((rn).alias("cent_id"), "__v")
+    return ranked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub_id"),
+                    F.slice(F.col("__v"), s * dsub + 1, dsub).alias("cent_vec"),
+                ),
+            )
+        ).alias("__e"),
+        "cent_id",
+    ).select(
+        F.col("__e.sub_id").alias("sub_id"), "cent_id", F.col("__e.cent_vec").alias("cent_vec")
+    )

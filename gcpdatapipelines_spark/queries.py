@@ -4033,6 +4033,78 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.round("mix_rate", 6).alias("mix_rate"))
 
 
+_PQ_D2_SQL = (
+    "list_reduce(list_transform(generate_series(1, 16), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "sim_pq_adc",
+    f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), seeds AS (
+        SELECT vec, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+    ), subs4 AS (
+        SELECT unnest(generate_series(0, 3)) AS sub_id
+    ), cb AS (
+        SELECT s4.sub_id, c.cent_id,
+               c.vec[s4.sub_id*16 + 1 : s4.sub_id*16 + 16] AS cent_vec
+        FROM seeds c, subs4 s4
+    ), corpus_subs AS (
+        SELECT vec_id, s4.sub_id,
+               vec[s4.sub_id*16 + 1 : s4.sub_id*16 + 16] AS sub_vec
+        FROM v, subs4 s4
+    ), scored AS (
+        SELECT vec_id, cs.sub_id, cb.cent_id,
+               {_PQ_D2_SQL.format(a='cs.sub_vec', b='cb.cent_vec')} AS d2
+        FROM corpus_subs cs JOIN cb ON cs.sub_id = cb.sub_id
+    ), best AS (
+        SELECT vec_id, sub_id, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                         ORDER BY d2, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), lut AS (
+        SELECT cs.vec_id AS q_id, cb.sub_id, cb.cent_id,
+               {_PQ_D2_SQL.format(a='cs.sub_vec', b='cb.cent_vec')} AS d2
+        FROM corpus_subs cs JOIN cb ON cs.sub_id = cb.sub_id
+        WHERE cs.vec_id < 3
+    ), dists AS (
+        SELECT l.q_id, b.vec_id, round(sum(l.d2), 6) AS adc_dist
+        FROM best b JOIN lut l
+          ON l.sub_id = b.sub_id AND l.cent_id = b.cent_id
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, vec_id) AS rnk
+        FROM dists WHERE q_id <> vec_id
+    )
+    SELECT q_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 with the deterministic SAMPLE
+    codebook (m=4 subspaces, ksub=16): the full encode + asymmetric-
+    distance pipeline — LUT build, m-byte-per-row corpus scan, per-
+    query rank — proven oracle-green end to end. The k-means-trained
+    codebook (pq_build / opq_train) swaps in with the identical
+    contract; its recall is pinned in tests/test_similarity.py. Ranks
+    order by ROUNDED distance + id (NOTES.md rank rule), and every
+    distance is a fixed-order fold so engines agree bitwise."""
+    from .operators.similarity import pq_build_sample, pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_build_sample(emb, m=4, ksub=16)
+    codes = pq_encode(emb, cb)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_topk(codes, cb, qs, k=10)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

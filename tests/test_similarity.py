@@ -448,3 +448,31 @@ def test_opq_end_to_end_retrieval_via_pq_topk(spark):
     # sanity floor: far above chance (10/400 = 0.025) for 8-centroid,
     # 4-subspace codes on 16 dims — absolute recall is codebook-bounded
     assert r_opq > 0.3, r_opq
+
+
+def test_pq_build_sample_contract_and_determinism(spark):
+    from gcpdatapipelines_spark.operators.similarity import (
+        pq_build_sample,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb_small = read_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_build_sample(emb_small, m=4, ksub=4)
+    rows = cb.collect()
+    # m*ksub rows, dsub-length centroids, ids in range
+    assert len(rows) == 16
+    assert all(len(r.cent_vec) == len(emb_small.first().embedding) // 4 for r in rows)
+    assert {r.sub_id for r in rows} == {0, 1, 2, 3}
+    assert {r.cent_id for r in rows} == {0, 1, 2, 3}
+    # centroid j == subvector of the j-th lowest-id vector
+    low = [r.embedding for r in emb_small.orderBy("vec_id").limit(4).collect()]
+    d = len(low[0]) // 4
+    for r in rows:
+        want = [float(x) for x in low[r.cent_id][r.sub_id * d:(r.sub_id + 1) * d]]
+        assert r.cent_vec == want
+    # the ADC pipeline runs on the sample codebook with the same contract
+    codes = pq_encode(emb_small, cb)
+    qs = emb_small.limit(1).selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    out = pq_topk(codes, cb, qs, k=3).collect()
+    assert len(out) == 3 and [r.rnk for r in out] == [1, 2, 3]
