@@ -4105,6 +4105,45 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, cb, qs, k=10)
 
 
+@register(
+    "layout_zorder",
+    """
+    WITH b AS (
+        SELECT o_orderkey,
+               o_custkey % 1024 AS bx,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   % 1024 AS by
+        FROM orders
+    )
+    SELECT o_orderkey, bx, by,
+           ("""
+    + " | ".join(
+        f"(((bx >> {j}) & 1) << {j * 2}) | (((by >> {j}) & 1) << {j * 2 + 1})"
+        for j in range(10)
+    )
+    + """) AS z
+    FROM b
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (customer bucket, order-day
+    bucket) for every order — the OPTIMIZE ZORDER BY maintenance
+    primitive: files range-partitioned+sorted on z get tight footer
+    min/max on BOTH dimensions, so predicates on either prune file
+    scans (zorder_write in operators/layout.py does the rewrite; this
+    query oracle-proves the code itself, pure codegen'd integer
+    shifts). Bit j of each bucket lands at position 2j / 2j+1 —
+    identical arithmetic on both engines."""
+    from .operators.layout import with_zorder_key
+
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey % 1024 AS bx",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') % 1024 AS by",
+    )
+    return with_zorder_key(o, ["bx", "by"], bits=10, out_col="z")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
