@@ -166,6 +166,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (Chaudhuri et
+    al. SSJoin / Bayardo et al. All-Pairs, WWW 2007) — the lossless
+    scale path the all-shingles self-join can't be: each document only
+    exposes its p = |d| - ceil(t*|d|) + 1 globally-rarest shingles,
+    and two documents are candidates iff those prefixes share a
+    shingle. The prefix theorem guarantees every pair with
+    J >= t collides (NO false negatives — unlike LSH this is exact,
+    so the output EQUALS ngram_jaccard_pairs'), while stop-shingles
+    sort to the ends of the global (df, shingle) order and almost
+    never enter a prefix — the join's skew and size collapse without
+    a max_df recall trade-off.
+
+    Candidates are then re-scored with the exact Jaccard restricted to
+    candidate documents (whole-doc semi-join — per-doc shingle sets
+    stay complete, scores identical to the full corpus run).
+
+    Cost shape: one shingle-df aggregate (partial-agg), one per-doc
+    window for prefix ranks, a prefix-only equi-join (the pruned pair
+    generator), then the candidate-restricted verify. Everything keys
+    on shingle or doc id — no cartesian anywhere."""
+    from pyspark.sql import Window
+
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    plen = F.col("__n_sh") - F.ceil(F.lit(float(threshold)) * F.col("__n_sh")) + 1
+    pref = ranked.filter(F.col("__rn") <= plen).select(id_col, "shingle")
+    pa = pref.select(F.col(id_col).alias("id_1"), "shingle")
+    pb = pref.select(F.col(id_col).alias("id_2"), "shingle")
+    candidates = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+        .cache()
+    )
+    cand_ids = (
+        candidates.select(F.col("id_1").alias(id_col))
+        .union(candidates.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh_cand)
+    return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -4144,6 +4144,37 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_zorder_key(o, ["bx", "by"], bits=10, out_col="z")
 
 
+def _register_jaccard_prefix():
+    # Shares dedup_ngram_jaccard's oracle VERBATIM: prefix filtering is
+    # a LOSSLESS candidate generator (the prefix theorem — no false
+    # negatives at the threshold), so its verified output must equal
+    # the exact all-shingles self-join bit-for-bit. The green hash IS
+    # the proof the pruning loses nothing — the same evidence pattern
+    # as sim_embedding_neardup / sim_ivf_exhaustive.
+    @register("dedup_jaccard_prefix", ORACLE_SQL["dedup_ngram_jaccard"])
+    def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.dedup import jaccard_prefix_pairs
+
+        return jaccard_prefix_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n=5,
+            threshold=0.5,
+            shingles=_doc_shingles_cached(spark, sf_dir),
+        )
+
+    dedup_jaccard_prefix.__doc__ = (
+        "Prefix-filtered exact Jaccard pairs (All-Pairs/SSJoin): only "
+        "each doc's (1-t)|d|+1 rarest shingles enter the join; shares "
+        "dedup_ngram_jaccard's oracle verbatim — lossless by theorem, "
+        "proven by hash."
+    )
+
+
+_register_jaccard_prefix()
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

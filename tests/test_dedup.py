@@ -170,3 +170,57 @@ def test_duplicated_spans_no_pair_join_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard (All-Pairs / SSJoin)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_equals_exact_all_pairs(spark):
+    from gcpdatapipelines_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from gcpdatapipelines_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    for t in (0.3, 0.5):
+        exact = {
+            (r.id_1, r.id_2, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 5, t).collect()
+        }
+        pruned = {
+            (r.id_1, r.id_2, r.jaccard)
+            for r in jaccard_prefix_pairs(docs, "doc_id", "text", 5, t).collect()
+        }
+        assert pruned == exact  # lossless by the prefix theorem
+
+
+def test_jaccard_prefix_join_is_smaller_than_full(spark):
+    from gcpdatapipelines_spark.operators.dedup import doc_shingles, jaccard_prefix_pairs
+    from gcpdatapipelines_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", 5).cache()
+    n_all = sh.count()
+    # the prefix side of the candidate join carries ~(1-t) of each
+    # doc's shingles; at t=0.5 that's about half the full frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n_sh"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("__df", "shingle")),
+        )
+        .join(sizes, "doc_id")
+    )
+    plen = F.col("__n_sh") - F.ceil(F.lit(0.5) * F.col("__n_sh")) + 1
+    n_pref = ranked.filter(F.col("__rn") <= plen).count()
+    assert n_pref < 0.6 * n_all
