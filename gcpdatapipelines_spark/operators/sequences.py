@@ -176,3 +176,36 @@ def ema_series_per_key(
         F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
         F.round(F.col("__z.__s"), 6).alias(out_col),
     )
+
+
+def context_examples(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    k: int,
+    ctx_col: str = "context",
+    label_col: str = "label",
+) -> DataFrame:
+    """Sliding-window (context, label) training examples from each
+    key's chronological stream: for every event with at least ``k``
+    predecessors, the k previous values in order plus the current
+    value as the label — the sequence-model example constructor
+    (next-event prediction over clickstreams; swap value_col for
+    token columns and it is next-token data).
+
+    One window pass: collect_list over a (ts, tiebreak)-ordered
+    ROWS BETWEEN k PRECEDING AND 1 PRECEDING frame — the list order
+    follows the frame's total order, so examples are deterministic
+    under any partitioning. Rows with a short history are dropped
+    (size == k filter), matching what a trainer can batch."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(-k, -1)
+    )
+    out = df.withColumn(ctx_col, F.collect_list(F.col(value_col)).over(w))
+    return out.filter(F.size(ctx_col) == k).select(
+        key, ts_col, tiebreak, ctx_col, F.col(value_col).alias(label_col)
+    )

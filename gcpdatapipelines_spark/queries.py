@@ -4175,6 +4175,33 @@ def _register_jaccard_prefix():
 _register_jaccard_prefix()
 
 
+@register(
+    "seq_context_examples",
+    """
+    WITH w AS (
+        SELECT user_id, ts, event_id,
+               list(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS context,
+               event_type AS label
+        FROM events
+    )
+    SELECT user_id, ts, event_id, context, label
+    FROM w WHERE len(context) = 3
+    """,
+)
+def seq_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, label) next-event training examples: each event with
+    >= 3 predecessors becomes one example carrying its 3 previous
+    event types in order — the sequence-model example constructor,
+    one deterministic window pass (frame-ordered collect_list)."""
+    from .operators.sequences import context_examples
+
+    ev = _t(spark, sf_dir, "events")
+    return context_examples(ev, "user_id", "ts", "event_type", "event_id", k=3)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -211,3 +211,22 @@ def test_ema_series_per_key_full_series(spark):
     }
     # s_0=10, s_1=10*.5+20*.5=15, s_2=15*.5+30*.5=22.5
     assert out == {(1, 0): 10.0, (1, 1): 15.0, (1, 2): 22.5, (2, 9): 5.0}
+
+
+def test_context_examples_slide_and_drop_short(spark):
+    from gcpdatapipelines_spark.operators.sequences import context_examples
+
+    rows = [
+        (1, _ts(0), 1, "a"),
+        (1, _ts(1), 2, "b"),
+        (1, _ts(2), 3, "c"),
+        (1, _ts(3), 4, "d"),
+        (2, _ts(0), 5, "x"),  # only one event: no example
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"
+    )
+    out = context_examples(df, "user_id", "ts", "event_type", "event_id", k=2)
+    got = sorted((r.user_id, tuple(r.context), r.label) for r in out.collect())
+    # events c and d have >= 2 predecessors; contexts keep stream order
+    assert got == [(1, ("a", "b"), "c"), (1, ("b", "c"), "d")]
