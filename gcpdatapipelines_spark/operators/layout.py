@@ -1,19 +1,19 @@
-"""Data-layout optimization: Z-order (Morton) clustering keys.
+"""Engine-portable Z-order (Morton) interleave math.
 
-The lakehouse maintenance step (Delta ``OPTIMIZE ZORDER BY``, Iceberg
-``rewrite_data_files`` with a z-order strategy) that neither the
-reference nor plain Spark exposes: interleave the bits of several
-bounded dimension keys into one Morton code, then range-partition and
-sort files by it, so min/max footer stats prune file scans for
-predicates on ANY of the interleaved dimensions — not just the first
-sort key. At 100 TB this is the difference between a point query
-reading one file and reading every file.
-
-Everything here is a pure integer expression chain (shifts, masks,
-ors) built as ONE SQL string per column — whole-stage-codegen'd,
-engine-portable (the identical arithmetic runs on any ANSI engine),
-and exactly reproducible, which is what lets the catalog query be
-oracle-checked bit-for-bit.
+Companion to the production writer ``io.write_zorder_clustered``
+(quantile-binned Morton clustering — the OPTIMIZE ZORDER maintenance
+step; file-skipping asserted from real footers in
+tests/test_scale_ops.py). That writer rank-quantizes with
+approxQuantile, whose boundaries are engine-specific — correct for
+layout, impossible to oracle-check. This module carries the OTHER
+half: the raw interleave over caller-supplied bucket codes as a pure
+integer expression chain (shifts, masks, ors) in ONE SQL string —
+whole-stage-codegen'd, identical arithmetic on any ANSI engine, so
+the catalog query `layout_zorder` proves the Morton math bit-for-bit
+against DuckDB. Use explicit buckets (mod, datediff) when
+reproducibility across engines/runs matters more than equal-population
+cells; use io.zorder_column's quantile codes when balance under skew
+matters more.
 """
 
 from __future__ import annotations
@@ -50,27 +50,3 @@ def with_zorder_key(
     ``datediff(d, origin)`` for dates — because z-order locality only
     means anything over bounded, comparable bucket spaces."""
     return df.selectExpr("*", f"({zorder_sql(cols, bits)}) AS {out_col}")
-
-
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    bits: int = 16,
-    n_files: int = 8,
-) -> None:
-    """Rewrite ``df`` as ``n_files`` parquet files range-partitioned
-    AND sorted by the Morton code of ``cols`` — the OPTIMIZE ZORDER
-    shape: each output file owns a contiguous z-range, so its footer
-    min/max on every interleaved dimension is tight and a reader
-    prunes files for predicates on any of them. One range-exchange
-    (sampled boundaries) + per-partition sort; the z column is dropped
-    from the stored schema (it is derivable, not data)."""
-    keyed = with_zorder_key(df, cols, bits, "__z")
-    (
-        keyed.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )

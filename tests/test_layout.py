@@ -1,16 +1,12 @@
-"""Z-order layout: Morton-code semantics and the file-pruning payoff
-of zorder_write (non-overlapping per-file z ranges, tight min/max on
-both interleaved dimensions)."""
+"""Z-order layout: Morton-code semantics of the engine-portable
+interleave (the production quantile-binned writer io.write_zorder_clustered
+is covered by tests/test_scale_ops.py)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gcpdatapipelines_spark.operators.layout import (
-    with_zorder_key,
-    zorder_sql,
-    zorder_write,
-)
+from gcpdatapipelines_spark.operators.layout import with_zorder_key, zorder_sql
 
 
 def _morton2(x: int, y: int, bits: int = 16) -> int:
@@ -45,38 +41,3 @@ def test_zorder_sql_overflow_guard():
 
     with pytest.raises(ValueError):
         zorder_sql(["a", "b", "c", "d"], bits=16)  # 64 > 62 bits
-
-
-def test_zorder_write_partitions_are_disjoint_and_prunable(spark, tmp_path):
-    import itertools
-
-    rows = [(i, i % 64, (i * 7) % 64) for i in range(4096)]
-    df = spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
-    path = str(tmp_path / "zsorted")
-    zorder_write(df, path, ["x", "y"], bits=6, n_files=8)
-
-    back = spark.read.parquet(path)
-    assert back.count() == 4096
-    assert set(back.columns) == {"id", "x", "y"}  # derivable z not stored
-
-    # per-file z ranges must not overlap (the pruning contract)
-    per_file = (
-        back.withColumn("f", F.input_file_name())
-        .selectExpr("f", f"({zorder_sql(['x', 'y'], 6)}) AS z")
-        .groupBy("f")
-        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
-        .collect()
-    )
-    assert len(per_file) >= 2
-    for a, b in itertools.combinations(per_file, 2):
-        assert a.hi < b.lo or b.hi < a.lo
-
-    # and the payoff: a point predicate on x touches few files' ranges
-    spans = (
-        back.withColumn("f", F.input_file_name())
-        .groupBy("f")
-        .agg(F.min("x").alias("xlo"), F.max("x").alias("xhi"))
-        .collect()
-    )
-    hit = [s for s in spans if s.xlo <= 3 <= s.xhi]
-    assert len(hit) < len(spans)  # not every file matches x == 3
