@@ -210,11 +210,15 @@ def triangle_counts(pairs: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     u_lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # cached: the oriented edge list feeds BOTH wedge sides and the
+    # closing-edge probe — uncached, each consumer re-runs the
+    # degree-join pipeline (edge-list-sized, same footprint as the
+    # input; callers at 100 TB swap in a reliable checkpoint)
     d = e.select(
         F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).cache()
     e1 = d.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
     e2 = d.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
     wedges = e1.join(e2, "s").filter(
@@ -225,10 +229,11 @@ def triangle_counts(pairs: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     tri = wedges.join(closing, ["b", "c"]).select(
         F.col("s").alias("a"), "b", "c"
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+    # ONE execution of the wedge join: explode each triangle into its
+    # three member nodes (narrow) instead of a 3-way self-union that
+    # would re-run the join per branch
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
@@ -239,7 +244,8 @@ def pagerank(
     dst: str = "v",
     damping: float = 0.85,
     max_iter: int = 30,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
+    check_every: int = 5,
 ) -> DataFrame:
     """(node, rank) by power iteration over the UNDIRECTED graph
     (each edge contributes both directions), ranks summing to 1.
@@ -264,29 +270,58 @@ def pagerank(
     )
     out_edges = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = out_edges.groupBy("u").agg(F.count("*").alias("outdeg"))
-    norm = out_edges.join(deg, "u").select(
-        "u", "v", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).localCheckpoint()
     n = deg.count()
-    ranks = deg.select("u", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # Right-size the iteration partitioning to the graph, not to
+    # spark.sql.shuffle.partitions: per-iteration cost has a fixed
+    # floor per partition (task scheduling + checkpoint block), so a
+    # small graph on wide defaults pays 32x overhead for no
+    # parallelism, while a 100 TB edge list scales parts linearly.
+    # norm and ranks share one HashPartitioning on u, so the
+    # rank-contribution join is co-partitioned — the only shuffle per
+    # iteration is the groupBy(v) that the algorithm inherently needs.
+    parts = max(2, min(norm_parts_cap := 4096, n // 250_000 + 2))
+    norm = (
+        out_edges.join(deg, "u")
+        .select("u", "v", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(parts, "u")
+        .localCheckpoint()
+    )
+    ranks = (
+        deg.select("u", F.lit(1.0 / n).alias("rank"))
+        .repartition(parts, "u")
+        .localCheckpoint()
+    )
     base = (1.0 - damping) / n
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contrib = (
             norm.join(ranks, "u")
             .groupBy("v")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
         )
-        new_ranks = contrib.select(
-            F.col("v").alias("u"),
-            (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
-        ).localCheckpoint()
-        delta = (
-            new_ranks.withColumnRenamed("rank", "__new")
-            .join(ranks, "u")
-            .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
+        new_ranks = (
+            contrib.select(
+                F.col("v").alias("u"),
+                (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
+            )
+            .repartition(parts, "u")
+            .localCheckpoint()
         )
+        # Convergence checks are an EXTRA job per round (the join+agg
+        # below) on top of the checkpoint that materializes the round;
+        # amortize by probing every ``check_every`` iterations, or pass
+        # tol=None for a fixed-iteration run with zero probe jobs —
+        # right for rank-order consumers, where ~10 damped iterations
+        # already separate the ordering and exact L1 residual is
+        # irrelevant.
+        if tol is not None and (it % check_every == check_every - 1):
+            delta = (
+                new_ranks.withColumnRenamed("rank", "__new")
+                .join(ranks, "u")
+                .agg(F.sum(F.abs(F.col("__new") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta < tol:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if delta < tol:
-            break
     return ranks.select(F.col("u").alias("node"), "rank")
