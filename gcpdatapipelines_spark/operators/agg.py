@@ -217,3 +217,57 @@ def exact_quantiles(
         *[F.col("__z").getField(c).alias(f"{c}_q") for c in value_cols],
     )
     return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    id_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates from their group median by more than
+    ``k`` median-absolute-deviations — the robust outlier screen
+    (immune to the outliers inflating stddev, unlike z-scores).
+
+    Two exact-percentile aggregates (median, then median of absolute
+    deviations) + broadcast joins of the tiny per-key stats back to
+    the rows; the deviation comparison is a fixed double expression,
+    and exact interpolated medians are engine-bit-identical (see
+    exact_quantiles). Returns the flagged rows with (med, mad, dev).
+    Groups with MAD = 0 (over half the values identical) flag any
+    deviation > 0 — the conventional degenerate-case reading."""
+    med = df.groupBy(key).agg(F.expr(f"percentile({value_col}, 0.5D)").alias("med"))
+    joined = df.join(F.broadcast(med), key)
+    mad = (
+        joined.select(key, F.abs(F.col(value_col) - F.col("med")).alias("__ad"))
+        .groupBy(key)
+        .agg(F.expr("percentile(__ad, 0.5D)").alias("mad"))
+    )
+    out = joined.join(F.broadcast(mad), key).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    return out.filter(F.col("dev") > F.lit(float(k)) * F.col("mad")).select(
+        *id_cols, key, value_col, "med", "mad", F.round("dev", 6).alias("dev")
+    )
+
+
+def mode_per_key(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, mode, n): each key's most frequent value, smallest value
+    winning ties — DETERMINISTIC, unlike Spark's mode() aggregate
+    whose tie pick is arbitrary. One partial-agg count + one window
+    rank over the (key, count) space (|keys x distinct values| rows,
+    not data-sized)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key, value_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(key).orderBy(F.col("n").desc(), F.col(value_col))
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(key, F.col(value_col).alias("mode"), "n")
+    )

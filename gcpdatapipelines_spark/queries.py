@@ -4216,6 +4216,64 @@ def seq_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_examples(ev, "user_id", "ts", "event_type", "event_id", k=3)
 
 
+@register(
+    "a19_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), j AS (
+        SELECT e.event_id, e.user_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM j GROUP BY event_type
+    )
+    SELECT j.event_id, j.user_id, j.event_type, j.value, j.med, mad.mad,
+           round(abs(j.value - j.med), 6) AS dev
+    FROM j JOIN mad USING (event_type)
+    WHERE abs(j.value - j.med) > 3.0 * mad.mad
+    """,
+)
+def a19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: events whose value sits more than 3
+    median-absolute-deviations from their event-type median — the
+    resistant sibling of a13's z-scores (medians don't move when the
+    outliers themselves inflate the spread). Exact interpolated
+    medians, engine-bit-identical."""
+    from .operators.agg import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(
+        ev, "event_type", "value", ["event_id", "user_id"], k=3.0
+    )
+
+
+@register(
+    "a20_mode_per_key",
+    """
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n, mode
+    FROM (
+        SELECT o_orderpriority, o_orderstatus AS mode, count(*) AS n,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY count(*) DESC, o_orderstatus) AS r
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE r = 1
+    """,
+)
+def a20_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode (smallest value wins ties) — Spark's
+    own mode() picks ties arbitrarily, which can never be
+    oracle-checked; count + window rank can."""
+    from .operators.agg import mode_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    return mode_per_key(o, "o_orderpriority", "o_orderstatus").select(
+        "o_orderpriority", "n", "mode"
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -481,3 +481,34 @@ def test_exact_quantiles_multi_column_single_agg(spark):
     # the AQE final plan, not the echoed initial plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") <= 1
+
+
+def test_mad_outliers_flags_only_extremes(spark):
+    from gcpdatapipelines_spark.operators.agg import mad_outliers
+
+    # group a: tight cluster around 10 with one wild point
+    rows = [(i, "a", 10.0 + (i % 3) * 0.5) for i in range(9)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
+    out = mad_outliers(df, "event_type", "value", ["event_id"], k=3.0).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].med == 10.5 and out[0].mad == 0.5
+
+
+def test_mad_outliers_zero_mad_degenerate(spark):
+    from gcpdatapipelines_spark.operators.agg import mad_outliers
+
+    # >half identical values -> MAD 0: any deviation flags
+    rows = [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0), (4, "a", 5.1)]
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
+    out = mad_outliers(df, "event_type", "value", ["event_id"], k=3.0).collect()
+    assert [r.event_id for r in out] == [4]
+
+
+def test_mode_per_key_deterministic_tiebreak(spark):
+    from gcpdatapipelines_spark.operators.agg import mode_per_key
+
+    rows = [("k1", "b"), ("k1", "b"), ("k1", "a"), ("k2", "z"), ("k2", "y")]
+    df = spark.createDataFrame(rows, "k STRING, v STRING")
+    got = {(r.k): (r.mode, r.n) for r in mode_per_key(df, "k", "v").collect()}
+    assert got["k1"] == ("b", 2)
+    assert got["k2"] == ("y", 1)  # tie at 1 -> smallest value wins
