@@ -4274,6 +4274,62 @@ def a20_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_cluster_best():
+    # Reuses dedup_cluster_assign's recursive-CTE closure verbatim and
+    # swaps only the keep policy: canonical = the LONGEST member
+    # (n_chars desc, id tiebreak) instead of min-id — the "keep the
+    # most complete copy" dedup policy a corpus build actually wants.
+    base = ORACLE_SQL["dedup_cluster_assign"].rsplit("SELECT d.doc_id", 1)[0]
+    oracle = base + """SELECT doc_id, cluster_id, n_chars,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1) AS is_kept
+    FROM (
+        SELECT d.doc_id, d.n_chars,
+               CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+    )
+    """
+
+    @register("dedup_cluster_best", oracle)
+    def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from .operators.dedup import ngram_jaccard_pairs
+        from .operators.graph import cluster_assignments
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=5,
+            threshold=0.5,
+            shingles=_doc_shingles_cached(spark, sf_dir, 5),
+        ).select("id_1", "id_2")
+        assigned = cluster_assignments(docs, pairs, "doc_id").select(
+            "doc_id", "cluster_id", "n_chars"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        return assigned.select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.row_number().over(w) == 1).alias("is_kept"),
+        )
+
+    dedup_cluster_best.__doc__ = (
+        "Quality-aware dedup keep policy: clusters = transitive closure "
+        "of the Jaccard>=0.5 pair graph (same CC as dedup_cluster_assign), "
+        "canonical = the longest member — one window pass on top of the "
+        "cluster labels; singletons keep themselves."
+    )
+
+
+_register_cluster_best()
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

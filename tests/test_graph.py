@@ -188,3 +188,24 @@ def test_pagerank_matches_dense_solver(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_cluster_best_pick_longest(spark):
+    """Quality-aware canonical: the longest member of each component
+    is kept (policy window over cluster_assignments)."""
+    from pyspark.sql import Window
+    from gcpdatapipelines_spark.operators.graph import cluster_assignments
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 70), (9, 10)], "doc_id BIGINT, n_chars BIGINT"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_1 BIGINT, id_2 BIGINT")
+    assigned = cluster_assignments(docs, pairs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    out = assigned.select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("is_kept")
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_kept) for r in out.collect()}
+    assert got[2] == (1, True)  # longest of {1,2,3} kept, cluster id = min
+    assert got[1] == (1, False) and got[3] == (1, False)
+    assert got[9] == (9, True)  # singleton keeps itself
