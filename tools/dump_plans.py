@@ -94,6 +94,42 @@ HEADLINERS = {
         "Decimal moving sum in a rowsBetween frame over one (user, ts) "
         "sort — engine-exact means with a single exchange."
     ),
+    "ts_gapfill_ffill": (
+        "Per-key day grid via sequence+explode (narrow, no global "
+        "calendar cross join); grid join and forward-fill window share "
+        "the (user, day) partitioning."
+    ),
+    "dedup_span_detect": (
+        "No document-pair join anywhere: one shingle-frequency shuffle "
+        "(partial-agg count-distinct), one equi-join back on shingle, "
+        "then per-doc gaps-and-islands windows on one (doc) partitioning."
+    ),
+    "dedup_jaccard_prefix": (
+        "Prefix-filtered All-Pairs: the candidate join sees only each "
+        "doc's rarest (1-t)|d|+1 shingles; verify restricted to "
+        "candidate docs by semi-join. Lossless (shares the exact "
+        "oracle); no cartesian."
+    ),
+    "graph_triangles": (
+        "Degree-oriented wedge join (out-degree O(sqrt m) bounds the "
+        "only super-linear step); triangles exploded once into member "
+        "nodes — no 3-way self-union re-execution."
+    ),
+    "w15_attribution": (
+        "Both attribution models from ONE strictly-preceding window "
+        "frame (last+first ignorenulls share the sort); two channel "
+        "rollups are partial-agg."
+    ),
+    "sim_pq_adc": (
+        "ADC scan reads only the m-int codes (posexplode) against a "
+        "broadcast per-query LUT — the corpus vectors are never touched "
+        "at query time; the m-bytes-per-row scan is PQ's point."
+    ),
+    "layout_zorder": (
+        "Morton interleave as a pure codegen'd shift/or chain over "
+        "pre-bucketed ints — no exchange at all until a writer "
+        "range-partitions on z."
+    ),
 }
 
 
