@@ -237,3 +237,44 @@ def test_text_repetition_single_scan_single_exchange(spark):
     assert len(P.scan_columns(df)) == 1, plan
     assert P.num_exchanges(df) == 1, plan
     assert len(P.join_strategies(df)) == 0, plan
+
+
+def test_ts_gapfill_no_cartesian_no_bnlj(spark):
+    """The day grid must come from per-key sequence+explode, never a
+    cross join against a global calendar."""
+    df = _q(spark, "ts_gapfill_ffill")
+    strategies = set(P.join_strategies(df))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_span_detect_no_pair_join(spark):
+    """Span detection never compares documents: only shingle/doc-id
+    equi-joins may appear."""
+    df = _q(spark, "dedup_span_detect")
+    strategies = set(P.join_strategies(df))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_jaccard_prefix_no_cartesian(spark):
+    df = _q(spark, "dedup_jaccard_prefix")
+    strategies = set(P.join_strategies(df))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_pq_adc_lut_is_broadcast(spark):
+    """The per-query LUT joins against the m-int codes by broadcast —
+    the corpus side must never shuffle for the LUT."""
+    df = _q(spark, "sim_pq_adc")
+    strategies = P.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in set(strategies)
+
+
+def test_layout_zorder_no_exchange(spark):
+    """The Morton key is a pure projection — zero shuffles until a
+    writer chooses to range-partition on it."""
+    df = _q(spark, "layout_zorder")
+    assert P.num_exchanges(df) == 0, P.formatted_plan(df)
