@@ -54,3 +54,107 @@ def profile_columns(
     return wide.selectExpr("__n_rows AS n_rows", stack).select(
         "col_name", "n_rows", "n_nonnull", "n_distinct", "min_num", "max_num"
     )
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_distinct, entropy): Shannon entropy (nats) of each
+    column's value distribution — the one-number skew/uniformity
+    signal a profiling pass wants next to distinct counts (entropy 0 =
+    constant column; ln(n_distinct) = perfectly uniform).
+
+    One count aggregate per column over a single unpivoted scan
+    (explode of (col, value) pairs — same one-scan shape as
+    profile_columns), then entropy = ln(N) - sum(c*ln(c))/N from the
+    per-value counts: that algebraic form needs only ONE pass over the
+    count table and is the textual formula the oracle mirrors. NULLs
+    are excluded (they are a missing-ness signal, profiled separately).
+    """
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("col_name"), F.col(c).cast("string").alias("val"))
+            for c in cols
+        ]
+    )
+    long = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col_name", "p.val")
+        .filter(F.col("val").isNotNull())
+    )
+    counts = long.groupBy("col_name", "val").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("c").alias("__n"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "__clogc"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_distinct",
+            F.round(
+                F.log(F.col("__n").cast("double"))
+                - F.col("__clogc") / F.col("__n").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def drift_psi(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column over fixed-width bins on [lo, hi): one row
+    (psi, n_base, n_current); conventional reading: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted.
+
+    PSI = sum_bins (p_b - q_b) * ln(p_b / q_b) with proportions
+    floored at ``eps`` so empty bins don't produce infinities. Fixed
+    (not quantile) bins keep the comparison engine-exact and stable
+    across rounds — the same determinism trade histogram_fixed_width
+    makes. Each side is one partial-agg histogram; the join is on the
+    <= nbins bin ids."""
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        idx = F.floor(
+            (F.col(value_col) - F.lit(lo)) / F.lit((hi - lo) / nbins)
+        ).cast("int")
+        clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(clamped.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    b = hist(base, "nb")
+    c = hist(current, "nc")
+    bins = base.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = j.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    p = F.greatest(F.col("nb").cast("double") / F.col("tb"), F.lit(float(eps)))
+    q = F.greatest(F.col("nc").cast("double") / F.col("tc"), F.lit(float(eps)))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(((p - q) * F.log(p / q)).alias("__term"), "nb", "nc")
+        .agg(
+            F.round(F.sum("__term"), 6).alias("psi"),
+            F.sum("nb").alias("n_base"),
+            F.sum("nc").alias("n_current"),
+        )
+    )

@@ -4330,6 +4330,83 @@ def _register_cluster_best():
 _register_cluster_best()
 
 
+@register(
+    "profile_entropy",
+    """
+    WITH long AS (
+        SELECT 'lang' AS col_name, lang AS val FROM documents
+        WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source', source FROM documents WHERE source IS NOT NULL
+    ), counts AS (
+        SELECT col_name, val, count(*) AS c FROM long GROUP BY 1, 2
+    )
+    SELECT col_name, count(*) AS n_distinct,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy
+    FROM counts GROUP BY col_name
+    """,
+)
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the lang and source distributions — the
+    uniformity/skew signal beside profile_orders' distinct counts
+    (0 = constant, ln(n_distinct) = uniform). One unpivoted scan, one
+    count aggregate, entropy in the single-pass ln(N) - sum(c ln c)/N
+    form mirrored textually by the oracle."""
+    from .operators.profile import column_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return column_entropy(docs, ["lang", "source"])
+
+
+@register(
+    "drift_psi",
+    """
+    WITH base AS (
+        SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9)
+                   AS bin, count(*) AS nb
+        FROM events WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+        GROUP BY 1
+    ), cur AS (
+        SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9)
+                   AS bin, count(*) AS nc
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+        GROUP BY 1
+    ), bins AS (
+        SELECT unnest(generate_series(0, 9)) AS bin
+    ), j AS (
+        SELECT bins.bin, COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+        FROM bins LEFT JOIN base ON bins.bin = base.bin
+        LEFT JOIN cur ON bins.bin = cur.bin
+    ), tot AS (
+        SELECT CAST(sum(nb) AS DOUBLE) AS tb, CAST(sum(nc) AS DOUBLE) AS tc,
+               CAST(sum(nb) AS BIGINT) AS n_base,
+               CAST(sum(nc) AS BIGINT) AS n_current
+        FROM j
+    )
+    SELECT round(sum((greatest(nb / tb, 1e-06) - greatest(nc / tc, 1e-06))
+                     * ln(greatest(nb / tb, 1e-06)
+                          / greatest(nc / tc, 1e-06))), 6) AS psi,
+           any_value(n_base) AS n_base, any_value(n_current) AS n_current
+    FROM j, tot
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half of the month vs second — the standard drift monitor a
+    feature pipeline runs between training and serving windows. Fixed
+    0-500 range in 10 bins (engine-exact determinism, the
+    histogram_fixed_width trade); two partial-agg histograms + a
+    <=10-row join."""
+    from .operators.profile import drift_psi as _psi
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < "2024-01-16")
+    cur = ev.filter(F.col("ts") >= "2024-01-16")
+    return _psi(base, cur, "value", lo=0.0, hi=500.0, nbins=10)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

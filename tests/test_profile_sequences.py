@@ -230,3 +230,37 @@ def test_context_examples_slide_and_drop_short(spark):
     got = sorted((r.user_id, tuple(r.context), r.label) for r in out.collect())
     # events c and d have >= 2 predecessors; contexts keep stream order
     assert got == [(1, ("a", "b"), "c"), (1, ("b", "c"), "d")]
+
+
+def test_column_entropy_constant_and_uniform(spark):
+    import math
+
+    from gcpdatapipelines_spark.operators.profile import column_entropy
+
+    rows = [("a", "x"), ("a", "y"), ("a", "z"), ("a", None)]
+    df = spark.createDataFrame(rows, "c1 STRING, c2 STRING")
+    got = {r.col_name: (r.n_distinct, r.entropy) for r in column_entropy(df, ["c1", "c2"]).collect()}
+    assert got["c1"] == (1, 0.0)  # constant column
+    # c2: three equally-likely values, NULL excluded -> ln(3)
+    assert got["c2"][0] == 3
+    assert abs(got["c2"][1] - round(math.log(3), 6)) < 1e-9
+
+
+def test_drift_psi_identical_and_shifted(spark):
+    from gcpdatapipelines_spark.operators.profile import drift_psi
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "value DOUBLE")
+    same = drift_psi(a, a, "value", lo=0.0, hi=100.0, nbins=10).collect()[0]
+    assert same.psi == 0.0 and same.n_base == 100 == same.n_current
+    # hard shift: all mass moves to the top bin
+    b = spark.createDataFrame([(99.0,)] * 100, "value DOUBLE")
+    shifted = drift_psi(a, b, "value", lo=0.0, hi=100.0, nbins=10).collect()[0]
+    assert shifted.psi > 0.25  # conventional "shifted" threshold
+
+
+def test_drift_psi_out_of_range_clamped(spark):
+    from gcpdatapipelines_spark.operators.profile import drift_psi
+
+    a = spark.createDataFrame([(-5.0,), (500.0,)], "value DOUBLE")
+    row = drift_psi(a, a, "value", lo=0.0, hi=100.0, nbins=10).collect()[0]
+    assert row.psi == 0.0 and row.n_base == 2  # clamped into edge bins, not dropped
