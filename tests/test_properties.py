@@ -225,3 +225,100 @@ def test_event_sequences_are_permutation_of_inputs(spark, rows):
     assert {k: sorted(v) for k, v in out.items()} == {
         k: sorted(v) for k, v in want.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators
+# ---------------------------------------------------------------------------
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+DOC_TEXT = st.lists(WORDS, min_size=1, max_size=14).map(" ".join)
+DOCS = st.lists(DOC_TEXT, min_size=2, max_size=8)
+
+
+@given(docs=DOCS, t=st.sampled_from([0.3, 0.5, 0.7]))
+@SLOW
+def test_prefix_filter_lossless_any_corpus(spark, docs, t):
+    """jaccard_prefix_pairs must equal the exact all-pairs join for ANY
+    corpus and threshold — the prefix theorem has no luck component."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id BIGINT, text STRING")
+    exact = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, t).collect()
+    }
+    pruned = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in jaccard_prefix_pairs(df, "doc_id", "text", 3, t).collect()
+    }
+    assert pruned == exact
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@SLOW
+def test_morton_bijective_on_domain(spark, pts):
+    """Distinct (x, y) pairs must get distinct z codes (interleaving is
+    a bijection on the bounded domain)."""
+    from gcpdatapipelines_spark.operators.layout import with_zorder_key
+
+    df = spark.createDataFrame(pts, "x BIGINT, y BIGINT")
+    out = with_zorder_key(df, ["x", "y"], bits=8).collect()
+    assert len({r.z for r in out}) == len(pts)
+    assert all(0 <= r.z < (1 << 16) for r in out)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # key
+            st.integers(min_value=0, max_value=6),  # day offset
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_gapfill_invariants(spark, obs):
+    """For any observation set: the filled series is dense per key,
+    observed rows keep their value, and gap rows copy the most recent
+    observed value."""
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.timeseries import gapfill_ffill, resample_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(days=d, hours=1), float(v)) for k, d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    filled = gapfill_ffill(
+        resample_sum(df, "user_id", "ts", "value", unit="day"), "user_id", unit="day"
+    ).collect()
+    by_key: dict = {}
+    for r in filled:
+        by_key.setdefault(r.user_id, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.bucket)
+        days = [r.bucket.day for r in rs]
+        assert days == list(range(days[0], days[-1] + 1))  # dense span
+        assert rs[0].is_gap is False  # first point observed
+        last = None
+        for r in rs:
+            if r.is_gap:
+                assert r.value == last  # copied forward
+            last = r.value
