@@ -143,6 +143,63 @@ def read_csv_with_rejects(
     return good, rejects
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-Lines read — the interchange format every LLM training-data
+    pipeline speaks (one JSON document per line). With ``schema`` (DDL
+    or BQ compact string) the read is single-pass; without it Spark
+    runs an extra schema-inference scan — fine interactively, pass the
+    schema in pipelines (the S5-vs-S1 trade, SURVEY §2.1)."""
+    if schema is not None and ":" in schema and " " not in schema.split(",")[0].strip():
+        schema = bq_string_schema_to_ddl(schema)
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_jsonl_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    cache: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Declared-schema JSONL read that quarantines malformed lines —
+    same contract and PERMISSIVE/corrupt-sentinel mechanics as
+    read_csv_with_rejects (including the ``cache`` lifecycle note
+    there). Returns (good, rejects(raw))."""
+    if ":" in schema and " " not in schema.split(",")[0].strip():
+        schema = bq_string_schema_to_ddl(schema)
+    full = schema + ", __corrupt STRING"
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__corrupt")
+        .schema(full)
+        .json(path)
+    )
+    if cache:
+        df = df.cache()
+    good = df.filter(F.col("__corrupt").isNull()).drop("__corrupt")
+    rejects = df.filter(F.col("__corrupt").isNotNull()).select(
+        F.col("__corrupt").alias("raw")
+    )
+    return good, rejects
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-Lines write, one object per line, gzip by default (the
+    conventional .jsonl.gz shard shape; pass None for plain text).
+    Partition count upstream controls shard count — compose with
+    repartition/compact_parquet-style sizing for fixed-size shards."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 # columns stored as parquet TIMESTAMP(NANOS): surfaced as int64 nanos
 # under spark.sql.legacy.parquet.nanosAsLong and converted to
 # TimestampType (us) here — same truncation DuckDB applies on read.

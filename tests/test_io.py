@@ -122,3 +122,58 @@ def test_merge_schema_read_unifies_evolved_files(spark, tmp_path):
     assert set(df.columns) == {"id", "v1", "v2"}
     rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+# ---------------------------------------------------------------------------
+# JSONL
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from gcpdatapipelines_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path, compression=None)
+    back = read_jsonl(spark, path, "id BIGINT, name STRING, score DOUBLE")
+    assert {tuple(r) for r in back.collect()} == {(1, "alpha", 1.5), (2, "beta", None)}
+
+
+def test_jsonl_write_gzip_default(spark, tmp_path):
+    import glob
+
+    from gcpdatapipelines_spark.io import write_jsonl
+
+    df = spark.createDataFrame([(1, "x")], "id BIGINT, v STRING")
+    path = str(tmp_path / "gz")
+    write_jsonl(df, path)
+    assert glob.glob(f"{path}/part-*.json.gz")
+
+
+def test_jsonl_rejects_quarantined(spark, tmp_path):
+    from gcpdatapipelines_spark.io import read_jsonl_with_rejects
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+    )
+    good, rejects = read_jsonl_with_rejects(
+        spark, str(src), "id BIGINT, name STRING"
+    )
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    raws = [r.raw for r in rejects.collect()]
+    assert raws == ["this is not json"]
+
+
+def test_jsonl_bq_compact_schema_accepted(spark, tmp_path):
+    from gcpdatapipelines_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame([(7, "z")], "id BIGINT, name STRING")
+    path = str(tmp_path / "bq")
+    write_jsonl(df, path, compression=None)
+    back = read_jsonl(spark, path, "id:INTEGER,name:STRING")
+    assert back.collect()[0].id == 7
