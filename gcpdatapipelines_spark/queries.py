@@ -4407,6 +4407,30 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi(base, cur, "value", lo=0.0, hi=500.0, nbins=10)
 
 
+def _register_salted_count():
+    # Shares a1_count_per_key's oracle VERBATIM: two-phase salted
+    # aggregation must be result-invisible — the green hash puts the
+    # skew machinery itself (operators/skew.py) inside the official
+    # correctness gate instead of only the test suite.
+    @register("a21_count_salted", ORACLE_SQL["a1_count_per_key"])
+    def a21_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.skew import salted_count_per_key
+
+        out = salted_count_per_key(
+            _t(spark, sf_dir, "customer"), "c_mktsegment", salt_buckets=8
+        )
+        return out.select("c_mktsegment", F.col("cnt").cast("long").alias("cnt"))
+
+    a21_count_salted.__doc__ = (
+        "Hot-key-safe count per key: partial count per (key, salt) then "
+        "per-key sum — identical to the direct groupBy by construction; "
+        "shares a1's oracle verbatim."
+    )
+
+
+_register_salted_count()
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
