@@ -573,3 +573,50 @@ def upsert_sink_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+) -> None:
+    """Streaming drift monitor: every micro-batch's value distribution
+    is scored against a STATIC training-time baseline with PSI
+    (operators/profile.drift_psi) and appended, stamped with the batch
+    id, to a parquet metrics table — the serving-side observability
+    loop that tells you the feature distribution has left the training
+    window BEFORE model quality does.
+
+    foreachBatch composition: the batch side reuses the exact batch
+    operator (one fixed-bin histogram per side, <= nbins-row join), so
+    the monitor's number is definitionally comparable to the offline
+    PSI; the baseline histogram is dimension-sized and re-derived per
+    batch from the (tiny, cached) baseline frame. Exactly-once via the
+    checkpoint; an empty micro-batch is skipped rather than logged as
+    a degenerate all-eps PSI."""
+    from pyspark.sql import functions as F
+
+    from .operators.profile import drift_psi
+
+    baseline = baseline.cache()
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = drift_psi(
+            baseline, batch_df, value_col, lo=lo, hi=hi, nbins=nbins
+        ).withColumn("batch_id", F.lit(batch_id))
+        row.write.mode("append").parquet(metrics_path)
+
+    q = (
+        events.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

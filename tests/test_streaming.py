@@ -483,3 +483,32 @@ def test_upsert_sink_stream_merge_error_propagates(spark, tmp_path):
         )
     # old target untouched by the failed batch
     assert [r["other"] for r in spark.read.parquet(target).collect()] == ["orphan"]
+
+
+def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
+    """Each micro-batch's logged PSI must equal the batch operator run
+    on the same slice — the monitor is the batch metric, streamed."""
+    from gcpdatapipelines_spark.operators.profile import drift_psi
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("value").cache()
+    cur = ev.filter(F.col("event_id") % 2 == 1).select("value")
+
+    # stream the "current" slice through a file source
+    src = str(tmp_path / "src")
+    cur.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("value DOUBLE").parquet(src)
+
+    metrics = str(tmp_path / "metrics")
+    S.drift_monitor_stream(
+        stream, base, metrics, str(tmp_path / "ckpt"),
+        value_col="value", lo=0.0, hi=500.0, nbins=10,
+    )
+    logged = spark.read.parquet(metrics).collect()
+    assert len(logged) >= 1
+    want = drift_psi(base, cur, "value", lo=0.0, hi=500.0, nbins=10).collect()[0]
+    # availableNow over one static dir -> one micro-batch covering cur
+    got = logged[0]
+    assert got.n_current == want.n_current
+    assert got.psi == want.psi
+    assert got.batch_id == 0
