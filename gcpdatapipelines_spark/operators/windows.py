@@ -62,3 +62,27 @@ def tumbling_window_agg(
     return out.withColumn(window_alias, F.col("window.start")).drop("window").select(
         window_alias, *keys, *[c for c in out.columns if c not in ("window", *keys)]
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list,
+    window_alias: str = "window_start",
+) -> DataFrame:
+    """Batch sliding event-time window: window(ts, duration, slide)
+    assigns each row to its duration/slide overlapping windows (an
+    internal explode — duration/slide copies per row, the inherent
+    cost of overlap), then one partial+final aggregate per (window
+    [, keys]). Completes the windowing family next to tumbling
+    (tumbling_window_agg) and session (streaming.sessionize) — the
+    trailing-window rates/moving volumes shape. Emits the window start
+    as a plain timestamp for oracle comparability."""
+    win = F.window(F.col(ts_col), duration, slide)
+    out = df.groupBy(win, *keys).agg(*aggs)
+    return out.withColumn(window_alias, F.col("window.start")).drop("window").select(
+        window_alias, *keys, *[c for c in out.columns if c not in ("window", *keys)]
+    )

@@ -4431,6 +4431,47 @@ def _register_salted_count():
 _register_salted_count()
 
 
+@register(
+    "w16_sliding_window",
+    """
+    WITH x AS (
+        SELECT event_type, value,
+               unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                   AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def w16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide) per event type
+    — every event lands in its two covering windows (the oracle makes
+    the same assignment explicitly: starts at trunc(ts) and
+    trunc(ts)-1h), then one partial-agg rollup with decimal-exact
+    value sums. Completes w3's tumbling family with the trailing-rate
+    shape."""
+    from .operators.windows import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        ],
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

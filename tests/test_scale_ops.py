@@ -512,3 +512,18 @@ def test_mode_per_key_deterministic_tiebreak(spark):
     got = {(r.k): (r.mode, r.n) for r in mode_per_key(df, "k", "v").collect()}
     assert got["k1"] == ("b", 2)
     assert got["k2"] == ("y", 1)  # tie at 1 -> smallest value wins
+
+
+def test_sliding_window_each_row_in_two_windows(spark):
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.windows import sliding_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 10, 30)
+    df = spark.createDataFrame([(t0, "a", 1.0)], "ts TIMESTAMP, k STRING, v DOUBLE")
+    out = sliding_window_agg(
+        df, "ts", "2 hours", "1 hour", ["k"], [F.count("*").alias("n")]
+    ).collect()
+    starts = sorted(r.window_start for r in out)
+    assert starts == [dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 1, 10)]
+    assert all(r.n == 1 for r in out)
