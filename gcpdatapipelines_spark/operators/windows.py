@@ -86,3 +86,54 @@ def sliding_window_agg(
     return out.withColumn(window_alias, F.col("window.start")).drop("window").select(
         window_alias, *keys, *[c for c in out.columns if c not in ("window", *keys)]
     )
+
+
+def session_table(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    gap_minutes: int = 30,
+    conversion: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The session TABLE a product warehouse materializes: one row per
+    (key, session) with start/end, event count, decimal-exact value
+    sum, duration seconds, and a converted flag — the entity the w7
+    sessionizer only counts.
+
+    Same lag + running-sum session numbering as w7 (ONE total order
+    (ts, tiebreak) shared by both windows), then a partial-agg rollup
+    on (key, session). Duration is integer-microsecond arithmetic
+    divided once by 1e6, so it is engine-exact."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = df.withColumn(
+        "__new",
+        F.when(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w_ord))
+            > gap_us,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("__new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy(key, "sess_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1000000.0)
+        ).alias("duration_s"),
+        F.max((F.col(type_col) == conversion).cast("int")).alias("converted"),
+    )

@@ -4472,6 +4472,121 @@ def w16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w17_session_table",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch_us(ts) -
+                         epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, event_type, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM gaps
+    )
+    SELECT user_id, sess_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+               AS converted
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def w17_session_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized session table (one row per user-session:
+    bounds, event count, decimal-exact value, integer-microsecond
+    duration, converted flag) — w7 counts sessions, this builds the
+    entity the funnel/retention queries would join at scale. Both
+    windows share one (user, ts, event_id) sort."""
+    from .operators.windows import session_table
+
+    ev = _t(spark, sf_dir, "events")
+    return session_table(ev, "user_id", "ts", "event_id", "value")
+
+
+@register(
+    "j8_point_in_time_features",
+    """
+    WITH feat AS (
+        SELECT event_id, user_id, ts, event_type,
+               count(*) OVER w AS prior_events,
+               COALESCE(CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2)
+                             AS DOUBLE), 0.0) AS prior_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, prior_events, prior_value
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def j8_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time features: every purchase (the
+    training label row) carries the user's event count and
+    decimal-exact spend STRICTLY BEFORE the label's own timestamp —
+    the feature-store as-of contract that keeps future information out
+    of training rows. Expressed as one strictly-preceding window frame
+    (no self-join, no as-of lookup needed when features derive from
+    the same stream); for cross-table features the same contract runs
+    through joins.as_of_join (j6)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.withColumn("prior_events", F.count("*").over(w)).withColumn(
+        "prior_value",
+        F.coalesce(
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2).cast(
+                "double"
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "prior_events", "prior_value"
+    )
+
+
+@register(
+    "p20_percent_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+               AS price_pctile
+    FROM orders
+    """,
+)
+def p20_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-rank normalization: each order's price mapped to its
+    empirical percentile within its status group — the
+    distribution-free feature scaling ((rank-1)/(n-1), identical
+    integer arithmetic in both engines; id tiebreak makes ranks
+    total). One sort per group, no data-dependent bin edges to
+    drift."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("price_pctile"),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

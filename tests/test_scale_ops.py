@@ -527,3 +527,33 @@ def test_sliding_window_each_row_in_two_windows(spark):
     starts = sorted(r.window_start for r in out)
     assert starts == [dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 1, 10)]
     assert all(r.n == 1 for r in out)
+
+
+def test_session_table_bounds_and_conversion(spark):
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.windows import session_table
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def _m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, _m(0), 1, "view", 1.0),
+        (1, _m(10), 2, "purchase", 5.0),
+        (1, _m(90), 3, "view", 2.0),  # > 30-min gap: new session
+        (2, _m(0), 4, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = {(r.user_id, r.sess_id): r.asDict() for r in session_table(
+        df, "user_id", "ts", "event_id", "value"
+    ).collect()}
+    s0 = out[(1, 0)]
+    assert s0["n_events"] == 2 and s0["converted"] == 1
+    assert s0["duration_s"] == 600.0 and s0["total_value"] == 6.0
+    s1 = out[(1, 1)]
+    assert s1["n_events"] == 1 and s1["converted"] == 0 and s1["duration_s"] == 0.0
+    assert out[(2, 0)]["n_events"] == 1
