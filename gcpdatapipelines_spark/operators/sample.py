@@ -153,3 +153,44 @@ def domain_mixture_sample(
         hash_bucket(F.col(key_col), buckets).cast("double")
         < F.col("mix_rate") * buckets
     )
+
+
+def negative_samples(
+    keys: DataFrame,
+    key_col: str,
+    positives: DataFrame,
+    pos_key: str,
+    pos_item: str,
+    item_count: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every anchor key, ``k`` pseudo-random candidate items drawn by
+    the portable md5 hash (same candidates on any engine/run/layout),
+    minus any that are actually positives (anti-join) — the
+    (anchor, negative) side of a two-tower / contrastive dataset.
+
+    ``item_count`` is a 1-row frame with column ``np`` (the item-id
+    space size); it broadcasts, so the generator is a narrow explode —
+    no scan of the item table per anchor. Collision-dropped candidates
+    are NOT re-drawn (yield is k minus the tiny positive-collision
+    rate, ~|order|/|items|); callers needing exactly-k oversample and
+    window-trim. The anti-join shuffles on (key, item) — the same key
+    the positives table is already organized by."""
+    cand = keys.select(key_col).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    cand = cand.crossJoin(F.broadcast(item_count))
+    seed = F.concat(
+        F.col(key_col).cast("string"), F.lit("_"), F.col("i").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(seed.cast("binary")), 1, 8), 16, 10).cast("bigint")
+    cand = cand.withColumn("neg_item", (h % F.col("np")) + 1).drop("np")
+    pos = positives.select(
+        F.col(pos_key).alias("__pk"), F.col(pos_item).alias("__pi")
+    ).distinct()
+    return cand.join(
+        pos,
+        (cand[key_col] == F.col("__pk")) & (cand["neg_item"] == F.col("__pi")),
+        "left_anti",
+    )

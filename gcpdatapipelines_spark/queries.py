@@ -4587,6 +4587,44 @@ def p20_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_negatives",
+    """
+    WITH n AS (
+        SELECT max(p_partkey) AS np FROM part
+    ), cand AS (
+        SELECT o_orderkey, i,
+               (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                                     CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                % np) + 1 AS neg_partkey
+        FROM orders, n, (SELECT unnest(generate_series(0, 3)) AS i)
+    ), pos AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT c.o_orderkey, c.i, c.neg_partkey
+    FROM cand c LEFT JOIN pos p
+      ON p.l_orderkey = c.o_orderkey AND p.l_partkey = c.neg_partkey
+    WHERE p.l_orderkey IS NULL
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: 4 deterministic pseudo-random
+    candidate parts per order (portable md5 draw over the part-id
+    space), minus actual order contents by anti-join — the
+    (anchor, negative) generator for two-tower/recommendation
+    training. Narrow candidate explode + one anti-join on the
+    positives' own key; no per-anchor scan of the item table."""
+    from .operators.sample import negative_samples
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    np_df = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("np"))
+    out = negative_samples(
+        o, "o_orderkey", li, "l_orderkey", "l_partkey", np_df, k=4
+    )
+    return out.select("o_orderkey", "i", F.col("neg_item").alias("neg_partkey"))
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -134,3 +134,20 @@ def test_domain_mixture_deterministic_and_no_extra_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_negative_samples_exclude_positives_and_are_deterministic(spark):
+    from gcpdatapipelines_spark.operators.sample import negative_samples
+
+    keys = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    pos = spark.createDataFrame(
+        [(1, i) for i in range(1, 11)], "pk BIGINT, item BIGINT"
+    )  # anchor 1 owns items 1..10 of a 10-item space: NO valid negative
+    np_df = spark.createDataFrame([(10,)], "np BIGINT")
+    out = negative_samples(keys, "k", pos, "pk", "item", np_df, k=6).collect()
+    # anchor 1 can produce nothing; anchor 2 keeps all its draws
+    assert all(r.k == 2 for r in out)
+    assert all(1 <= r.neg_item <= 10 for r in out)
+    assert len(out) == 6
+    out2 = negative_samples(keys, "k", pos, "pk", "item", np_df, k=6).collect()
+    assert {(r.k, r.i, r.neg_item) for r in out} == {(r.k, r.i, r.neg_item) for r in out2}
