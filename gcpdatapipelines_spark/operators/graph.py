@@ -238,6 +238,35 @@ def triangle_counts(pairs: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
+def degree_histogram(
+    pairs: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """(degree, n_nodes): the degree distribution of an undirected
+    graph — the first diagnostic run on any similarity/co-occurrence
+    graph (a heavy tail here predicts skewed joins downstream; the
+    dedup pair graph's histogram decides whether the component map
+    fits a broadcast, see :func:`cluster_assignments`).
+
+    Two partial+final hash aggregates, both map-side combinable:
+    per-node degree over the exploded endpoints (narrow explode, no
+    self-join), then node count per degree. The second agg's keyspace
+    is tiny (distinct degrees), so the whole thing is two cheap
+    shuffles regardless of graph size."""
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    nodes = edges.select(
+        F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def pagerank(
     pairs: DataFrame,
     src: str = "u",

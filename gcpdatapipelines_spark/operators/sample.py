@@ -106,6 +106,32 @@ def topk_per_stratum(
     )
 
 
+def cap_per_group(
+    df: DataFrame, key_col: str, group_col: str, cap: int
+) -> DataFrame:
+    """Hard per-group cap: keep at most ``cap`` rows per group, picked
+    deterministically by (md5(key), key) order — the web-corpus
+    "max N documents per domain" rule (C4/RefinedWeb-style host
+    balancing), which bounds any single source's share of the corpus
+    regardless of how skewed the crawl is.
+
+    Differs from :func:`topk_per_stratum` only in intent (a quota,
+    not a sample) and in keeping the full row set semantics: groups
+    under the cap pass through untouched. Same scale shape: one
+    shuffle on the group, per-partition sort, no global order. The
+    hash order decorrelates the pick from storage/crawl order, so the
+    survivors are a uniform-ish draw rather than "first N fetched"."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def domain_mixture_sample(
     df: DataFrame,
     domain_col: str,

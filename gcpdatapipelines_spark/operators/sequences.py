@@ -65,6 +65,52 @@ def transition_counts(
     )
 
 
+def bigram_lift(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Pointwise co-occurrence lift over each key's ordered state
+    stream: for every observed bigram (a, b),
+    lift = P(a,b) / (P(a)·P(b)) computed over the bigram table —
+    lift > 1 means b follows a more often than independence predicts
+    (PMI = ln(lift); the ln is left to the caller so the statistic
+    stays a single exact-integer ratio, portable bit-for-bit across
+    engines: c_ab·N and c_a·c_b are exact BIGINT products, and only
+    ONE double division happens at the end).
+
+    Plan shape: one lag window on (key, ts, tiebreak), one
+    partial+final count to the bigram table, then the marginals and
+    grand total come from window sums OVER THE BIGRAM TABLE itself
+    (|states|² rows, trivially small) — no second scan of the events.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    steps = df.withColumn("prev_state", F.lag(F.col(state_col)).over(w)).filter(
+        F.col("prev_state").isNotNull()
+    )
+    bi = (
+        steps.groupBy(
+            F.col("prev_state").alias("a"), F.col(state_col).alias("b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    return bi.select(
+        "a",
+        "b",
+        "n_ab",
+        F.round(
+            (F.col("n_ab") * F.sum("n_ab").over(wall)).cast("double")
+            / (F.sum("n_ab").over(wa) * F.sum("n_ab").over(wb)).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
 def rolling_mean(
     df: DataFrame,
     key: str,

@@ -241,6 +241,57 @@ def pack_chunks(
     )
 
 
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking WITH overlap: split each document into
+    token windows of ``window`` tokens every ``stride`` tokens — the
+    retrieval/embedding-index chunking shape (overlap preserves
+    context across chunk boundaries), complementary to
+    :func:`pack_chunks` which packs for pretraining without overlap.
+
+    Chunk starts are 1, 1+stride, 2*stride+1, … ; a start is kept only
+    if it's the first OR the previous chunk did not already reach the
+    document's end (so short docs emit exactly one chunk and the tail
+    is covered exactly once). Output: one row per (doc, chunk) with
+    the chunk text re-joined by single spaces, its token count, and
+    the start offset — everything a downstream embedder needs.
+
+    Scale shape: fully narrow — tokenize, generate starts per row
+    (``sequence`` + ``filter`` + ``explode``), slice. No shuffle at
+    all; parallelism is the input partitioning. Chunk counts are
+    ~n_tokens/stride per doc, so output size is linear with bounded
+    constant."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    t = df.select(
+        id_col, toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("__n"), F.lit(stride)),
+        lambda s: (s == 1) | (s - stride + window - 1 < F.col("__n")),
+    )
+    c = t.select(
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        F.explode(starts).alias("start_tok"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok"), window)
+    return c.select(
+        id_col,
+        ((F.col("start_tok") - 1) / stride).cast("bigint").alias("chunk_id"),
+        "start_tok",
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -45,6 +45,49 @@ def resample_sum(
     )
 
 
+def resample_ohlc(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Per-key per-grain OHLC bar: open/close are the first/last raw
+    values in (ts, tiebreak) order, high/low are max/min, plus an
+    event count and an EXACT decimal volume sum. The downsampling
+    shape behind candlestick charts, rate-of-change features, and
+    metric rollups over irregular logs.
+
+    Determinism: open/close pick via ``min_by``/``max_by`` on a
+    zero-padded ``(epoch_micros, tiebreak)`` string key — strings
+    compare identically in every engine, and the padding makes
+    lexicographic order equal numeric order, so same-timestamp events
+    resolve the same way everywhere (struct-valued arg_min is not
+    portable). All four price columns are COPIES of raw doubles
+    (never arithmetic), so parity is exact by construction; the
+    volume sum is decimal-exact then cast back (NOTES.md MONEY SUMS).
+
+    Scale shape: ONE partial+final hash aggregate on (key, grain) —
+    min_by/max_by carry a single (value, key-string) pair per group
+    through the map-side combine, so the shuffle moves one row per
+    (key, grain), not per event."""
+    sort_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"),
+    )
+    return df.groupBy(
+        F.col(key), F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.min_by(F.col(value_col), sort_key).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), sort_key).alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("vsum"),
+    )
+
+
 def gapfill_ffill(
     observed: DataFrame,
     key: str,

@@ -4625,6 +4625,205 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "i", F.col("neg_item").alias("neg_partkey"))
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: OHLC downsampling, per-domain caps, overlapping
+# chunking, int8 quantization QA, bigram lift, graph degree profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_resample_ohlc",
+    """
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT user_id, bucket,
+           arg_min(value, k) AS open, max(value) AS high,
+           min(value) AS low, arg_max(value, k) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+    FROM e GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC bars over the event log: open/close picked
+    by a portable zero-padded (epoch_micros, event_id) string key (the
+    engine-neutral arg_min tie-break), high/low/count, decimal-exact
+    volume. ONE partial+final hash aggregate — min_by/max_by combine
+    map-side, so the shuffle carries a row per (user, hour)."""
+    from .operators.timeseries import resample_ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_ohlc(ev, "user_id", "ts", "value", "event_id", unit="hour")
+
+
+@register(
+    "sample_per_domain_cap",
+    """
+    SELECT source, doc_id, lang, n_chars FROM (
+        SELECT source, doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def sample_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus host balancing: keep at most 40 documents per source,
+    chosen by hash order (uniform-ish, decorrelated from crawl order)
+    — the C4/RefinedWeb "max N per domain" quota that stops any one
+    host from dominating the corpus. One shuffle on source, no global
+    sort."""
+    from .operators.sample import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    return cap_per_group(d, "doc_id", "source", 40)
+
+
+@register(
+    "text_chunk_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), t AS (
+        SELECT doc_id, l, len(l) AS n_tokens FROM toks WHERE len(l) > 0
+    ), st AS (
+        SELECT doc_id, n_tokens, l,
+               unnest(list_filter(generate_series(1, n_tokens, 48),
+                                  s -> s = 1 OR s - 48 + 63 < n_tokens))
+                   AS start_tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(floor((start_tok - 1) / 48) AS BIGINT) AS chunk_id,
+           start_tok,
+           CAST(len(l[start_tok : start_tok + 63]) AS BIGINT) AS chunk_tokens,
+           array_to_string(l[start_tok : start_tok + 63], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index chunking: 64-token sliding windows every 48
+    tokens (16-token overlap keeps context across boundaries), tail
+    emitted once, short docs exactly one chunk. Fully narrow — no
+    shuffle; complements pack_chunks (pretraining packing, no
+    overlap)."""
+    from .operators.text import chunk_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_overlap(d, "doc_id", "text", window=64, stride=48)
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), q AS (
+        SELECT vec_id, vec,
+               list_transform(vec,
+                   x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127.0
+                                   + 0.5) AS INTEGER)) AS qvec
+        FROM v
+    ), e AS (
+        SELECT vec_id, qvec,
+               list_transform(generate_series(1, len(vec)),
+                   i -> abs(CAST(qvec[i] AS DOUBLE) / 127.0 - vec[i]))
+                   AS errs
+        FROM q
+    )
+    SELECT vec_id, qvec,
+           list_reduce(list_transform(qvec,
+               x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),
+               (a, b) -> a + b) AS qnorm_sq,
+           round(list_reduce(errs, (a, b) -> a + b) / len(errs), 9)
+               AS qerr_mean,
+           round(list_reduce(errs,
+               (a, b) -> CASE WHEN b > a THEN b ELSE a END), 9) AS qerr_max
+    FROM e
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus with
+    per-vector QA: quantized array, exact integer squared norm, and
+    mean/max reconstruction error via fixed left-to-right folds
+    (0-seeded Spark fold == DuckDB's no-init list_reduce because
+    0+e1 == e1 in IEEE754). floor(x·127+0.5) instead of round() so
+    tie behavior is engine-independent. Fully narrow codegen — the 4×
+    bandwidth cut before shipping a vector index."""
+    from .operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding", clip=1.0)
+
+
+@register(
+    "seq_bigram_lift",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), bi AS (
+        SELECT prev AS a, event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a, b, n_ab,
+           round(CAST(n_ab * sum(n_ab) OVER () AS DOUBLE) /
+                 CAST(sum(n_ab) OVER (PARTITION BY a) *
+                      sum(n_ab) OVER (PARTITION BY b) AS DOUBLE), 6) AS lift
+    FROM bi
+    """,
+)
+def seq_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise co-occurrence lift of event-type bigrams (PMI's
+    exponent): lift > 1 ⇒ the pair follows each other more than
+    independence predicts. All counts are exact BIGINTs and the only
+    float op is ONE final division, so the statistic is bit-portable
+    — no ln() in the oracle-checked surface. Marginals come from
+    window sums over the tiny bigram table, not a rescan."""
+    from .operators.sequences import bigram_lift
+
+    ev = _t(spark, sf_dir, "events")
+    return bigram_lift(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "graph_degrees",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    nodes AS (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM nodes GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the heavy-tail
+    diagnostic that predicts join skew and decides broadcast-vs-
+    shuffle for the component map (graph.cluster_assignments' valve).
+    Narrow endpoint explode + two map-side-combinable aggregates."""
+    from .operators.graph import degree_histogram
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    return degree_histogram(edges)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

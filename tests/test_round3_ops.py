@@ -1,0 +1,158 @@
+"""Round-3 operators: OHLC bars, per-group caps, overlapping chunking,
+int8 quantization, bigram lift, degree histogram — semantics on
+hand-built frames (oracle parity is covered by the catalog gate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.operators.graph import degree_histogram
+from gcpdatapipelines_spark.operators.sample import cap_per_group
+from gcpdatapipelines_spark.operators.sequences import bigram_lift
+from gcpdatapipelines_spark.operators.similarity import quantize_int8
+from gcpdatapipelines_spark.operators.text import chunk_overlap
+from gcpdatapipelines_spark.operators.timeseries import resample_ohlc
+
+T0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+class TestResampleOhlc:
+    def _df(self, spark):
+        rows = [
+            # user 1, hour 9: open=3.0 (earliest), close=8.0, high=9, low=1
+            (1, _ts(5), 10, 3.0),
+            (1, _ts(20), 11, 9.0),
+            (1, _ts(40), 12, 1.0),
+            (1, _ts(59), 13, 8.0),
+            # user 1, hour 10: single event — all four prices equal
+            (1, _ts(65), 14, 4.5),
+            # user 2, hour 9: same-timestamp tie broken by event_id
+            (2, _ts(0), 20, 7.0),
+            (2, _ts(0), 21, 2.0),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+        )
+
+    def test_bars(self, spark):
+        out = resample_ohlc(
+            self._df(spark), "user_id", "ts", "value", "event_id", unit="hour"
+        )
+        got = {(r.user_id, r.bucket.hour): r for r in out.collect()}
+        b = got[(1, 9)]
+        assert (b.open, b.high, b.low, b.close, b.n_events) == (3.0, 9.0, 1.0, 8.0, 4)
+        assert b.vsum == 21.0
+        single = got[(1, 10)]
+        assert single.open == single.close == single.high == single.low == 4.5
+
+    def test_tie_breaks_by_id(self, spark):
+        out = resample_ohlc(
+            self._df(spark), "user_id", "ts", "value", "event_id", unit="hour"
+        )
+        b = {(r.user_id, r.bucket.hour): r for r in out.collect()}[(2, 9)]
+        # both events share ts; lower event_id (20) is open, higher close
+        assert (b.open, b.close) == (7.0, 2.0)
+
+
+class TestCapPerGroup:
+    def test_cap_and_passthrough(self, spark):
+        rows = [(i, "big") for i in range(20)] + [(100, "small"), (101, "small")]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+        out = cap_per_group(df, "doc_id", "source", 5)
+        by_src = (
+            out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        )
+        got = {r.source: r.n for r in by_src}
+        assert got == {"big": 5, "small": 2}
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(50)], "doc_id BIGINT, source STRING"
+        )
+        a = {r.doc_id for r in cap_per_group(df, "doc_id", "source", 7).collect()}
+        b = {r.doc_id for r in cap_per_group(df, "doc_id", "source", 7).collect()}
+        assert a == b and len(a) == 7
+
+
+class TestChunkOverlap:
+    def _doc(self, spark, n_tokens):
+        text = " ".join(f"w{i:03d}" for i in range(1, n_tokens + 1))
+        return spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+
+    def test_short_doc_single_chunk(self, spark):
+        out = chunk_overlap(self._doc(spark, 10), "doc_id", "text", 64, 48).collect()
+        assert len(out) == 1
+        assert out[0].chunk_tokens == 10 and out[0].start_tok == 1
+
+    def test_overlap_and_tail(self, spark):
+        # 100 tokens, window 64 stride 48: chunks at 1 (1-64) and 49 (49-100)
+        out = sorted(
+            chunk_overlap(self._doc(spark, 100), "doc_id", "text", 64, 48).collect(),
+            key=lambda r: r.start_tok,
+        )
+        assert [(r.start_tok, r.chunk_tokens) for r in out] == [(1, 64), (49, 52)]
+        # the overlap region (tokens 49-64) appears in both chunks
+        assert out[0].chunk_text.split()[48:] == out[1].chunk_text.split()[:16]
+
+    def test_no_redundant_tail(self, spark):
+        # 60 tokens: chunk 1 covers 1-60 entirely; start 49 must NOT emit
+        out = chunk_overlap(self._doc(spark, 60), "doc_id", "text", 64, 48).collect()
+        assert [(r.start_tok, r.chunk_tokens) for r in out] == [(1, 60)]
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_and_clip(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0, -1.0, 0.5, 2.0, -3.0])],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        r = quantize_int8(df, "vec_id", "embedding", clip=1.0).collect()[0]
+        # 0.5*127+0.5 = 64.0 -> floor 64; out-of-range clips to ±127
+        assert r.qvec == [0, 127, -127, 64, 127, -127]
+        assert r.qnorm_sq == 127 * 127 * 4 + 64 * 64
+        assert r.qerr_max >= r.qerr_mean >= 0.0
+        # clipped elements dominate the error: |127/127 - 2.0| = 1.0
+        assert r.qerr_max == 2.0  # | -127/127 - (-3.0) |
+
+    def test_error_small_in_range(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.1, -0.2, 0.33])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        r = quantize_int8(df, "vec_id", "embedding", clip=1.0).collect()[0]
+        assert r.qerr_max <= 0.5 / 127 + 1e-9  # half-step bound in range
+
+
+class TestBigramLift:
+    def test_lift_values(self, spark):
+        rows = [
+            (1, _ts(0), 1, "a"), (1, _ts(1), 2, "b"),
+            (1, _ts(2), 3, "a"), (1, _ts(3), 4, "b"),
+            (2, _ts(0), 5, "a"), (2, _ts(1), 6, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"
+        )
+        out = {(r.a, r.b): r for r in
+               bigram_lift(df, "user_id", "ts", "event_type", "event_id").collect()}
+        # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> N=4
+        assert out[("a", "b")].n_ab == 2
+        # lift(a,b) = (2*4)/(c_a=3 * c_b=2) = 8/6
+        assert abs(out[("a", "b")].lift - round(8 / 6, 6)) < 1e-9
+        # lift(a,c) = (1*4)/(3*1)
+        assert abs(out[("a", "c")].lift - round(4 / 3, 6)) < 1e-9
+
+
+class TestDegreeHistogram:
+    def test_path_graph(self, spark):
+        # path 1-2-3-4: degrees 1,2,2,1 -> {1: 2 nodes, 2: 2 nodes}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (2, 1)], "u BIGINT, v BIGINT"
+        )  # (2,1) dupes (1,2) after normalization
+        got = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
+        assert got == {1: 2, 2: 2}
