@@ -946,6 +946,82 @@ def opq_train(
     return R, codebooks
 
 
+def opq_train_sample(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 256,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    kmeans_iter: int = 8,
+):
+    """Sample-trained OPQ: run the Ge et al. alternating minimization
+    entirely in numpy on a bounded deterministic sample (the
+    ``sample_n`` lowest-id vectors), returning (R, codebooks) with the
+    same contract as :func:`opq_train`.
+
+    This is the 100 TB division of labor: codebook/rotation TRAINING is
+    sample-scale work that belongs on the driver (or a GPU box) — the
+    sample is bounded index metadata, like IVF centroids — while the
+    corpus-scale work (rotate, encode, ADC scan) stays distributed.
+    :func:`opq_train` is the fully-distributed variant for when even
+    the training set must not be collected; this one makes OPQ cheap
+    enough to sit in the query catalog."""
+    import numpy as np
+
+    rows = (
+        vectors.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    def _kmeans(data, k, km_seed):
+        idx = np.random.RandomState(km_seed).permutation(len(data))[:k]
+        C = data[idx].copy()
+        for _ in range(max(1, kmeans_iter)):
+            d2 = ((data[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k):
+                pts = data[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        return C
+
+    def _fit_codebooks(Xr):
+        return [
+            _kmeans(Xr[:, s * dsub : (s + 1) * dsub], ksub, seed + s)
+            for s in range(m)
+        ]
+
+    R = np.eye(dim)
+    for _ in range(max(1, iters)):
+        Xr = X @ R
+        cbs = _fit_codebooks(Xr)
+        Xhat = np.empty_like(Xr)
+        for s, C in enumerate(cbs):
+            seg = Xr[:, s * dsub : (s + 1) * dsub]
+            assign = ((seg[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            Xhat[:, s * dsub : (s + 1) * dsub] = C[assign]
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    cbs = _fit_codebooks(X @ R)
+    cb_rows = [
+        (s, j, [float(x) for x in C[j]]) for s, C in enumerate(cbs) for j in range(ksub)
+    ]
+    cb_df = vectors.sparkSession.createDataFrame(
+        cb_rows, "sub_id INT, cent_id INT, cent_vec ARRAY<DOUBLE>"
+    )
+    return R, cb_df
+
+
 def ivf_topk(
     assignments: DataFrame,
     centroids: DataFrame,

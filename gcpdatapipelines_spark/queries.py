@@ -4799,6 +4799,36 @@ def seq_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(ev, "user_id", "ts", "event_type", "event_id")
 
 
+@register("sim_opq_topk")
+def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN top-10: learn an orthogonal rotation + PQ codebooks on a
+    bounded driver-side sample (opq_train_sample — training is sample
+    scale, like IVF centroids), then rotate/encode/ADC-scan the corpus
+    distributed. Rows-only BY DESIGN: the rotation comes from an SVD
+    whose singular-vector signs are BLAS-implementation-specific, so no
+    engine-portable bit-exact twin exists; recall vs the exact L2
+    scan and the beat-plain-PQ property are pinned in
+    tests/test_similarity.py (opq recall) and tests/test_round3_ops.py
+    (catalog wiring)."""
+    from .operators.similarity import (
+        opq_train_sample,
+        pq_encode,
+        pq_topk,
+        rotate_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    R, cb = opq_train_sample(
+        emb, sample_n=192, m=4, ksub=16, iters=2, kmeans_iter=6
+    )
+    rot = rotate_vectors(emb, R)
+    codes = pq_encode(rot, cb, vec_col="embedding")
+    qs = rot.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_topk(codes, cb, qs, k=10)
+
+
 @register(
     "graph_degrees",
     f"""

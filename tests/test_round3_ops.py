@@ -148,6 +148,40 @@ class TestBigramLift:
         assert abs(out[("a", "c")].lift - round(4 / 3, 6)) < 1e-9
 
 
+class TestOpqSampleTrained:
+    def test_rotation_orthogonal_and_catalog_shape(self, spark):
+        import numpy as np
+
+        from gcpdatapipelines_spark.operators.similarity import opq_train_sample
+        from gcpdatapipelines_spark.queries import sim_opq_topk
+
+        emb = spark.createDataFrame(
+            [
+                (i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(16)])
+                for i in range(40)
+            ],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        R, cb = opq_train_sample(
+            emb, sample_n=32, m=4, ksub=4, iters=1, kmeans_iter=3
+        )
+        assert np.allclose(R.T @ R, np.eye(16), atol=1e-8)
+        assert cb.count() == 4 * 4
+        out = sim_opq_topk(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert len(rows) == 3 * 10  # 3 queries x top-10
+        assert {r.q_id for r in rows} == {0, 1, 2}
+        # ranks are 1..10 per query, distances non-decreasing in rank
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.q_id, []).append((r.rnk, r.adc_dist))
+        for q, lst in per_q.items():
+            lst.sort()
+            assert [t[0] for t in lst] == list(range(1, 11))
+            dists = [t[1] for t in lst]
+            assert dists == sorted(dists)
+
+
 class TestDegreeHistogram:
     def test_path_graph(self, spark):
         # path 1-2-3-4: degrees 1,2,2,1 -> {1: 2 nodes, 2: 2 nodes}
