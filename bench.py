@@ -53,17 +53,37 @@ def main() -> None:
     ).format("noop").save()
 
     queries = entry_mod.queries()
+    # Two passes over the catalog, per-query time = min of the two.
+    # Pass 1 carries each query's one-shot costs (whole-stage-codegen
+    # compile, Python-worker spinup, parquet footer reads) plus any
+    # host-noise spike (this box is a shared microVM — single runs of
+    # the dedup heavies have swung 5-10x between back-to-back bench
+    # runs); the min is the reproducible steady-state cost of the
+    # PLAN, which is what round-over-round comparison needs. Both
+    # totals are reported: cold_total_wall (pass-1 sum, the old
+    # single-run methodology) and the headline min-based value.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     t_all = time.time()
-    for name, fn in queries.items():
-        t0 = time.time()
-        try:
-            run_once(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-    total = round(time.time() - t_all, 3)
+    for rep in range(max(1, reps)):
+        for name, fn in queries.items():
+            t0 = time.time()
+            try:
+                run_once(fn(spark, sf_dir))
+                t = round(time.time() - t0, 3)
+            except Exception as exc:  # keep the bench line parseable on failure
+                t = -1.0
+                if rep == 0:
+                    print(f"bench error in {name}: {exc}", file=sys.stderr)
+            if rep == 0:
+                cold[name] = t
+                timings[name] = t
+            elif t >= 0 and (timings[name] < 0 or t < timings[name]):
+                timings[name] = t
+    wall = round(time.time() - t_all, 3)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    cold_total = round(sum(v for v in cold.values() if v > 0), 3)
 
     # The driver tail-captures stdout with a bounded buffer: one giant
     # line with all 127 per-query timings overflowed it in round 2
@@ -101,6 +121,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        "method": f"min of {reps} passes per query, one shared session",
+        "cold_total_wall": cold_total,
+        "bench_wall": wall,
         "slowest": slowest,
     }
     # Full machine-readable record on disk regardless of stdout capture.
@@ -108,7 +131,7 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
         "w",
     ) as fh:
-        json.dump({**summary, "queries": timings}, fh, indent=2)
+        json.dump({**summary, "queries": timings, "cold_queries": cold}, fh, indent=2)
     print(json.dumps(summary))
 
 

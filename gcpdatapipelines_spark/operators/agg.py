@@ -178,6 +178,63 @@ def merge_partial_aggregates(
     return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
 
 
+def winsorize_stats(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-key winsorized mean: clamp values at the exact interpolated
+    [lo, hi] quantiles and report the clamp bounds, how many rows hit
+    each bound, and the winsorized mean — the robust-mean screen that
+    keeps a handful of fat-finger rows from dragging a per-segment
+    metric.
+
+    Portability: the mean is assembled as (decimal-exact sum of the
+    UNCLAMPED in-range values) + n_lo·q_lo + n_hi·q_hi — in-range
+    inputs are 2-dp money (decimal sums are associative) and the two
+    clamp products are single deterministic double ops, so the whole
+    statistic is bit-identical across engines without trusting a
+    double sum over interpolated quantile values.
+
+    Scale shape: one per-key exact-percentile pass (see
+    :func:`exact_quantiles` for the approx_percentile trade at
+    corpus scale), one broadcast join of the tiny per-key bounds, one
+    partial+final aggregate."""
+    q = df.groupBy(key).agg(
+        F.expr(f"percentile({value_col}, {lo!r}D)").alias("q_lo"),
+        F.expr(f"percentile({value_col}, {hi!r}D)").alias("q_hi"),
+    )
+    j = df.join(F.broadcast(q), key)
+    v = F.col(value_col)
+    in_range = v.between(F.col("q_lo"), F.col("q_hi"))
+    g = j.groupBy(key).agg(
+        F.min("q_lo").alias("q_lo"),
+        F.min("q_hi").alias("q_hi"),
+        F.sum((v < F.col("q_lo")).cast("bigint")).alias("n_lo"),
+        F.sum((v > F.col("q_hi")).cast("bigint")).alias("n_hi"),
+        F.sum(
+            F.when(in_range, v.cast("decimal(18,2)")).otherwise(F.lit(None))
+        ).cast("double").alias("__s"),
+        F.count("*").alias("n"),
+    )
+    mean = (
+        F.col("__s")
+        + F.col("n_lo").cast("double") * F.col("q_lo")
+        + F.col("n_hi").cast("double") * F.col("q_hi")
+    ) / F.col("n").cast("double")
+    return g.select(
+        key,
+        F.round("q_lo", ndigits).alias("p_lo"),
+        F.round("q_hi", ndigits).alias("p_hi"),
+        "n_lo",
+        "n_hi",
+        F.round(mean, ndigits).alias("winsor_mean"),
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     key: str,

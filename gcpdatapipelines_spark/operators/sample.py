@@ -132,6 +132,39 @@ def cap_per_group(
     )
 
 
+def split_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    test_pct: int = 20,
+    out_col: str = "split",
+) -> DataFrame:
+    """Stratified train/test split with EXACT per-stratum proportions:
+    rank rows inside each stratum by (md5(key), key) and mark test
+    rows with the INTERLEAVED slot rule ``(rn · test_pct) % 100 <
+    test_pct`` (Bresenham line-drawing spread) — test slots are evenly
+    laced through the rank order, so EVERY prefix holds the ratio and
+    each stratum lands within one row of the target, however small
+    (a plain ``rn % 100 < test_pct`` rule would dump a <100-row
+    stratum's whole head into test). Unlike the hash-threshold split
+    (:func:`train_test_split`) whose per-stratum ratio only converges
+    statistically. Deterministic and growth-UNSTABLE by design
+    (inserting rows reshifts ranks): use the hash split when rows
+    must never migrate, this one when per-stratum balance is the
+    contract (small or skewed strata). One shuffle on the stratum."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    rn = F.row_number().over(w) - 1
+    return df.withColumn(
+        out_col,
+        F.when(
+            (rn * test_pct) % 100 < test_pct, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
 def domain_mixture_sample(
     df: DataFrame,
     domain_col: str,

@@ -292,6 +292,45 @@ def chunk_overlap(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Token → sorted posting list with document frequency — the
+    retrieval-side inverted index (and the exact-match complement of
+    the embedding ANN tier). ``min_df``/``max_df`` bound the posting
+    lists the same way the dedup tier caps stop-shingles: ultra-rare
+    tokens are noise, ultra-common ones are stopwords whose postings
+    would be corpus-sized rows.
+
+    Scale shape: distinct (token, doc) pairs (one shuffle), then one
+    grouped collect with the sort INSIDE the array (sort_array over
+    the collected ids — deterministic regardless of partitioning).
+    The df filter applies before any downstream join ships postings
+    around. Pass ``tokens_df`` (id, __toks) to reuse a shared
+    tokenization."""
+    if tokens_df is None:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+        )
+        tokens_df = df.select(id_col, toks.alias("__toks"))
+    pairs = tokens_df.select(
+        id_col, F.explode("__toks").alias("token")
+    ).distinct()
+    g = pairs.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    return g.filter(cond)
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -4799,6 +4799,111 @@ def seq_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(ev, "user_id", "ts", "event_type", "event_id")
 
 
+@register(
+    "a22_winsorize",
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS q_lo,
+               quantile_cont(l_extendedprice, 0.95) AS q_hi
+        FROM lineitem GROUP BY l_returnflag
+    ), g AS (
+        SELECT l.l_returnflag, q.q_lo, q.q_hi,
+               CAST(sum(CASE WHEN l_extendedprice < q.q_lo
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN l_extendedprice > q.q_hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               CAST(sum(CASE WHEN l_extendedprice BETWEEN q.q_lo AND q.q_hi
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        END) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM lineitem l JOIN q USING (l_returnflag)
+        GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, round(q_lo, 4) AS p_lo, round(q_hi, 4) AS p_hi,
+           n_lo, n_hi,
+           round((s + CAST(n_lo AS DOUBLE) * q_lo
+                    + CAST(n_hi AS DOUBLE) * q_hi)
+                 / CAST(n AS DOUBLE), 4) AS winsor_mean
+    FROM g
+    """,
+)
+def a22_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price mean per return flag: clamp at the exact
+    interpolated p05/p95, count the clamped tails, and assemble the
+    mean as decimal-exact-in-range-sum + n·bound products — every
+    float op is a fixed single operation, so the robust mean is
+    bit-portable. One percentile pass + one broadcast-bounds
+    aggregate."""
+    from .operators.agg import winsorize_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize_stats(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), d AS (
+        SELECT DISTINCT doc_id, token FROM toks
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM d GROUP BY token
+    HAVING count(*) >= 2
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: token → document frequency +
+    sorted posting list with a min_df floor (the fixture vocabulary is
+    31 near-stopword tokens, so no upper band applies here; real
+    corpora set max_df the way the dedup tier caps stop-shingles so
+    no posting row is corpus-sized). Distinct pairs → one grouped
+    collect, sort inside the array (partitioning-proof)."""
+    from .operators.text import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(
+        d, "doc_id", "text", min_df=2, max_df=None,
+        tokens_df=_doc_tokens_cached(spark, sf_dir),
+    )
+
+
+@register(
+    "split_stratified",
+    """
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS rn
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CASE WHEN (rn * 20) % 100 < 20 THEN 'test' ELSE 'train' END
+               AS split
+    FROM r
+    """,
+)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/20 split with exact per-source proportions (every
+    stratum within one row of 20% test): hash-ordered rank with the
+    interleaved (rn·20)%100<20 slot rule, so test rows lace evenly
+    through each stratum instead of bunching at the head. The
+    balance-guaranteed complement of the growth-stable hash split
+    (split_train_test); deterministic, one shuffle on the stratum."""
+    from .operators.sample import split_stratified as _split
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return _split(d, "doc_id", "source", test_pct=20)
+
+
 @register("sim_opq_topk")
 def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN top-10: learn an orthogonal rotation + PQ codebooks on a

@@ -52,7 +52,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[N] runs every executor thread inside the driver JVM, so
+        # the driver heap IS the cluster memory: size it like one fat
+        # executor (the host has 128 GiB; 48g keeps 32 threads of
+        # shingle/vector work out of spill-and-GC territory, which
+        # showed up as 5-10x run-to-run swings on the dedup heavies)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if master is not None:
         builder = builder.master(master)

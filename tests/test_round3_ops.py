@@ -182,6 +182,90 @@ class TestOpqSampleTrained:
             assert dists == sorted(dists)
 
 
+class TestWinsorizeStats:
+    def test_clamps_and_mean(self, spark):
+        # 10 values 1..9 + one 1000.0 outlier, single group
+        rows = [("g", float(i)) for i in range(1, 10)] + [("g", 1000.0)]
+        df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+        from gcpdatapipelines_spark.operators.agg import winsorize_stats
+
+        r = winsorize_stats(df, "k", "v", 0.05, 0.95).collect()[0]
+        # p95 of 1..9,1000 (h=(10-1)*0.95=8.55): 9 + 0.55*(1000-9)
+        assert abs(r.p_hi - round(9 + 0.55 * 991, 4)) < 1e-9
+        assert r.n_hi == 1 and r.n_lo == 1
+        # winsorized mean uses clamped outlier, so it is far below the raw mean
+        raw_mean = (sum(range(1, 10)) + 1000.0) / 10
+        assert r.winsor_mean < raw_mean
+
+    def test_no_clamping_when_uniform(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5.0)] * 8, "k STRING, v DOUBLE"
+        )
+        from gcpdatapipelines_spark.operators.agg import winsorize_stats
+
+        r = winsorize_stats(df, "k", "v").collect()[0]
+        assert (r.n_lo, r.n_hi, r.winsor_mean) == (0, 0, 5.0)
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_banded(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (3, "apple banana"),
+                (1, "apple apple cherry"),
+                (2, "apple banana durian"),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        from gcpdatapipelines_spark.operators.text import inverted_index
+
+        out = {r.token: r for r in
+               inverted_index(docs, "doc_id", "text", min_df=2).collect()}
+        # 'apple' in all 3 docs (repeats collapse), postings sorted
+        assert out["apple"].df == 3 and out["apple"].postings == [1, 2, 3]
+        assert out["banana"].df == 2 and out["banana"].postings == [2, 3]
+        # singletons dropped by min_df
+        assert "cherry" not in out and "durian" not in out
+
+    def test_max_df_cap(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "stop word" if i else "stop") for i in range(4)],
+            "doc_id BIGINT, text STRING",
+        )
+        from gcpdatapipelines_spark.operators.text import inverted_index
+
+        out = {r.token for r in
+               inverted_index(docs, "doc_id", "text", 2, max_df=3).collect()}
+        assert out == {"word"}  # 'stop' df=4 exceeds the cap
+
+
+class TestSplitStratified:
+    def test_exact_proportions_per_stratum(self, spark):
+        rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+        from gcpdatapipelines_spark.operators.sample import split_stratified
+
+        out = split_stratified(df, "doc_id", "source", test_pct=20)
+        counts = {
+            (r.source, r.split): r.n
+            for r in out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts[("a", "test")] == 20 and counts[("a", "train")] == 80
+        # interleaved slots keep even a 10-row stratum at the ratio:
+        # exactly 2 of 10 land in test (every 5th rank)
+        assert counts[("b", "test")] == 2 and counts[("b", "train")] == 8
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(50)], "doc_id BIGINT, source STRING"
+        )
+        from gcpdatapipelines_spark.operators.sample import split_stratified
+
+        a = {(r.doc_id, r.split) for r in split_stratified(df, "doc_id", "source").collect()}
+        b = {(r.doc_id, r.split) for r in split_stratified(df, "doc_id", "source").collect()}
+        assert a == b
+
+
 class TestDegreeHistogram:
     def test_path_graph(self, spark):
         # path 1-2-3-4: degrees 1,2,2,1 -> {1: 2 nodes, 2: 2 nodes}
