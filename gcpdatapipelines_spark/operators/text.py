@@ -375,6 +375,102 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_weights(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, token, w): per-document TF-IDF weights as DECIMAL(12,6) —
+    tf·ln(n_docs/df_t) rounded to 6 dp then cast exact, so any
+    downstream sum/product over the weights is associative
+    (decimal-exact) and bit-portable across engines. The shared base
+    of :func:`tfidf_top_terms` ranking and sparse cosine similarity."""
+    from .dedup import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df_t")
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6)
+            .cast("decimal(12,6)")
+            .alias("w"),
+        )
+    )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_max_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most-similar documents per query document by TF-IDF
+    cosine, computed through the inverted index — the classic sparse
+    similarity join: candidates come from shared tokens (equi-join on
+    token), never from a doc×doc cartesian, and a pair's dot product
+    only ever touches the tokens the two documents share.
+
+    Portability: weights are 6-dp decimals (:func:`tfidf_weights`), so
+    dots and squared norms are EXACT decimal sums in any order; the
+    only float ops are one sqrt per document (IEEE-correctly-rounded
+    in every engine) and one final division, and ranking uses the
+    ROUNDED cosine + id tiebreak (NOTES.md rank rule).
+
+    Scale shape: the query side (docs with id < ``query_max_id``) is
+    broadcast into the token join, the corpus side shuffles once on
+    token and once on the (q, doc) pair group; corpus norms co-key
+    with the pair table on the doc id. Hot stop-tokens should be
+    df-capped upstream for open-ended corpora (same lever as
+    :func:`inverted_index`'s max_df) — candidate count is
+    Σ_t q_df(t)·df(t)."""
+    from pyspark.sql import Window
+
+    wts = tfidf_weights(df, id_col, text_col)
+    norms = wts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    q = wts.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("q_id"), "token", F.col("w").alias("qw")
+    )
+    pairs = F.broadcast(q).join(wts, "token").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    dots = pairs.groupBy("q_id", id_col).agg(
+        F.sum(F.col("qw") * F.col("w")).cast("double").alias("dot")
+    )
+    qn = norms.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("q_id"), F.col("nrm").alias("q_nrm")
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(F.col("dot") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "cos_sim", "rnk")
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

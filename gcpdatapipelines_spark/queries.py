@@ -4904,6 +4904,59 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _split(d, "doc_id", "source", test_pct=20)
 
 
+@register(
+    "sim_tfidf_cosine",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    wts AS (
+        SELECT doc_id, token,
+               CAST(round(tf * ln(n_docs / df_t), 6) AS DECIMAL(12,6)) AS w
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), norms AS (
+        SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        FROM wts GROUP BY doc_id
+    ), dots AS (
+        SELECT q.doc_id AS q_id, d.doc_id,
+               CAST(sum(q.w * d.w) AS DOUBLE) AS dot
+        FROM wts q JOIN wts d USING (token)
+        WHERE q.doc_id < 5 AND q.doc_id <> d.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT q_id, t.doc_id,
+               round(dot / (qn.nrm * dn.nrm), 6) AS cos_sim
+        FROM dots t
+        JOIN norms qn ON qn.doc_id = t.q_id
+        JOIN norms dn ON dn.doc_id = t.doc_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, doc_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-10 per query doc through the inverted
+    index: candidates from shared tokens only (token equi-join, query
+    side broadcast — never doc×doc), dots and norms as EXACT decimal
+    sums over 6-dp weights, one sqrt + one division per pair, rank on
+    the rounded score. The no-dense-vector similarity path that
+    complements the embedding ANN tier."""
+    from .operators.text import sparse_cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return sparse_cosine_topk(d, "doc_id", "text", query_max_id=5, k=10)
+
+
 @register("sim_opq_topk")
 def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN top-10: learn an orthogonal rotation + PQ codebooks on a

@@ -278,3 +278,39 @@ def test_layout_zorder_no_exchange(spark):
     writer chooses to range-partition on it."""
     df = _q(spark, "layout_zorder")
     assert P.num_exchanges(df) == 0, P.formatted_plan(df)
+
+
+def test_sparse_cosine_token_join_only(spark):
+    """Sparse TF-IDF cosine generates candidates through token
+    equi-joins with a broadcast query side — never a doc-by-doc
+    cartesian (the one crossJoin in the plan is the one-row n_docs
+    literal)."""
+    df = _q(spark, "sim_tfidf_cosine")
+    strategies = P.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in set(strategies)
+
+
+def test_chunk_overlap_is_narrow(spark):
+    """Overlapping chunking is tokenize + sequence + slice — a pure
+    projection pipeline with zero shuffles."""
+    df = _q(spark, "text_chunk_overlap")
+    assert P.num_exchanges(df) == 0, P.formatted_plan(df)
+
+
+def test_quantize_int8_is_narrow(spark):
+    df = _q(spark, "sim_quantize_int8")
+    assert P.num_exchanges(df) == 0, P.formatted_plan(df)
+
+
+def test_resample_ohlc_single_aggregate_exchange(spark):
+    """OHLC bars are ONE partial+final hash aggregate: exactly one
+    exchange, keyed on (user, bucket), with min_by/max_by combining
+    map-side."""
+    df = _q(spark, "ts_resample_ohlc")
+    assert P.num_exchanges(df) == 1, P.formatted_plan(df)
+    plan = P.formatted_plan(df)
+    # min_by/max_by are typed-imperative aggs, so Spark picks
+    # SortAggregate — what matters is the PARTIAL phase running before
+    # the exchange (one (user,hour) row per map task crosses the wire)
+    assert "partial_min_by" in plan and "partial_max_by" in plan

@@ -274,3 +274,24 @@ class TestDegreeHistogram:
         )  # (2,1) dupes (1,2) after normalization
         got = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
         assert got == {1: 2, 2: 2}
+
+
+class TestSparseCosine:
+    def test_identical_docs_most_similar(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "apple banana cherry"),
+                (1, "apple banana cherry"),
+                (2, "durian elderberry fig"),
+                (3, "apple zebra yak"),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        from gcpdatapipelines_spark.operators.text import sparse_cosine_topk
+
+        out = sparse_cosine_topk(docs, "doc_id", "text", query_max_id=1, k=3)
+        rows = sorted(out.collect(), key=lambda r: r.rnk)
+        # doc 1 is word-identical to query doc 0 -> rank 1, cosine 1.0
+        assert rows[0].doc_id == 1 and abs(rows[0].cos_sim - 1.0) < 1e-9
+        # doc 2 shares no tokens -> absent from candidates entirely
+        assert all(r.doc_id != 2 for r in rows)
