@@ -724,15 +724,57 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_max_entries: int = 4096,
 ) -> DataFrame:
     """Encode each vector as m codebook indices: per subspace, the
     nearest (squared-L2) centroid. Returns (id, code ARRAY<INT>).
 
-    Shape: posexplode the vector into its m subvectors, equi-join the
-    broadcast codebook frame on sub_id, argmin per (id, sub) via a
-    window, fold back with collect_list ordered by sub_id. The corpus
-    shuffles once on id for the fold — the encoded table is ~m bytes a
-    row, the PQ compression payoff."""
+    Default path: the codebook is bounded index metadata (m·ksub
+    rows), so it collects to driver-side LITERALS and the whole encode
+    becomes one narrow selectExpr — per subspace, an ``aggregate``
+    fold over ``named_struct(d2, cid)`` candidates picking the first
+    minimum. ZERO shuffles, zero joins, zero windows: the corpus scan
+    IS the encode, which is the shape a 100 TB encode needs (the
+    join+window formulation shuffles the exploded corpus twice).
+    The d2 arithmetic is the identical zip_with/aggregate fold as
+    :func:`_sq_l2` and the tie rule (lowest cent_id on equal d2)
+    matches the window path bit-for-bit — parity is pinned in
+    tests/test_similarity.py.
+
+    Codebooks larger than ``literal_max_entries`` (not index metadata
+    any more) fall back to the broadcast-join + window path; pass
+    ``literal_max_entries=0`` to force it."""
+    n_entries = codebooks.count()
+    if literal_max_entries and n_entries <= literal_max_entries:
+        rows = codebooks.collect()
+        by_sub: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            by_sub.setdefault(r.sub_id, {})[r.cent_id] = list(r.cent_vec)
+        m = len(by_sub)
+        dsub = len(by_sub[0][0])
+        sub_exprs = []
+        for sub in range(m):
+            cands = []
+            for cid in range(len(by_sub[sub])):
+                lits = ", ".join(f"{v!r}D" for v in by_sub[sub][cid])
+                d2 = (
+                    f"aggregate(zip_with(slice(__v, {sub * dsub + 1}, {dsub}), "
+                    f"array({lits}), (x, y) -> (x - y) * (x - y)), "
+                    f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+                cands.append(f"named_struct('d', {d2}, 'i', {cid})")
+            sub_exprs.append(
+                "aggregate(array(" + ", ".join(cands) + "), "
+                "named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+                "(acc, x) -> IF(x.d < acc.d, x, acc)).i"
+            )
+        code = "array(" + ", ".join(sub_exprs) + ")"
+        t = vectors.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        return t.selectExpr(id_col, f"{code} AS code")
+
     from pyspark.sql import Window
 
     subs = _sub_vectors(vectors, codebooks, id_col, vec_col)

@@ -295,3 +295,27 @@ class TestSparseCosine:
         assert rows[0].doc_id == 1 and abs(rows[0].cos_sim - 1.0) < 1e-9
         # doc 2 shares no tokens -> absent from candidates entirely
         assert all(r.doc_id != 2 for r in rows)
+
+
+class TestPqEncodeLiteralPath:
+    def test_matches_join_path_bitwise(self, spark):
+        from gcpdatapipelines_spark.io import read_table
+        from gcpdatapipelines_spark.operators import similarity as S
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = S.pq_build_sample(emb, m=4, ksub=16)
+        fast = {r.vec_id: r.code for r in S.pq_encode(emb, cb).collect()}
+        join = {
+            r.vec_id: r.code
+            for r in S.pq_encode(emb, cb, literal_max_entries=0).collect()
+        }
+        assert fast == join and len(fast) > 0
+
+    def test_literal_path_no_exchange(self, spark):
+        from gcpdatapipelines_spark import plans as P
+        from gcpdatapipelines_spark.io import read_table
+        from gcpdatapipelines_spark.operators import similarity as S
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = S.pq_build_sample(emb, m=4, ksub=16)
+        assert P.num_exchanges(S.pq_encode(emb, cb)) == 0
