@@ -285,6 +285,25 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the daily
+    backfill/restatement primitive (re-run one day of a year-
+    partitioned table without rewriting the year). Static overwrite
+    mode would truncate the whole table first; the dynamic setting is
+    scoped to this one write rather than mutated globally on the
+    session."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -178,6 +178,35 @@ def merge_partial_aggregates(
     return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
 
 
+def approx_quantiles_per_key(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key approximate quantiles via Spark's Greenwald-Khanna
+    sketch — the mergeable, bounded-memory companion to
+    :func:`exact_quantiles`: at 100 TB a per-group SORT of every value
+    is off the table, while a GK sketch of ~accuracy entries per group
+    crosses the shuffle instead of the values (same trade
+    :func:`approx_distinct_per_key` makes for cardinality).
+    Guaranteed rank error ≤ 1/accuracy; long form (key, p, q)."""
+    parr = "array(" + ", ".join(f"{p!r}D" for p in probs) + ")"
+    g = df.groupBy(key).agg(
+        F.expr(
+            f"approx_percentile({value_col}, {parr}, {accuracy})"
+        ).alias("__q")
+    )
+    pz = F.posexplode(F.col("__q"))
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    return g.select(
+        key, pz.alias("__i", "q")
+    ).select(
+        key, F.element_at(probs_arr, F.col("__i") + 1).alias("p"), "q"
+    )
+
+
 def winsorize_stats(
     df: DataFrame,
     key: str,

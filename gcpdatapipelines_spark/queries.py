@@ -4799,6 +4799,25 @@ def seq_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(ev, "user_id", "ts", "event_type", "event_id")
 
 
+@register("a23_approx_quantiles")  # rows-only: GK-sketch outputs are
+# engine-specific (Spark returns an observed value within rank error,
+# DuckDB's approx_quantile uses t-digest); closeness to the EXACT
+# interpolated quantiles is pinned in
+# tests/test_round3_ops.py::TestApproxQuantiles
+def a23_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles at scale: per-return-flag p25/50/75/95 of extended
+    price via the mergeable Greenwald-Khanna sketch — ~accuracy
+    entries per group cross the shuffle instead of every value, the
+    sketch-tier companion of a18_quantiles_exact (same trade
+    a15_approx_distinct makes for cardinality)."""
+    from .operators.agg import approx_quantiles_per_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return approx_quantiles_per_key(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
 @register(
     "a22_winsorize",
     """

@@ -319,3 +319,34 @@ class TestPqEncodeLiteralPath:
         emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
         cb = S.pq_build_sample(emb, m=4, ksub=16)
         assert P.num_exchanges(S.pq_encode(emb, cb)) == 0
+
+
+class TestApproxQuantiles:
+    def test_within_rank_tolerance_of_exact(self, spark):
+        from gcpdatapipelines_spark.io import read_table
+        from gcpdatapipelines_spark.operators.agg import (
+            approx_quantiles_per_key,
+            exact_quantiles,
+        )
+
+        li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+        probs = [0.25, 0.5, 0.75, 0.95]
+        approx = {
+            (r.l_returnflag, r.p): r.q
+            for r in approx_quantiles_per_key(
+                li, "l_returnflag", "l_extendedprice", probs
+            ).collect()
+        }
+        exact = {
+            (r.l_returnflag, r.p): r.l_extendedprice_q
+            for r in exact_quantiles(
+                li, "l_returnflag", ["l_extendedprice"], probs
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        # GK guarantees rank error <= 1/accuracy; on money values a
+        # generous relative check suffices as the regression tripwire
+        for k in exact:
+            assert abs(approx[k] - exact[k]) <= max(0.02 * abs(exact[k]), 1.0), (
+                k, approx[k], exact[k],
+            )
