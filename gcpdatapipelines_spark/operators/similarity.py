@@ -327,7 +327,7 @@ def _cell_index(
     radii = (
         assigned.select("cent_id", dist.alias("__dist"))
         .groupBy("cent_id")
-        .agg(F.max("__dist").alias("__radius"))
+        .agg(F.max("__dist").alias("__radius"), F.count("*").alias("__count"))
     )
     cells = centroids.withColumn("__cn", _norm(F.col("cent_vec"))).join(radii, "cent_id")
     return assigned, cells
@@ -396,12 +396,36 @@ def embedding_neardup_pairs_pruned(
     ball radius sqrt(2(1-t)) is tiny (~0.32 at t=0.95), so only
     near-identical cell blocks survive; at permissive thresholds the
     bound honestly degrades toward all cell pairs — correctness never
-    depends on the data distribution."""
+    depends on the data distribution.
+
+    COST-BASED FALLBACK: the cell stats (nlist rows of counts+radii —
+    bounded index metadata) price the candidate volume on the driver
+    before any pair is scored. When the surviving blocks cover most of
+    the pair space (> ``fallback_frac`` of n²: diffuse data, weak
+    centroids, permissive threshold), the block-join would only add
+    fan-out on top of an effectively-all-pairs scan, so the operator
+    runs the flat codegen scan instead — the same decision AQE makes
+    from runtime stats, here made from index stats. Results are
+    identical either way (both score with the same unrolled chain);
+    which plan ran is visible in .explain (block equi-joins vs one
+    declared cross)."""
     vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    fallback_frac = 0.5
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     assigned, cells = _cell_index(vectors, id_col, vec_col, nlist, centroids=centroids)
     cell_pairs = _candidate_cell_pairs(cells, threshold)
+    counts = {r["cent_id"]: r["__count"] for r in cells.select("cent_id", "__count").collect()}
+    n_total = sum(counts.values())
+    volume = sum(
+        counts.get(r["cell_a"], 0) * counts.get(r["cell_b"], 0)
+        for r in cell_pairs.collect()
+    )
+    if n_total and volume > fallback_frac * n_total * n_total:
+        assigned.unpersist()
+        return embedding_neardup_pairs_codegen(
+            vectors, id_col, vec_col, threshold, dim=dim
+        )
     wide = _widened(assigned, id_col, vec_col, dim, extra_cols=["cent_id"])
     a, b = _wide_sides(wide, id_col, dim, cell_col="cent_id")
     cand = a.join(F.broadcast(cell_pairs), "cell_a").join(b, "cell_b")
