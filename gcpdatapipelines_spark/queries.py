@@ -1864,6 +1864,55 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+@register(
+    "mm_manifest_stats",
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               list_extract(['image', 'audio', 'video'],
+                            CAST(doc_id % 3 + 1 AS INTEGER)) AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM assets GROUP BY kind
+    """,
+)
+def mm_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-manifest audit: per-modality asset counts and byte totals
+    straight off the binary column's length — the capacity-planning /
+    partition-sizing pass (repartition_for_blobs' input) that runs
+    BEFORE any codec touches a payload. Oracle-green because the
+    fabricated asset synthesis (kind cycle + utf-8 payload) is itself
+    SQL-expressible; with real media the same one-aggregate shape
+    reads parquet metadata-only columns."""
+    from .operators.multimodal import text_to_fake_assets
+
+    assets = text_to_fake_assets(_t(spark, sf_dir, "documents"))
+    return assets.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+@register("mm_frame_sample")  # rows-only: the duration comes from the
+# stubbed codec (mapInPandas), so no SQL twin exists; the explode
+# arithmetic itself is pinned in tests/test_multimodal.py
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing at catalog scale: decode-stub the
+    fabricated video assets, explode each into (asset_id, frame_idx,
+    frame_ts_s) at 1 fps — blobs cross the Arrow boundary once, the
+    explode is narrow, and the output is the (asset, frame) work list
+    a real extractor would map over."""
+    from .operators.multimodal import frame_sample_stub, text_to_fake_assets
+
+    assets = text_to_fake_assets(_t(spark, sf_dir, "documents"))
+    return frame_sample_stub(assets, every_s=1.0)
+
+
 # ---------------------------------------------------------------------------
 # Correlated-subquery shapes (TPC-H q4/q14/q18 analogues): EXISTS,
 # conditional aggregation over a join, HAVING + IN-subquery. Declared
