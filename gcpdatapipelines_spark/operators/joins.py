@@ -53,11 +53,16 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks up the value columns of
-    the LATEST right row with ``right_ts <= left_ts`` for the same key
-    (NULLs when no prior right row exists) — the time-series point-in-
-    time lookup Spark has no built-in for.
+    """As-of join. ``direction="backward"`` (default): each left row
+    picks up the value columns of the LATEST right row with
+    ``right_ts <= left_ts`` for the same key (NULLs when no prior
+    right row exists) — the time-series point-in-time lookup Spark
+    has no built-in for. ``direction="forward"``: the EARLIEST right
+    row with ``right_ts >= left_ts`` (the "next quote/fill after the
+    order" lookup) — the identical one-exchange machinery with the
+    sort reversed.
 
     Spark-first rewrite (no pair materialization): union both sides
     tagged, sort within each key by (ts, side) — right sorts before
@@ -77,6 +82,8 @@ def as_of_join(
     exchange)."""
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     clash = [c for c in value_cols if c in left.columns]
     if clash:
@@ -91,9 +98,23 @@ def as_of_join(
         "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side")
     )
     merged = l1.unionByName(r1, allowMissingColumns=True)
+    # forward = the same fill over the REVERSED time order; right rows
+    # still sort before left at equal ts (__side asc), so the match
+    # stays inclusive. value_cols stay ASC in both directions: within
+    # an equal-ts right group the LAST row scanned wins the fill, so
+    # asc ⇒ greatest-by-value wins — one tie rule for both directions
+    # (oracle twin: collapse equal-ts right rows with max()).
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+            F.col(c).asc() for c in value_cols
+        ]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()] + [
+            F.col(c).asc() for c in value_cols
+        ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", *value_cols)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # wrap the right row's values in a struct before filling: the struct

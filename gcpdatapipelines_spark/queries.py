@@ -1865,6 +1865,96 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_asof_forward",
+    """
+    WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(value) AS next_click_value FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           round(c.next_click_value, 2) AS next_click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def j9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase picks up the same user's EARLIEST
+    following click (NULL when none) — the "next fill after the order"
+    lookup. Same one-exchange union + window-fill machinery as the
+    backward join, scan reversed; DuckDB's native ASOF with the
+    inequality flipped is the oracle."""
+    from .operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("next_click_value")
+    )
+    out = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["next_click_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("next_click_value", 2).alias("next_click_value"),
+    )
+
+
+@register(
+    "w18_rolling_distinct_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), fan AS (
+        SELECT user_id,
+               day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS day
+        FROM ud
+    ), days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM fan f JOIN days d ON f.day = d.day
+    GROUP BY f.day
+    """,
+)
+def w18_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the metric windows
+    can't do (COUNT DISTINCT isn't frameable): distinct (user, day)
+    pairs fan out to the 7 days they keep the user active in (bounded
+    7× narrow explode), then ONE distinct-count aggregate per day.
+    Days outside the observed range are dropped by the calendar
+    semi-join. At 100 TB the fan-out factor is the window length —
+    fixed — while the naive per-day self-join re-scans the corpus 7
+    times."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    days = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    return (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register(
     "mm_manifest_stats",
     """
     WITH assets AS (

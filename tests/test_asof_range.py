@@ -130,3 +130,48 @@ def test_asof_null_in_latest_right_row_preserved(spark):
     )
     (row,) = as_of_join(left, right, "k", "ts", "ts", ["quote", "extra"]).collect()
     assert row["quote"] is None and row["extra"] == 7.0
+
+
+def test_asof_forward_picks_next(spark):
+    """Forward direction: earliest right row with right_ts >= left_ts;
+    NULL when no later row exists; equal-ts matches inclusively."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(30), "b"), (2, ts(5), "c")],
+        "k BIGINT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(20), 200.0), (1, ts(25), 250.0)],
+        "k BIGINT, ts TIMESTAMP, quote DOUBLE",
+    )
+    out = {
+        r.tag: r.quote
+        for r in as_of_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["quote"], direction="forward",
+        ).collect()
+    }
+    assert out["a"] == 100.0   # equal ts matches (inclusive)
+    assert out["b"] is None    # nothing at or after ts(30)
+    assert out["c"] is None    # key 2 has no right rows
+
+
+def test_asof_forward_equal_ts_tie_breaks_greatest(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, "x")], "k BIGINT, ts TIMESTAMP, tag STRING")
+    right = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0, 9.0)], "k BIGINT, ts TIMESTAMP, quote DOUBLE"
+    )
+    out = as_of_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["quote"], direction="forward",
+    ).collect()
+    assert out[0].quote == 9.0  # same rule as backward: greatest wins
