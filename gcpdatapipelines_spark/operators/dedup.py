@@ -265,6 +265,103 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, bucket): each document's LSH band keys — one
+    xxhash64 of every rows-per-band signature slice. Two documents are
+    LSH candidates iff they share some (band, bucket) row; the frame
+    is ~bands rows x 16 bytes per document, which makes it the right
+    STATE representation for incremental near-dup (the standing
+    corpus persists as band keys, never as text or shingles)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingles=shingles)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    band_state: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingles: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup admission: admit documents from an ingest
+    increment that collide with the standing corpus in NO LSH band,
+    deduping within the increment by the bucket-min rule (in any
+    shared bucket, only the lowest id can be admitted). Returns
+    (admitted ids, their band keys — the state delta to persist).
+
+    This is the streaming-corpus shape of MinHash dedup: the corpus
+    never needs its text, shingles, or signatures retained — only the
+    distinct (band, bucket) keys (~bands·16 bytes per admitted doc).
+    Admission is PROBABILISTIC exactly like batch LSH: a collision in
+    any band drops the document (no exact-Jaccard verify, since the
+    corpus text is gone); tune bands/num_perm for the S-curve, and
+    expect the same false-positive rate the batch candidate generator
+    has before its verify step.
+
+    Bucket-min within the increment is deterministic and
+    order-independent (NOT sequential-arrival semantics): if a and b
+    collide, min(a, b) is admitted regardless of batch ordering, so
+    replaying a batch yields identical output. One shuffle on the
+    bucket key; the state anti-join is bucket-keyed too.
+    """
+    keys = lsh_band_keys(
+        new_df, id_col, text_col, n, num_perm, bands, shingles=shingles
+    )
+    if band_state is not None:
+        seen = band_state.select("band", "bucket").distinct()
+        keys = keys.join(seen, ["band", "bucket"], "left_anti")
+    # a doc survives only with ALL its bands clear of the corpus:
+    # count surviving bands == bands
+    full = keys.groupBy(id_col).agg(F.count("*").alias("__nb")).filter(
+        F.col("__nb") == bands
+    )
+    keys = keys.join(full.select(id_col), id_col)
+    # bucket-min rule within the increment
+    mins = keys.groupBy("band", "bucket").agg(F.min(id_col).alias("__min_id"))
+    clash = (
+        keys.join(mins, ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("__min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    admitted = (
+        keys.select(id_col).distinct().join(clash, id_col, "left_anti")
+    )
+    delta = keys.join(admitted, id_col).select(id_col, "band", "bucket")
+    return admitted, delta
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -284,32 +381,13 @@ def minhash_lsh_pairs(
     is bucket-local, never O(n^2). The verify step re-scores candidates
     with the exact Jaccard so false positives drop out; output equals
     the exact-Jaccard pair set restricted to LSH candidates."""
-    rows_per_band = num_perm // bands
     # one tokenize+shingle scan feeds both the signatures and the
     # exact-Jaccard verify below; callers with several dedup passes
     # over one corpus pass their own persisted ``shingles`` instead
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingles=sh)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = lsh_band_keys(
+        df, id_col, text_col, n, num_perm, bands, shingles=sh
+    )
 
     left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")

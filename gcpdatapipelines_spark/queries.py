@@ -1864,6 +1864,36 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+@register("dedup_incremental_neardup")  # rows-only: xxhash64 band keys
+# have no DuckDB twin (same reason as dedup_minhash_lsh); sequential-
+# batch parity and state shape are pinned in tests/test_streaming.py
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (the streaming-corpus MinHash
+    shape): the first half of the corpus stands as LSH band keys only
+    (~bands·16 B per doc — no text, shingles, or signatures retained),
+    the second half is an ingest increment admitted iff it collides
+    with the corpus in NO band, deduped within itself by the
+    deterministic bucket-min rule. One signature pass + bucket-keyed
+    anti-join per increment; state grows with the admitted corpus
+    only."""
+    from .operators.dedup import incremental_neardup, lsh_band_keys
+
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).first()["h"]
+    corpus = d.filter(F.col("doc_id") <= half)
+    increment = d.filter(F.col("doc_id") > half)
+    sh = _doc_shingles_cached(spark, sf_dir)  # shared tokenize+shingle scan
+    state = lsh_band_keys(
+        corpus, "doc_id", "text",
+        shingles=sh.filter(F.col("doc_id") <= half),
+    )
+    admitted, _ = incremental_neardup(
+        increment, state, "doc_id", "text",
+        shingles=sh.filter(F.col("doc_id") > half),
+    )
+    return admitted
+
+
 @register(
     "j9_asof_forward",
     """

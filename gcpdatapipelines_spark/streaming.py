@@ -575,6 +575,70 @@ def upsert_sink_stream(
     q.awaitTermination()
 
 
+def incremental_neardup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    admitted_dir: str,
+    checkpoint: str,
+    n: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """Streaming near-dup admission over a document file stream: each
+    micro-batch is deduped against the STANDING corpus represented
+    only by its LSH band keys (~bands·16 bytes per admitted doc —
+    never text, shingles, or signatures), then within itself by the
+    deterministic bucket-min rule; admitted ids land in
+    ``admitted_dir`` and the batch's band keys append to
+    ``state_dir``. This is the 100 TB crawl-ingest shape: state grows
+    with the ADMITTED corpus only, and each increment costs one
+    signature pass + bucket-keyed anti-join.
+
+    Idempotency on replay: a re-run batch recomputes the identical
+    admit set (bucket-min is order-independent), so duplicate appends
+    can only duplicate rows, never change decisions — consumers read
+    ``admitted_dir`` with dropDuplicates(doc_id) and the state with
+    DISTINCT, both of which the next batch's reader already applies.
+    """
+    from .operators.dedup import incremental_neardup
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fs = hpath(state_dir).getFileSystem(sp._jsc.hadoopConfiguration())
+        state = (
+            sp.read.parquet(state_dir) if fs.exists(hpath(state_dir)) else None
+        )
+        admitted, delta = incremental_neardup(
+            batch_df, state, "doc_id", "text", n, num_perm, bands
+        )
+        # both writes re-derive the admit set lazily; that's safe
+        # because bucket-min admission is deterministic — re-execution
+        # cannot flip a decision (no driver-side id collection needed)
+        out = batch_df.join(admitted.select("doc_id"), "doc_id", "left_semi")
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(admitted_dir)
+        delta.write.mode("append").parquet(state_dir)
+
+    src = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(source_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def drift_monitor_stream(
     events: DataFrame,
     baseline: DataFrame,

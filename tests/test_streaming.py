@@ -512,3 +512,76 @@ def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
     assert got.n_current == want.n_current
     assert got.psi == want.psi
     assert got.batch_id == 0
+
+
+def test_incremental_neardup_pipeline_matches_sequential_batches(spark, tmp_path):
+    """The streaming admission must equal applying incremental_neardup
+    batch-by-batch in file order: state carries between micro-batches
+    (maxFilesPerTrigger=1 -> one batch per file)."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_band_keys,
+    )
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "the quick brown fox jumps over the lazy dog again and again okay"),
+        (3, "completely different text about spark dataframes and shuffles at scale"),
+    ]
+    rows2 = [
+        (10, "the quick brown fox jumps over the lazy dog again and again ok yes"),
+        (11, "a brand new document with entirely fresh content and wording here"),
+        (12, "a brand new document with entirely fresh content and wording here too"),
+    ]
+    ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows], ddl
+        )
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches; FileStreamSource orders by mtime,
+    # so pin mtimes explicitly to make batch order deterministic
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src)
+
+    def write_file(rows, name, mtime):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["src0"] * len(rows),
+                "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+            }
+        )
+        path = os.path.join(src, name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    write_file(rows1, "batch1.parquet", 1_000_000)
+    write_file(rows2, "batch2.parquet", 2_000_000)
+
+    state = str(tmp_path / "state")
+    admitted = str(tmp_path / "admitted")
+    S.incremental_neardup_pipeline(
+        spark, src, state, admitted, str(tmp_path / "ckpt")
+    )
+    got = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+
+    # sequential batch application
+    a1, d1 = incremental_neardup(mk(rows1), None, "doc_id", "text")
+    a2, _ = incremental_neardup(mk(rows2), d1, "doc_id", "text")
+    want = {r.doc_id for r in a1.collect()} | {r.doc_id for r in a2.collect()}
+    assert got == want
+    # dup of doc 1 (2), corpus near-dup (10) and increment dup (12) dropped
+    assert got == {1, 3, 11}
+    # state is band keys only: ~bands rows per admitted doc
+    st = spark.read.parquet(state)
+    assert set(st.columns) == {"doc_id", "band", "bucket"}
+    assert st.select("doc_id").distinct().count() == 3
