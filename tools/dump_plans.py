@@ -125,6 +125,38 @@ HEADLINERS = {
         "broadcast per-query LUT — the corpus vectors are never touched "
         "at query time; the m-bytes-per-row scan is PQ's point."
     ),
+    "ts_resample_ohlc": (
+        "ONE partial+final aggregate (min_by/max_by combine map-side on "
+        "the portable string sort key); a (user, hour) row per map task "
+        "crosses the wire."
+    ),
+    "sim_tfidf_cosine": (
+        "Candidates via token equi-joins with the query side broadcast — "
+        "no doc-by-doc cartesian; dots/norms are decimal-exact sums, so "
+        "the plan carries plain hash aggregates."
+    ),
+    "sim_quantize_int8": (
+        "Fully narrow codegen: zero exchanges — the corpus scan IS the "
+        "quantization."
+    ),
+    "text_chunk_overlap": (
+        "Narrow tokenize + sequence + slice pipeline, zero shuffles; "
+        "chunk starts generated per row."
+    ),
+    "sim_opq_topk": (
+        "Rotation/codebooks are driver-side sample-trained metadata; the "
+        "distributed plan is one Arrow matmul projection + the "
+        "shuffle-free literal-codebook encode + broadcast LUT ADC scan."
+    ),
+    "w18_rolling_distinct_users": (
+        "Bounded 7x fan-out of distinct (user, day) pairs + one distinct "
+        "aggregate — no per-day re-scan, no window COUNT DISTINCT."
+    ),
+    "dedup_incremental_neardup": (
+        "Corpus state is distinct band keys; increment signatures join it "
+        "bucket-keyed (anti), then bucket-min — no O(n^2), no text "
+        "retention."
+    ),
     "layout_zorder": (
         "Morton interleave as a pure codegen'd shift/or chain over "
         "pre-bucketed ints — no exchange at all until a writer "
