@@ -322,3 +322,100 @@ def test_gapfill_invariants(spark, obs):
             if r.is_gap:
                 assert r.value == last  # copied forward
             last = r.value
+
+
+CHUNK_N = st.integers(min_value=1, max_value=200)
+
+
+@given(n_tokens=CHUNK_N, window=st.integers(8, 64), stride=st.integers(4, 48))
+@SLOW
+def test_chunk_overlap_covers_every_token_exactly(spark, n_tokens, window, stride):
+    """Invariants for any (n, window, stride) with stride <= window:
+    every token position is covered by >= 1 chunk; no chunk exceeds the
+    window; consecutive chunks advance by exactly stride; the first
+    chunk starts at 1."""
+    from gcpdatapipelines_spark.operators.text import chunk_overlap
+
+    if stride > window:
+        stride = window  # contract: stride <= window (overlap >= 0)
+    text = " ".join(f"t{i}" for i in range(1, n_tokens + 1))
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    rows = sorted(
+        chunk_overlap(df, "doc_id", "text", window, stride).collect(),
+        key=lambda r: r.start_tok,
+    )
+    assert rows[0].start_tok == 1
+    covered = set()
+    for r in rows:
+        assert 1 <= r.chunk_tokens <= window
+        covered.update(range(r.start_tok, r.start_tok + r.chunk_tokens))
+    assert covered == set(range(1, n_tokens + 1))
+    starts = [r.start_tok for r in rows]
+    assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+
+
+SPLIT_ROWS = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=60, unique_by=lambda t: t[0],
+)
+
+
+@given(rows=SPLIT_ROWS, pct=st.sampled_from([10, 20, 25, 50]))
+@SLOW
+def test_split_stratified_within_one_row_of_ratio(spark, rows, pct):
+    """Every stratum's test count is within one row of n*pct/100, for
+    any stratum size — the interleaved-slot guarantee."""
+    from gcpdatapipelines_spark.operators.sample import split_stratified
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    out = split_stratified(df, "doc_id", "source", test_pct=pct).collect()
+    by = {}
+    for r in out:
+        tot, tst = by.get(r.source, (0, 0))
+        by[r.source] = (tot + 1, tst + (1 if r.split == "test" else 0))
+    for src, (tot, tst) in by.items():
+        want = tot * pct / 100
+        assert abs(tst - want) < 1 + 1e-9, (src, tot, tst, want)
+
+
+OHLC_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 7200),                   # seconds offset
+        st.integers(0, 10_000),                 # event id (tiebreak)
+        st.floats(-1e3, 1e3, allow_nan=False, width=32),
+    ),
+    min_size=1, max_size=40, unique_by=lambda t: t[2],
+)
+
+
+@given(events=OHLC_EVENTS)
+@SLOW
+def test_resample_ohlc_matches_python_model(spark, events):
+    """OHLC bars must agree with a brute-force python reference for any
+    event set, including same-timestamp ties (resolved by event id)."""
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.timeseries import resample_ohlc
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), e, float(v)) for u, s, e, v in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    got = {
+        (r.user_id, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in resample_ohlc(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    model = {}
+    for u, ts, e, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        model.setdefault((u, b), []).append((ts, e, v))
+    want = {}
+    for k, evs in model.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        vals = [v for _, _, v in evs]
+        want[k] = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+    assert got == want
