@@ -1864,6 +1864,89 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
 
 
+@register(
+    "pipeline_pretrain_corpus",
+    """
+    WITH qual AS (
+        SELECT doc_id, lang, source, text,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+    ), q2 AS (
+        SELECT * FROM qual WHERE n_tok >= 40
+    ), fp AS (
+        SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS fingerprint
+        FROM q2
+    ), dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY fingerprint ORDER BY doc_id) AS dup_rn
+            FROM fp
+        ) WHERE dup_rn = 1
+    ), capped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rn
+            FROM dedup
+        ) WHERE cap_rn <= 30
+    ), chunks AS (
+        SELECT source, doc_id, n_tok,
+               unnest(list_filter(generate_series(1, n_tok, 48),
+                                  s -> s = 1 OR s - 48 + 63 < n_tok))
+                   AS start_tok
+        FROM capped
+    )
+    SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(least(64, n_tok - start_tok + 1)) AS BIGINT)
+               AS chunk_tokens
+    FROM chunks GROUP BY source
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus build in ONE declarative plan:
+    language + length quality gate → normalized-fingerprint exact
+    dedup (min-id representative) → per-domain cap (30, hash order) →
+    64/48 overlapping chunking → per-source chunk accounting. Every
+    stage is one of the catalog's audited operators composed as plain
+    DataFrame ops, so Catalyst fuses the whole pipeline: the quality
+    filters reach the scan, the two window stages share their
+    per-key partitioning where possible, and the chunk fan-out stays
+    narrow. This is the "switch your pipeline to this engine" shape —
+    and it is oracle-checked end to end, not stage by stage."""
+    from .operators.dedup import content_fingerprint, tokens
+    from .operators.sample import cap_per_group
+    from .operators.text import chunk_overlap
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    # token measure = the CHUNKER's tokenization (split-based), so the
+    # gate and the chunk fan-out agree on what a token is
+    qual = d.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= 200)
+        & (F.size(tokens(F.col("text"))) >= 40)
+    )
+    w = Window.partitionBy(content_fingerprint(F.col("text"))).orderBy("doc_id")
+    dedup = (
+        qual.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    capped = cap_per_group(dedup, "doc_id", "source", 30)
+    chunks = chunk_overlap(capped, "doc_id", "text", 64, 48).join(
+        capped.select("doc_id", "source"), "doc_id"
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("chunk_tokens"),
+    )
+
+
 @register("dedup_incremental_neardup")  # rows-only: xxhash64 band keys
 # have no DuckDB twin (same reason as dedup_minhash_lsh); sequential-
 # batch parity and state shape are pinned in tests/test_streaming.py
