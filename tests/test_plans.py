@@ -352,3 +352,15 @@ def test_resample_ohlc_single_aggregate_exchange(spark):
     # SortAggregate — what matters is the PARTIAL phase running before
     # the exchange (one (user,hour) row per map task crosses the wire)
     assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_pipeline_pretrain_filters_reach_scan(spark):
+    """The composed corpus pipeline must push the cheap gates into the
+    documents scan: lang equality and the n_chars bound appear in
+    PushedFilters, so at 100 TB the non-English / short-doc bytes are
+    skipped at the reader."""
+    df = _q(spark, "pipeline_pretrain_corpus")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "lang" in pushed and "n_chars" in pushed, pushed
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
