@@ -375,6 +375,44 @@ def tfidf_top_terms(
     )
 
 
+def hashing_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words: each token buckets
+    into ``dim`` slots by a PORTABLE hash (first 8 hex digits of md5,
+    parsed base-16 — identical in every engine, unlike xxhash/murmur
+    defaults), and the document becomes a fixed-width count vector.
+    The vocabulary-free text featurizer: no dictionary build, no OOV,
+    memory O(dim) per doc — the 100 TB alternative to a fitted
+    CountVectorizer.
+
+    Shape: explode → one partial+final count on (doc, slot) → one
+    per-doc fold into the dense array (map lookup per slot, no second
+    shuffle beyond the doc-keyed agg)."""
+    from .dedup import tokens as _tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    idx = (
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % dim
+    ).cast("int")
+    g = tok.select(id_col, idx.alias("slot")).groupBy(id_col, "slot").agg(
+        F.count("*").alias("n")
+    )
+    m = g.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("slot"), F.col("n")))
+        ).alias("__m")
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("int")), F.lit(0)),
+    )
+    return m.select(id_col, feats.alias("features"))
+
+
 def tfidf_weights(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

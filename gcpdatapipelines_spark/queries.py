@@ -1865,6 +1865,44 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hashing_features",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT)
+                    % 64 AS INTEGER) AS slot,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    ), dims AS (
+        SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS i
+    ), filled AS (
+        SELECT d.doc_id, dims.i, coalesce(g.n, 0) AS n
+        FROM (SELECT DISTINCT doc_id FROM g) d
+        CROSS JOIN dims
+        LEFT JOIN g ON g.doc_id = d.doc_id AND g.slot = dims.i
+    )
+    SELECT doc_id, list(n ORDER BY i) AS features
+    FROM filled GROUP BY doc_id
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (64 slots): vocabulary-free text
+    featurization with a PORTABLE hash (md5 first-8-hex base-16), so
+    the whole vector is oracle-checkable. No dictionary build, no OOV
+    slot, O(dim) memory per doc — what replaces a fitted
+    CountVectorizer at corpus scale."""
+    from .operators.text import hashing_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashing_features(d, "doc_id", "text", dim=64)
+
+
+@register(
     "pipeline_pretrain_corpus",
     """
     WITH qual AS (

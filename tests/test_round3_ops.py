@@ -350,3 +350,21 @@ class TestApproxQuantiles:
             assert abs(approx[k] - exact[k]) <= max(0.02 * abs(exact[k]), 1.0), (
                 k, approx[k], exact[k],
             )
+
+
+class TestHashingFeatures:
+    def test_counts_and_width(self, spark):
+        from gcpdatapipelines_spark.operators.text import hashing_features
+
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "apple")],
+            "doc_id BIGINT, text STRING",
+        )
+        out = {r.doc_id: r.features for r in
+               hashing_features(docs, "doc_id", "text", dim=16).collect()}
+        assert len(out[1]) == 16 and len(out[2]) == 16
+        assert sum(out[1]) == 3 and sum(out[2]) == 1
+        # same token -> same slot: doc1's apple slot holds 2, doc2's 1
+        import hashlib
+        slot = int(hashlib.md5(b"apple").hexdigest()[:8], 16) % 16
+        assert out[1][slot] == 2 and out[2][slot] == 1
