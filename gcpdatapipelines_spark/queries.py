@@ -1865,6 +1865,66 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w19_funnel_time_quantiles",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.t1
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), d AS (
+        SELECT t1.user_id, epoch_us(t2.t2) - epoch_us(t1.t1) AS delay_us
+        FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+    )
+    SELECT unnest([0.5, 0.9]) AS p,
+           unnest([quantile_cont(delay_us, 0.5),
+                   quantile_cont(delay_us, 0.9)]) AS delay_us_q,
+           CAST(count(*) AS BIGINT) AS n_converted
+    FROM d
+    """,
+)
+def w19_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: median and p90 of the
+    signup→first-purchase delay across converting users — the funnel's
+    LATENCY companion (w10 counts who converts; this says how fast).
+    Delays are exact integer microseconds, so the interpolated
+    quantiles are bit-identical across engines (a18's percentile ==
+    quantile_cont proof). Two grouped mins + one tiny global
+    percentile aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    d = t1.join(t2, "user_id").select(
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("delay_us")
+    )
+    g = d.agg(
+        F.expr("percentile(delay_us, array(0.5D, 0.9D))").alias("__q"),
+        F.count("*").alias("n_converted"),
+    )
+    probs = F.array(F.lit(0.5), F.lit(0.9))
+    return g.select(
+        F.posexplode("__q").alias("__i", "delay_us_q"), "n_converted"
+    ).select(
+        F.element_at(probs, F.col("__i") + 1).alias("p"),
+        "delay_us_q",
+        "n_converted",
+    )
+
+
+@register(
     "text_hashing_features",
     """
     WITH tok AS (
