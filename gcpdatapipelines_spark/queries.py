@@ -5845,6 +5845,143 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_SQL = """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+           round(unit_price, 4) AS best_unit_price
+    FROM part
+    JOIN offers   ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15
+      AND unit_price = (
+        SELECT min(o2.unit_price) FROM offers o2
+        WHERE o2.l_partkey = part.p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+"""
+
+_Q21_SQL = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+_Q22_SQL = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (
+        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer c2
+        WHERE c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13) AND c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp): per-part best supplier offer.
+    ps_supplycost maps to min observed unit price per (part, supplier)
+    from lineitem; the correlated MIN subquery over the offers CTE is
+    the Q2 signature, which Catalyst decorrelates into a per-part min
+    + join instead of a per-row re-scan. Doubles are safe here: the
+    per-row division is deterministic, min() is order-independent,
+    and the min-equality compares values both engines computed
+    identically (NOTES double-parity rules)."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(_Q2_SQL)
+
+
+@register(
+    "q20_promo_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume of 'red'
+    parts in 1997 — an IN-subquery over a grouped HAVING, planned as
+    a left-semi join against the aggregated inner side (no partsupp:
+    lineitem quantity stands in for availqty). Quantities are
+    integral doubles, so sum() is exact in any association."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 300)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register("q21_waiting_suppliers", _Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the unique last-to-ship supplier on
+    multi-supplier finished orders (shipdate ordering stands in for
+    the missing commit/receipt dates). Keeps Q21's double correlated
+    quantifier — EXISTS another-supplier line, NOT EXISTS any
+    other-supplier line shipping as late — which Spark plans as a
+    semi then anti join on l_orderkey, both shuffle-partitioned by
+    the same key; no pair explosion."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    return spark.sql(_Q21_SQL)
+
+
+@register("q22_idle_customers", _Q22_SQL)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: acctbal of above-average customers in a
+    nation group with no recent orders — uncorrelated scalar AVG
+    subquery (computed once, broadcast as a literal) + NOT EXISTS
+    anti join against recent orders (date filter pushed to the
+    orders scan). The average is a decimal-exact sum with ONE double
+    division, textually identical on both engines."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22_SQL)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
