@@ -253,3 +253,38 @@ def negative_samples(
         (cand[key_col] == F.col("__pk")) & (cand["neg_item"] == F.col("__pi")),
         "left_anti",
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering:
+    every row gets a (shard, shard_pos) address derived solely from
+    md5(key || ':' || seed) — reproducible across runs, engines, and
+    cluster sizes, unlike ORDER BY rand() (non-reproducible) or
+    zipWithIndex (partitioning-dependent RDD API).
+
+    The first hex byte of the digest is the shard (256-way split) and
+    rank-within-shard orders by the full digest — so there is NO
+    global window: one shuffle on the shard key, a per-shard
+    row_number, each shard ~n/256 rows. A trainer streams shards in
+    order (or shuffles shard order per epoch) and gets a uniform
+    random permutation with O(n/256) per-task state. Changing the
+    seed re-permutes everything.
+    """
+    from pyspark.sql import Window
+
+    hx = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")).cast("binary")
+    )
+    w = Window.partitionBy(shard_col).orderBy("__hx", key_col)
+    return (
+        df.withColumn("__hx", hx)
+        .withColumn(shard_col, F.substring(F.col("__hx"), 1, 2))
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("__hx")
+    )

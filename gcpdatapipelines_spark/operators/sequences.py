@@ -255,3 +255,38 @@ def context_examples(
     return out.filter(F.size(ctx_col) == k).select(
         key, ts_col, tiebreak, ctx_col, F.col(value_col).alias(label_col)
     )
+
+
+def activity_streaks(
+    df: DataFrame, key: str, ts_col: str, out_prefix: str = ""
+) -> DataFrame:
+    """Longest consecutive-active-day streak per key — the classic
+    gaps-and-islands shape (engagement/retention QA over an event
+    log; also the dominant interview form of sequence analysis, so an
+    engine parity target).
+
+    Islands via the day - row_number() trick: distinct active days
+    per key, ranked chronologically; consecutive days share the
+    (day - rank) group constant. Two hash aggregations plus ONE
+    bounded window, all partitioned by the key — the distinct-day
+    set per key is calendar-bounded (years, not events), so the
+    window never sees event-scale partitions. Day numbers are integer
+    days since 1970-01-01 computed from the DATE cast, identical in
+    any engine/timezone-free fixture.
+    """
+    days = df.select(
+        F.col(key),
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "__d"
+        ),
+    ).distinct()
+    w = Window.partitionBy(key).orderBy("__d")
+    runs = (
+        days.withColumn("__grp", F.col("__d") - F.row_number().over(w))
+        .groupBy(key, "__grp")
+        .agg(F.count("*").alias("__len"))
+    )
+    return runs.groupBy(key).agg(
+        F.max("__len").cast("bigint").alias(f"{out_prefix}longest_streak"),
+        F.sum("__len").cast("bigint").alias(f"{out_prefix}n_active_days"),
+    )

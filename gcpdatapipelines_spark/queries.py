@@ -5982,6 +5982,125 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Training-pipeline additions: semantic dedup, activity streaks, deterministic
+# corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_keep",
+    """
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.vec, b.vec) /
+              (sqrt(list_inner_product(a.vec, a.vec)) *
+               sqrt(list_inner_product(b.vec, b.vec))) >= 0.4
+    ), edges AS (
+        SELECT id_1 AS u, id_2 AS w FROM pairs
+        UNION
+        SELECT id_2, id_1 FROM pairs
+    ), cc(node, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.w, cc.comp FROM cc JOIN edges e ON e.u = cc.node
+        WHERE cc.comp < e.w
+    ), lbl AS (
+        SELECT node, min(comp) AS comp FROM cc GROUP BY node
+    )
+    SELECT em.vec_id,
+           CAST(coalesce(l.comp, em.vec_id) AS BIGINT) AS cluster_id,
+           em.label,
+           (em.vec_id = coalesce(l.comp, em.vec_id)) AS is_canonical
+    FROM embeddings em LEFT JOIN lbl l ON em.vec_id = l.node
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2303.09540): the
+    embedding-space twin of dedup_cluster_assign. High-cosine pairs
+    (>= 0.4 — the fixture's top-similarity tail, see
+    sim_embedding_neardup) come from the PRUNED cell-pair scan (no
+    declared cartesian), their transitive closure from the same
+    large/small-star CC, and one representative per semantic cluster
+    is kept (min id). At corpus scale this is exactly the SemDeDup
+    recipe: cluster the embedding space, drop all-but-one of each
+    high-similarity group — pair generation bucketed by cells, CC
+    shuffle-bounded, final join broadcast-valved. Oracle: exact-pair
+    recursive-CTE closure over the same threshold."""
+    from .operators.graph import cluster_assignments
+    from .operators.similarity import embedding_neardup_pairs_pruned
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_pruned(emb, threshold=0.4, nlist=16).select(
+        "id_1", "id_2"
+    )
+    return cluster_assignments(emb, pairs, "vec_id").select(
+        "vec_id", "cluster_id", "label", "is_canonical"
+    )
+
+
+@register(
+    "w20_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ), runs AS (
+        SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def w20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user over the event
+    log — gaps-and-islands via the day-minus-rank constant. All three
+    passes (distinct days, island agg, per-user max) share the
+    user_id partitioning; the window only ever sees a user's distinct
+    DAYS (calendar-bounded), never raw events."""
+    from .operators.sequences import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "sample_shuffle_sharded",
+    """
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hx
+        FROM documents
+    )
+    SELECT doc_id, substr(hx, 1, 2) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(hx, 1, 2)
+                                   ORDER BY hx, doc_id) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def sample_shuffle_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded corpus shuffle: every document gets a
+    reproducible (shard, shard_pos) address from md5(id||seed) — the
+    training-data ordering primitive (epoch shuffling that survives
+    reruns and cluster resizes). No global sort/window: the first
+    digest byte 256-way shards, rank runs per shard. ORDER BY rand()
+    can't be oracle-checked or reproduced; this can — both engines
+    hash identical bytes."""
+    from .operators.sample import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=42).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

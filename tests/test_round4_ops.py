@@ -1,0 +1,93 @@
+"""Round-4 additions: activity streaks (gaps-and-islands),
+deterministic sharded shuffle, semantic dedup plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.io import read_table
+from gcpdatapipelines_spark.operators.sample import deterministic_shuffle
+from gcpdatapipelines_spark.operators.sequences import activity_streaks
+from tests.conftest import SF_SMOKE
+
+
+def _ts(day: int, hour: int = 9):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_streaks_known_islands(spark):
+    # u1: days 1,2,3 then 5,6 -> longest 3, active 5
+    # u2: single day -> 1/1; u3: duplicate events one day -> 1/1
+    rows = [
+        (1, _ts(1)), (1, _ts(2)), (1, _ts(3)), (1, _ts(5)), (1, _ts(6)),
+        (2, _ts(10)),
+        (3, _ts(4, 1)), (3, _ts(4, 23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_active_days"])
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert got == {1: (3, 5), 2: (1, 1), 3: (1, 1)}
+
+
+def test_streaks_gap_of_one_day_breaks(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(d)) for d in (1, 3, 5, 7)], "user_id long, ts timestamp"
+    )
+    [r] = activity_streaks(df, "user_id", "ts").collect()
+    assert (r["longest_streak"], r["n_active_days"]) == (1, 4)
+
+
+def test_shuffle_is_permutation(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = docs.count()
+    out = deterministic_shuffle(docs, "doc_id")
+    assert out.count() == n
+    # every (shard, pos) address unique; positions dense 1..len per shard
+    assert out.select("shard", "shard_pos").distinct().count() == n
+    bad = (
+        out.groupBy("shard")
+        .agg(F.max("shard_pos").alias("mx"), F.count("*").alias("cnt"))
+        .filter(F.col("mx") != F.col("cnt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shuffle_reproducible_and_seed_sensitive(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id").limit(200)
+    a = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in deterministic_shuffle(docs, "doc_id").collect()}
+    b = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in deterministic_shuffle(docs, "doc_id").collect()}
+    assert a == b
+    c = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in deterministic_shuffle(docs, "doc_id", seed=7).collect()}
+    assert a != c
+
+
+def test_shuffle_decorrelates_key_order(spark):
+    """Adjacent keys must not land at adjacent positions — the point
+    of shuffling. Check shards of consecutive doc_ids look spread."""
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id").limit(64)
+    shards = [
+        r["shard"]
+        for r in deterministic_shuffle(docs, "doc_id").orderBy("doc_id").collect()
+    ]
+    assert len(set(shards)) > 10  # 64 consecutive ids spray across shards
+
+
+def test_semantic_keep_no_cartesian(spark):
+    from gcpdatapipelines_spark.queries import SPARK_QUERIES
+
+    plan = (
+        SPARK_QUERIES["dedup_semantic_keep"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
