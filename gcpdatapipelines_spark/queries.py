@@ -5382,607 +5382,6 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H completion tier: the remaining canonical query shapes, adapted to the
-# fixture star schema (no partsupp table, no commit/receipt dates — the
-# adaptations preserve each query's PLAN shape: the join graph, the
-# correlated-subquery form, and the aggregation structure).
-# ---------------------------------------------------------------------------
-
-
-def _vol_sql() -> str:
-    return (
-        "CAST(l_extendedprice AS DECIMAL(18,2))"
-        " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-    )
-
-
-def _vol_col():
-    return F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-
-
-@register(
-    "q7_nation_volume",
-    f"""
-    SELECT supp_nation, cust_nation, l_year,
-           CAST(round(sum(vol), 2) AS DOUBLE) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS l_year, {_vol_sql()} AS vol
-      FROM supplier
-      JOIN lineitem ON s_suppkey = l_suppkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-    ) shipping
-    GROUP BY supp_nation, cust_nation, l_year
-    ORDER BY supp_nation, cust_nation, l_year
-    """,
-)
-def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year. The nation pair predicate prunes both dimension scans;
-    nation/supplier/customer all broadcast — the only shuffle is the
-    final 3-column group. Disjunctive pair filter applied post-join on
-    the two broadcast nation names."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    pair = ("NATION_1", "NATION_2")
-    n1 = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin(*pair))
-        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    )
-    n2 = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin(*pair))
-        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    )
-    return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_vol_col()), 2).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-@register(
-    "q8_market_share",
-    f"""
-    SELECT o_year,
-           round(coalesce(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE), 0.0)
-                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
-    FROM (
-      SELECT year(o_orderdate) AS o_year, {_vol_sql()} AS vol, n2.n_name AS supp_nation
-      FROM part
-      JOIN lineitem ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders   ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region   ON n1.n_regionkey = r_regionkey
-      JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
-    ) all_nations
-    GROUP BY o_year
-    ORDER BY o_year
-    """,
-)
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: national market share of PROMO-part revenue
-    sold into AMERICA, by order year. Numerator and denominator are
-    exact decimal sums over ONE aggregation pass (conditional sum, not
-    a self-join); the single double division at the end is the only
-    float step and is textually identical to the oracle's."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
-    )
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    vol = _vol_col()
-    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
-    den = F.sum(vol)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.coalesce(num.cast("double"), F.lit(0.0)) / den.cast("double"), 6
-            ).alias("mkt_share")
-        )
-        .orderBy("o_year")
-    )
-
-
-@register(
-    "q9_product_profit",
-    """
-    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
-    FROM (
-      SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1))
-               AS amount
-      FROM part
-      JOIN lineitem ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE p_name LIKE '%red%'
-    ) profit
-    GROUP BY nation, o_year
-    ORDER BY nation, o_year DESC
-    """,
-)
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit on 'red' product lines per supplier
-    nation per year. The fixture has no partsupp.ps_supplycost, so
-    cost maps to retailprice * quantity * 0.5 — same expression tree
-    (price term minus quantity-scaled cost term), all-decimal until
-    the final round. p_name LIKE pushes to the part scan; part,
-    supplier, nation broadcast."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    n = _t(spark, sf_dir, "nation")
-    amount = _vol_col() - (
-        F.col("p_retailprice").cast("decimal(18,2)")
-        * F.col("l_quantity").cast("decimal(18,2)")
-        * F.lit(0.5).cast("decimal(2,1)")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
-        .orderBy(F.col("nation"), F.col("o_year").desc())
-    )
-
-
-@register(
-    "q10_returned_items",
-    f"""
-    SELECT c_custkey, c_name, n_name, c_acctbal,
-           CAST(round(sum({_vol_sql()}), 2) AS DOUBLE) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name, c_acctbal
-    ORDER BY revenue DESC, c_custkey LIMIT 20
-    """,
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: top-20 customers by revenue lost to returns in a
-    quarter. Returnflag filter pushes to the lineitem scan, the date
-    window to orders; customer and nation broadcast; TakeOrdered(20)
-    replaces a global sort. Rank cut is on ROUNDED revenue with a
-    c_custkey tiebreak (NOTES float-parity rule)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(_vol_col()), 2).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "q12_ship_delay",
-    """
-    SELECT delay_class,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM (
-      SELECT o_orderpriority,
-             CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'
-                  WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'MEDIUM'
-                  ELSE 'FAST' END AS delay_class
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE l_shipdate >= o_orderdate
-    ) classed
-    GROUP BY delay_class
-    ORDER BY delay_class
-    """,
-)
-def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: priority mix by shipping-delay class. The
-    fixture carries no l_shipmode/commitdate, so the class derives
-    from shipdate - orderdate day buckets (both columns are midnight
-    timestamps, so Spark datediff == DuckDB date_diff('day')). One
-    join, one conditional-sum pass — integer-exact."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
-        .withColumn(
-            "delay_class",
-            F.when(dd > 90, "SLOW").when(dd > 30, "MEDIUM").otherwise("FAST"),
-        )
-        .groupBy("delay_class")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
-        )
-        .orderBy("delay_class")
-    )
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-    FROM (
-      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-      GROUP BY c_custkey
-    ) c_orders
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-)
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: order-count distribution over customers, keeping
-    zero-order customers via the left join. Two hash aggregations;
-    the second groups on a tiny domain (distinct order counts), so
-    the heavy shuffle is only the per-customer count — which AQE
-    coalesces. count(o_orderkey) skips NULLs from the left join,
-    exactly the TPC-H semantics."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").cast("bigint").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
-
-
-# q11/q15/q17 are uncorrelated/correlated-subquery shapes: the SAME SQL text
-# runs on Spark SQL (Catalyst rewrites the subqueries to joins) and on DuckDB
-# as the oracle — a single source of truth for semantics, and an explicit
-# demonstration that the engine's SQL front-end covers the shape.
-
-_Q11_SQL = f"""
-    SELECT l_partkey, CAST(round(sum({_vol_sql()}), 2) AS DOUBLE) AS part_value
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    WHERE s_nationkey < 5
-    GROUP BY l_partkey
-    HAVING sum({_vol_sql()}) >
-      (SELECT sum({_vol_sql()}) * CAST(0.001 AS DECIMAL(4,3))
-       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-       WHERE s_nationkey < 5)
-    ORDER BY part_value DESC, l_partkey
-"""
-
-_Q15_SQL = f"""
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, sum({_vol_sql()}) AS total_revenue_dec
-      FROM lineitem
-      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name,
-           CAST(round(total_revenue_dec, 2) AS DOUBLE) AS total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
-    ORDER BY s_suppkey
-"""
-
-_Q17_SQL = """
-    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#3'
-      AND l_quantity < (
-        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = part.p_partkey)
-"""
-
-
-@register("q11_revenue_concentration", _Q11_SQL)
-def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (no partsupp in the fixture): parts whose
-    revenue through a supplier-nation group exceeds a fraction of that
-    group's total — a grouped agg gated by an uncorrelated scalar
-    subquery in HAVING. Catalyst evaluates the scalar subquery once
-    and broadcasts it as a literal filter; the threshold comparison is
-    decimal-exact on both engines. At cluster scale both aggregations
-    are partial-agg'd; the fact table is scanned twice (the TPC-H
-    shape) — a shared-scan rewrite would cache the joined frame."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "supplier"])
-    return spark.sql(_Q11_SQL)
-
-
-@register("q15_top_supplier", _Q15_SQL)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) achieving the max quarterly revenue —
-    CTE + scalar-max subquery over it, with the max-equality compared
-    on the EXACT decimal revenue (a double compare could split ties
-    differently per engine). The shipdate window pushes to the scan;
-    the supplier join is broadcast."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "supplier"])
-    return spark.sql(_Q15_SQL)
-
-
-@register(
-    "q16_supplier_part_counts",
-    """
-    SELECT p_brand, p_type, p_size,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM part JOIN lineitem ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
-    GROUP BY p_brand, p_type, p_size
-    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-    """,
-)
-def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: how many distinct suppliers ship each
-    surviving (brand, type, size) bucket, with NOT-predicates and an
-    IN-list that all push to the part scan (lineitem stands in for
-    partsupp as the part-supplier bridge). count(DISTINCT) over the
-    group — Spark plans the standard two-level expand/agg; exact
-    integers on both engines."""
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
-    )
-
-
-@register("q17_small_quantity_revenue", _Q17_SQL)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: revenue that would vanish if sub-20%-of-average
-    quantity orders stopped — a correlated scalar AVG subquery on the
-    same fact table. Catalyst decorrelates it into an aggregate +
-    join on l_partkey (no per-row re-scan). Float-parity: quantities
-    are integral doubles, so their sum (and hence avg) is exact in
-    any association; 0.2*avg and the final /7.0 are single
-    deterministic double ops mirrored textually in the oracle."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "part"])
-    return spark.sql(_Q17_SQL)
-
-
-@register(
-    "q19_disjunctive_revenue",
-    f"""
-    SELECT CAST(round(sum({_vol_sql()}), 2) AS DOUBLE) AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19: revenue under a 3-way disjunction of conjunctive
-    (brand, size, quantity) predicates spanning both join sides.
-    The brand/size disjuncts' union pushes to the part scan as an
-    OR-of-ANDs filter; the part side broadcasts, and the residual
-    mixed predicate evaluates post-join inside codegen — no UDF, one
-    global decimal sum."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    q = F.col("l_quantity")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & q.between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & q.between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 15)
-            & q.between(20, 30)
-        )
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .filter(cond)
-        .agg(F.round(F.sum(_vol_col()), 2).cast("double").alias("revenue"))
-    )
-
-
-_Q2_SQL = """
-    WITH offers AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
-      FROM lineitem
-      GROUP BY l_partkey, l_suppkey
-    )
-    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
-           round(unit_price, 4) AS best_unit_price
-    FROM part
-    JOIN offers   ON p_partkey = l_partkey
-    JOIN supplier ON s_suppkey = l_suppkey
-    WHERE p_type = 'STANDARD' AND p_size <= 15
-      AND unit_price = (
-        SELECT min(o2.unit_price) FROM offers o2
-        WHERE o2.l_partkey = part.p_partkey)
-    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
-"""
-
-_Q21_SQL = """
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders      ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l2
-        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (
-        SELECT 1 FROM lineitem l3
-        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          AND l3.l_shipdate >= l1.l_shipdate)
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name LIMIT 20
-"""
-
-_Q22_SQL = """
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
-    FROM customer
-    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-      AND c_acctbal > (
-        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        FROM customer c2
-        WHERE c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13) AND c2.c_acctbal > 0.0)
-      AND NOT EXISTS (
-        SELECT 1 FROM orders
-        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
-    GROUP BY c_nationkey
-    ORDER BY c_nationkey
-"""
-
-
-@register("q2_min_cost_supplier", _Q2_SQL)
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (no partsupp): per-part best supplier offer.
-    ps_supplycost maps to min observed unit price per (part, supplier)
-    from lineitem; the correlated MIN subquery over the offers CTE is
-    the Q2 signature, which Catalyst decorrelates into a per-part min
-    + join instead of a per-row re-scan. Doubles are safe here: the
-    per-row division is deterministic, min() is order-independent,
-    and the min-equality compares values both engines computed
-    identically (NOTES double-parity rules)."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
-    return spark.sql(_Q2_SQL)
-
-
-@register(
-    "q20_promo_suppliers",
-    """
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE s_suppkey IN (
-      SELECT l_suppkey
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE 'red%'
-        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
-      GROUP BY l_suppkey
-      HAVING sum(l_quantity) > 300)
-    ORDER BY s_suppkey
-    """,
-)
-def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers who moved real volume of 'red'
-    parts in 1997 — an IN-subquery over a grouped HAVING, planned as
-    a left-semi join against the aggregated inner side (no partsupp:
-    lineitem quantity stands in for availqty). Quantities are
-    integral doubles, so sum() is exact in any association."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name
-        FROM supplier
-        WHERE s_suppkey IN (
-          SELECT l_suppkey
-          FROM lineitem JOIN part ON p_partkey = l_partkey
-          WHERE p_name LIKE 'red%'
-            AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
-          GROUP BY l_suppkey
-          HAVING sum(l_quantity) > 300)
-        ORDER BY s_suppkey
-        """
-    )
-
-
-@register("q21_waiting_suppliers", _Q21_SQL)
-def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: the unique last-to-ship supplier on
-    multi-supplier finished orders (shipdate ordering stands in for
-    the missing commit/receipt dates). Keeps Q21's double correlated
-    quantifier — EXISTS another-supplier line, NOT EXISTS any
-    other-supplier line shipping as late — which Spark plans as a
-    semi then anti join on l_orderkey, both shuffle-partitioned by
-    the same key; no pair explosion."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
-    return spark.sql(_Q21_SQL)
-
-
-@register("q22_idle_customers", _Q22_SQL)
-def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: acctbal of above-average customers in a
-    nation group with no recent orders — uncorrelated scalar AVG
-    subquery (computed once, broadcast as a literal) + NOT EXISTS
-    anti join against recent orders (date filter pushed to the
-    orders scan). The average is a decimal-exact sum with ONE double
-    division, textually identical on both engines."""
-    from .io import load_tables
-
-    load_tables(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(_Q22_SQL)
-
-
-# ---------------------------------------------------------------------------
 # Training-pipeline additions: semantic dedup, activity streaks, deterministic
 # corpus shuffle
 # ---------------------------------------------------------------------------
