@@ -68,3 +68,51 @@ def composite_key(*cols: str, sep: str = "") -> Column:
     data_transpose_working_1.py:115-118). Kept for name parity; real
     grouping should use multi-column groupBy directly."""
     return F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+
+
+def dense_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "dense_id",
+    nshards: int = 64,
+) -> DataFrame:
+    """Contiguous global ids 0..n-1 in ``order_col`` order — the
+    distributed replacement for zipWithIndex/monotonically_increasing_id
+    (gapped, partitioning-dependent) and for a global row_number window
+    (single-partition sort: the classic driver-melter).
+
+    Two-phase rank: rows shard by value range of the (numeric) order
+    key, each shard ranks locally under one bounded window, and a
+    per-shard base offset (cumulative shard counts) lifts local ranks
+    to global ids. The only driver state is ONE scalar (max key) and
+    ``nshards`` counts — bounded index metadata, never row data. At
+    100 TB this is the id-assignment pattern that works: every shard
+    sorts independently, no stage sees a global order.
+
+    Value-range sharding keeps ids dense and deterministic but splits
+    unevenly under key skew; raise ``nshards`` (or pre-scale keys) if
+    one range dominates.
+    """
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(F.col(order_col)).alias("m")).first()["m"]
+    if mx is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, int(mx) // nshards + 1)
+    sharded = df.withColumn("__shard", (F.col(order_col).cast("long") / width).cast("long"))
+    counts = sharded.groupBy("__shard").count().collect()
+    base, run = {}, 0
+    for r in sorted(counts, key=lambda r: r["__shard"]):
+        base[r["__shard"]] = run
+        run += r["count"]
+    omap = F.create_map(
+        *[F.lit(v) for kv in sorted(base.items()) for v in kv]
+    )
+    w = Window.partitionBy("__shard").orderBy(order_col)
+    return (
+        sharded.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + omap[F.col("__shard")]).cast("long"),
+        )
+        .drop("__shard")
+    )

@@ -5500,6 +5500,119 @@ def sample_shuffle_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p21_variant_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def p21_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    props parses ONCE into a binary variant (`parse_json`), fields
+    extract with `variant_get` — the modern engine path for JSON
+    columns (typed extraction after a single parse, no per-access
+    re-parse like get_json_object in p16). Integer-exact aggregate;
+    oracle extracts the same path via DuckDB's JSON functions."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select("event_type", F.variant_get(v, "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "p22_dense_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+    FROM documents
+    """,
+)
+def p22_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids without a global sort: the oracle
+    states the SEMANTICS as one global row_number window (fine for
+    DuckDB, a single-partition driver-melter on a cluster); the Spark
+    side proves `rows.dense_ids` — range-sharded local ranks + bounded
+    cumulative offsets — produces the identical assignment with no
+    stage ever holding a global order."""
+    from .operators.rows import dense_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return dense_ids(docs, "doc_id").select("doc_id", "dense_id")
+
+
+def _corr_matrix_sql() -> str:
+    cols = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    dec = {k: f"CAST({c} AS DECIMAL(18,2))" for k, c in cols.items()}
+    sums = [f"CAST(count(*) AS DOUBLE) AS n"]
+    for k in cols:
+        sums.append(f"CAST(sum({dec[k]}) AS DOUBLE) AS s_{k}")
+        sums.append(f"CAST(sum({dec[k]} * {dec[k]}) AS DOUBLE) AS s_{k}{k}")
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    for a, b in pairs:
+        sums.append(f"CAST(sum({dec[a]} * {dec[b]}) AS DOUBLE) AS s_{a}{b}")
+    corr = {
+        (a, b): (
+            f"round((n * s_{a}{b} - s_{a} * s_{b}) /"
+            f" (sqrt(n * s_{a}{a} - s_{a} * s_{a}) *"
+            f" sqrt(n * s_{b}{b} - s_{b} * s_{b})), 6)"
+        )
+        for a, b in pairs
+    }
+    case = lambda sel: (  # noqa: E731
+        "CASE i "
+        + " ".join(f"WHEN {i} THEN {sel(a, b)}" for i, (a, b) in enumerate(pairs, 1))
+        + " END"
+    )
+    return (
+        "\n    WITH m AS (\n        SELECT "
+        + ",\n               ".join(sums)
+        + "\n        FROM lineitem\n    )\n    "
+        + "SELECT "
+        + case(lambda a, b: f"'{cols[a]}'")
+        + " AS col_a,\n           "
+        + case(lambda a, b: f"'{cols[b]}'")
+        + " AS col_b,\n           "
+        + case(lambda a, b: corr[(a, b)])
+        + " AS corr\n"
+        + "    FROM m CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS t(i)\n"
+        + "    ORDER BY col_a, col_b\n    "
+    )
+
+
+_register_sql_twin(
+    "a24_corr_matrix",
+    ["lineitem"],
+    _corr_matrix_sql(),
+    "One-pass pairwise correlation matrix over four measures: ALL 14 "
+    "co-moments (4 sums, 4 squares, 6 cross products) come out of ONE "
+    "decimal-exact aggregation scan; each of the 6 correlations is then "
+    "a fixed scalar double expression over that single row (the "
+    "a17/linear_fit pattern widened to a matrix). Builtin corr() would "
+    "need 6 scans-or-passes and reassociates doubles (never "
+    "oracle-matchable); this is 1 scan, bit-portable. The 6 output "
+    "rows come from a VALUES(1..6) broadcast-scalar cross join against "
+    "the one moment row (CASE per pair) — NOT per-pair UNION arms, "
+    "which would re-derive the inlined CTE and re-scan the fact 6x.",
+)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

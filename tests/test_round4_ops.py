@@ -91,3 +91,35 @@ def test_semantic_keep_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dense_ids_matches_global_rank(spark):
+    from gcpdatapipelines_spark.operators.rows import dense_ids
+
+    # sparse, skewed, negative-free keys with gaps
+    keys = [0, 1, 5, 6, 7, 1000, 1001, 99999, 100000, 123456789]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: r["dense_id"] for r in dense_ids(df, "k", nshards=4).collect()}
+    assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+
+def test_dense_ids_empty_and_single(spark):
+    from gcpdatapipelines_spark.operators.rows import dense_ids
+
+    empty = spark.createDataFrame([], "k long")
+    assert dense_ids(empty, "k").count() == 0
+    one = spark.createDataFrame([(7,)], "k long")
+    [r] = dense_ids(one, "k").collect()
+    assert r["dense_id"] == 0
+
+
+def test_corr_matrix_single_scan(spark):
+    from gcpdatapipelines_spark.queries import SPARK_QUERIES
+
+    plan = (
+        SPARK_QUERIES["a24_corr_matrix"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, "moment CTE must not re-scan per pair"
