@@ -288,3 +288,30 @@ def deterministic_shuffle(
         .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
         .drop("__hx")
     )
+
+
+def split_kfold(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str | None = None,
+    k: int = 5,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment, stratified
+    when ``strata_col`` is given: rows rank inside each stratum by
+    (md5(key), key) and fold = rank mod k — round-robin dealing, so
+    every stratum's rows spread across folds within one row of n/k
+    (the mod rule IS the interleave here, unlike a threshold split).
+    Same determinism/growth trade-off as :func:`split_stratified`:
+    reproducible under any partitioning, ranks reshift on insert.
+    One shuffle on the stratum (or one global-ish window under a
+    single constant stratum when unstratified — use a real stratum
+    column at scale)."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(key_col).cast("string").cast("binary"))
+    part = [strata_col] if strata_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(order, F.col(key_col))
+    return df.withColumn(
+        out_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -689,3 +689,64 @@ def lang_scores(
     for lang in reversed(langs):
         pred = F.when((F.col(f"{lang}_hits") == best) & (best > 0), lang).otherwise(pred)
     return out.withColumn("pred_lang", pred)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a bag of query terms
+    (Robertson/Sparck Jones; the Lucene-default scoring form with
+    +1-smoothed idf, so weights stay positive) — the missing sibling
+    of tfidf/sparse-cosine: length-normalized term saturation.
+
+    Scale shape: corpus stats (dl, tf, df) are three partial-agg
+    passes over the exploded token stream, all shuffling on token or
+    doc id; the scalar (n_docs, avgdl) row rides a broadcast-scalar
+    cross join; scoring touches only (doc, query-term) matches —
+    O(docs x |terms|) rows, never the full vocabulary.
+
+    Float parity (NOTES rules): each per-term contribution is ONE
+    fixed double expression (identical text in the DuckDB oracle),
+    rounded to 9 dp and cast DECIMAL(18,9) BEFORE the per-doc sum, so
+    the only reassociating step is over exact decimals; the final
+    round(...,6) then compares bit-identically. Rank cut on the
+    rounded score with an id tiebreak."""
+    from .dedup import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    hits = tok.filter(F.col("token").isin(*terms))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        hits.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df_t"))
+    )
+    contrib_expr = (
+        "round(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)"
+        f" * tf * ({k1!r} + 1.0)"
+        f" / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl)), 9)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", F.expr(contrib_expr).cast("decimal(18,9)"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("c"), 6).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -5613,6 +5613,78 @@ _register_sql_twin(
 )
 
 
+@register(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ), hits AS (
+        SELECT doc_id, token FROM toks
+        WHERE token IN ('spark', 'join', 'window', 'stream')
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY token
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * tf * (1.2 + 1.0)
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 9)
+                    AS DECIMAL(18,9)) AS c
+        FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a 4-term query — ranked retrieval
+    with length-normalized term saturation (the search-engine scoring
+    the tfidf/sparse-cosine tier lacked). Per-term contributions are
+    one fixed double expression rounded to 9 dp into DECIMAL before
+    the per-doc sum (NOTES float rules), so Spark and DuckDB agree
+    bit-for-bit. Corpus stats ride a broadcast-scalar row; scoring
+    rows are only (doc, query-term) matches."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["spark", "join", "window", "stream"],
+        k=20,
+    )
+
+
+@register(
+    "split_kfold",
+    """
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 - 1) % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def split_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment: rows rank per
+    language by (md5(id), id) and deal round-robin into folds — every
+    stratum splits within one row of n/5 per fold, deterministically
+    under any partitioning. One shuffle on the stratum."""
+    from .operators.sample import split_kfold
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_kfold(docs, "doc_id", "lang", k=5)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

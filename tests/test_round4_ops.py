@@ -123,3 +123,53 @@ def test_corr_matrix_single_scan(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, "moment CTE must not re-scan per pair"
+
+
+def test_bm25_matches_python_model(spark):
+    import math
+
+    from gcpdatapipelines_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark join fast table spark",
+        2: "join window stream",
+        3: "table row filter value",
+        4: "spark spark spark spark window",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms = ["spark", "window"]
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, "doc_id", "text", terms).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    dfreq = {t: sum(t in v for v in toks.values()) for t in terms}
+    exp = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl)), 9)
+        if s:
+            exp[d] = round(s, 6)
+    assert got == exp
+    # doc 4 (4x spark) must outrank doc 1 (2x spark) despite saturation
+    assert got[4] > got[1]
+
+
+def test_kfold_balanced_and_deterministic(spark):
+    from gcpdatapipelines_spark.operators.sample import split_kfold
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = split_kfold(docs, "doc_id", "lang", k=5)
+    sizes = (
+        out.groupBy("lang", "fold").count()
+        .groupBy("lang")
+        .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+        .collect()
+    )
+    assert sizes and all(r["mx"] - r["mn"] <= 1 for r in sizes)
+    again = split_kfold(docs, "doc_id", "lang", k=5)
+    assert out.exceptAll(again).count() == 0
