@@ -238,6 +238,72 @@ def triangle_counts(pairs: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
+def adamic_adar_topk(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 50,
+) -> DataFrame:
+    """Top-k link predictions by Adamic–Adar score: for each NON-edge
+    node pair at distance 2, score = sum over common neighbors w of
+    1/ln(deg(w)) — rare shared neighbors count more. The classic
+    recommend-a-connection / related-items primitive over
+    co-occurrence graphs.
+
+    Parity shape (NOTES.md): per-wedge contributions are ONE fixed
+    double expression ``round(1/ln(deg), 12)`` cast to DECIMAL(18,12)
+    before the per-pair sum — decimal sums are associative, so the
+    score is independent of partitioning and bit-identical across
+    engines; the final round(6) + (u, v) tiebreak makes the top-k cut
+    deterministic. Wedge centers have degree >= 2, so ln(deg) > 0.
+
+    Scale shape: degrees are one partial-agg pass; wedges come from
+    ONE self-equi-join of the symmetrized adjacency on the center
+    (bounded by max degree — same envelope as triangle counting; on
+    skew-heavy graphs cap or sample celebrity neighborhoods upstream);
+    existing edges leave via a left-anti equi-join; the pair score is
+    a map-side-combinable hash agg and the cut is a TakeOrdered — no
+    global sort, no cartesian anywhere."""
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # adjacency annotated with the CENTER's degree: (center w, neighbor n, deg w)
+    adj = sym.select(F.col("u").alias("w"), F.col("v").alias("n")).join(
+        deg.select(F.col("u").alias("w"), "deg"), "w"
+    )
+    a = adj.select("w", F.col("n").alias("na"), "deg")
+    b = adj.select("w", F.col("n").alias("nb"))
+    wedges = a.join(b, "w").filter(F.col("na") < F.col("nb"))
+    contrib = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12).cast(
+        "decimal(18,12)"
+    )
+    scored = (
+        wedges.select(F.col("na").alias("u"), F.col("nb").alias("v"), contrib.alias("c"))
+        .groupBy("u", "v")
+        .agg(
+            F.sum("c").alias("__s"),
+            F.count("*").alias("n_common"),
+        )
+        .join(edges, ["u", "v"], "left_anti")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("__s").cast("double"), 6).alias("aa_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), F.col("u"), F.col("v")
+    ).limit(k)
+
+
 def degree_histogram(
     pairs: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

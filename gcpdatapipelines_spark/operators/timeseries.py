@@ -21,7 +21,7 @@ also breaks partition pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,6 +85,174 @@ def resample_ohlc(
         F.max_by(F.col(value_col), sort_key).alias("close"),
         F.count("*").alias("n_events"),
         F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("vsum"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap: str = "interval 30 minutes",
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's event stream into maximal
+    activity intervals — two events belong to the same interval when
+    the later one starts within ``gap`` of the earlier one's end (here
+    events are points, so "end" is ``ts + gap``). The canonical shape
+    behind visit stitching, downtime reports, and contiguous-coverage
+    audits.
+
+    Returns (key, started_at, ended_at, n_events): interval bounds are
+    COPIES of event timestamps (min/max), so cross-engine parity is
+    exact by construction — no timestamp arithmetic survives into the
+    output.
+
+    Scale shape: one window pass partitioned by ``key`` (running max of
+    the predecessor ends detects island starts; a running sum of the
+    start flags numbers the islands) and one hash aggregate on
+    (key, island) that REUSES the same partitioning — AQE coalesces
+    the exchanges, so the stream shuffles once. No self-join, no
+    cartesian; per-key cost is linear in that key's events.
+    """
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.col(ts_col) + F.expr(gap)
+    flagged = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.when(
+            F.max(end).over(w_prev).isNull()
+            | (F.col(ts_col) > F.max(end).over(w_prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new_island"),
+    )
+    islands = flagged.select(
+        F.col(key),
+        F.col(ts_col),
+        F.sum("__new_island").over(w_run).alias("__island"),
+    )
+    return islands.groupBy(key, "__island").agg(
+        F.min(ts_col).alias("started_at"),
+        F.max(ts_col).alias("ended_at"),
+        F.count("*").alias("n_events"),
+    ).drop("__island")
+
+
+def seasonal_index(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    grain: Column | None = None,
+) -> DataFrame:
+    """Per-key seasonal index over a calendar grain (default: hour of
+    day): mean(value | key, grain) / mean(value | key). Values > 1 mark
+    the key's hot hours — the first-order seasonality feature for
+    forecasting and anomaly baselines.
+
+    Parity shape (NOTES.md): both means come from EXACT decimal sums
+    (associative — immune to partial-agg reassociation), and the index
+    is ONE fixed double expression ``(sh/ch)/(st/ct)`` written
+    textually identically in the oracle, so the doubles agree bitwise.
+
+    Scale shape: one hash aggregate on (key, grain); the per-key
+    totals come from an unbounded window over the grain rows — the
+    window input is already reduced to |keys|x|grains| rows, so the
+    second pass is over the AGGREGATE, not the events. No second scan
+    of the fact, no join."""
+    g = grain if grain is not None else F.hour(F.col(ts_col))
+    per = df.groupBy(F.col(key), g.alias("grain")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+        F.count(value_col).alias("__c"),
+    )
+    w = Window.partitionBy(key)
+    return per.select(
+        F.col(key),
+        F.col("grain"),
+        F.col("__c").alias("n_obs"),
+        F.round(
+            (F.col("__s").cast("double") / F.col("__c"))
+            / (
+                F.sum("__s").over(w).cast("double")
+                / F.sum("__c").over(w)
+            ),
+            6,
+        ).alias("season_idx"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    lookback: int = 20,
+    min_obs: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling-window anomaly detection: score each observation against
+    the mean/stddev of the PRIOR ``lookback`` observations of the same
+    key (prior-only, so an outlier never masks itself), flag
+    |z| > threshold. The standard streaming-metrics outlier shape.
+
+    Parity shape (NOTES.md variance rule): the rolling moments are
+    EXACT decimal window sums (sum x, sum x^2 over a ROWS frame —
+    engines' double segment trees associate differently; decimals
+    don't), and mean/std/z are one fixed textual double chain shared
+    with the oracle. Rows with fewer than ``min_obs`` priors or zero
+    variance are not scored.
+
+    Scale shape: ONE window pass partitioned by key (three framed
+    aggregates share the frame), then a narrow filter. Linear per key;
+    no joins."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col)
+    xd = x.cast("decimal(18,6)")
+    n = F.count(value_col).over(w)
+    sx = F.sum(xd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    scored = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        x,
+        n.alias("__n"),
+        sx.alias("__sx"),
+        sxx.alias("__sxx"),
+    ).where(F.col("__n") >= min_obs)
+    mean = F.col("__sx") / F.col("__n")
+    var = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")) / (
+        F.col("__n") * (F.col("__n") - F.lit(1))
+    )
+    z = (x - mean) / F.sqrt(var)
+    return (
+        scored.where(F.col("__sxx") * F.col("__n") > F.col("__sx") * F.col("__sx"))
+        .select(
+            F.col(key),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            x,
+            F.col("__n").alias("n_prior"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > F.lit(threshold))
     )
 
 

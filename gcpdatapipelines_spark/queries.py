@@ -4283,6 +4283,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_adamic_adar",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS w, count(*) AS deg FROM sym GROUP BY u),
+    adj AS (SELECT s.u AS w, s.v AS n, d.deg FROM sym s JOIN deg d ON s.u = d.w),
+    wedges AS (
+        SELECT a.n AS u, b.n AS v,
+               CAST(round(1.0 / ln(CAST(a.deg AS DOUBLE)), 12)
+                    AS DECIMAL(18,12)) AS c
+        FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+    ),
+    scored AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+               round(CAST(sum(c) AS DOUBLE), 6) AS aa_score
+        FROM wedges GROUP BY u, v
+    )
+    SELECT u, v, n_common, aa_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v)
+    ORDER BY aa_score DESC, u, v LIMIT 50
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links in the supported co-purchase graph by
+    Adamic-Adar score (sum of 1/ln(deg) over common neighbors,
+    existing edges excluded) — the related-items recommendation
+    primitive. Per-wedge terms are rounded into DECIMAL before the
+    associative per-pair sum, so the score is partitioning-independent
+    and engine-portable; the cut is round(6) + (u, v) tiebreak. Wedge
+    join + anti-join + TakeOrdered — no global sort, no cartesian."""
+    from .operators.graph import adamic_adar_topk
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    return adamic_adar_topk(edges, k=50)
+
+
+@register(
     "w15_attribution",
     """
     WITH t AS (
@@ -5683,6 +5721,114 @@ def split_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return split_kfold(docs, "doc_id", "lang", k=5)
+
+
+@register(
+    "ts_merge_intervals",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts > max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS started_at, max(ts) AS ended_at,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def ts_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands visit stitching: collapse each user's event
+    stream into maximal activity intervals with a 30-minute merge gap
+    — the interval-union shape behind downtime reports and coverage
+    audits. Interval bounds are COPIES of event timestamps (min/max),
+    so parity is exact by construction. One window pass + one hash agg
+    sharing the user partitioning; no self-join."""
+    from .operators.timeseries import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return merge_intervals(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "ts_seasonal_index",
+    """
+    WITH per AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS grain,
+               sum(CAST(value AS DECIMAL(18,6))) AS s,
+               count(value) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, grain, CAST(c AS BIGINT) AS n_obs,
+           round((CAST(s AS DOUBLE) / c)
+                 / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / sum(c) OVER (PARTITION BY event_type)), 6) AS season_idx
+    FROM per
+    """,
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type: mean(value | type,
+    hour) / mean(value | type) — the first-order seasonality feature
+    for forecast baselines. Decimal-exact sums both levels; the index
+    is ONE fixed double chain shared with the oracle. One hash agg on
+    (type, hour); the per-type totals window runs over the aggregate
+    (|types|x24 rows), never re-scanning events."""
+    from .operators.timeseries import seasonal_index
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_index(ev, "event_type", "ts", "value").withColumn(
+        "grain", F.col("grain").cast("int")
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+    WITH m AS (
+        SELECT event_type, ts, event_id, value,
+               count(value) OVER w AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, ts, event_id, value,
+           CAST(n AS BIGINT) AS n_prior,
+           round((value - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS zscore
+    FROM m
+    WHERE n >= 10 AND sxx * n > sx * sx
+      AND abs(round((value - sx / n)
+                    / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4)) > 3.0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling prior-window z-score outliers per event type (|z| > 3
+    against the previous 20 observations) — the streaming-metrics
+    anomaly shape. Rolling moments are decimal window sums (double
+    segment trees associate differently per engine; decimals don't);
+    mean/std/z is one fixed textual double chain shared with the
+    oracle. ONE window pass per key, narrow filter, no joins."""
+    from .operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore(ev, "event_type", "ts", "event_id", "value")
 
 
 def _recorded_query_names() -> set[str]:

@@ -73,3 +73,114 @@ def test_gapfill_hour_unit(spark):
     out = gapfill_ffill(obs, "user_id", unit="hour").orderBy("bucket")
     got = [(r.bucket.hour, r.value, r.is_gap) for r in out.collect()]
     assert got == [(0, 1.0, False), (1, 1.0, True), (2, 3.0, False)]
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.timeseries import (  # noqa: E402
+    merge_intervals,
+    rolling_zscore,
+    seasonal_index,
+)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_merge_intervals_basic_islands(spark):
+    rows = [
+        # user 1: 0,10,25 chain (each within 30m of the last) then 120 alone
+        (1, _m(0), 1),
+        (1, _m(10), 2),
+        (1, _m(25), 3),
+        (1, _m(120), 4),
+        # user 2: single event
+        (2, _m(5), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+    out = merge_intervals(df, "user_id", "ts", "event_id").orderBy(
+        "user_id", "started_at"
+    )
+    got = [
+        (r.user_id, r.started_at.minute, r.ended_at.minute, r.n_events)
+        for r in out.collect()
+    ]
+    assert got == [(1, 0, 25, 3), (1, 0, 0, 1), (2, 5, 5, 1)]
+
+
+def test_merge_intervals_chain_extends_past_first_gap(spark):
+    # 0 -> 25 -> 50: each hop < 30m though 50 is > 30m from 0; one island.
+    rows = [(1, _m(0), 1), (1, _m(25), 2), (1, _m(50), 3)]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+    out = merge_intervals(df, "user_id", "ts", "event_id")
+    assert out.count() == 1
+    r = out.first()
+    assert (r.started_at.minute, r.ended_at.minute, r.n_events) == (0, 50, 3)
+
+
+def test_merge_intervals_plan_single_shuffle_family(spark):
+    rows = [(1, _m(0), 1)]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+    plan = (
+        merge_intervals(df, "user_id", "ts", "event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure window + agg, never a self-join
+
+
+# ---------------------------------------------------------------------------
+# seasonal_index
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_index_values(spark):
+    rows = [
+        ("a", T0.replace(hour=1), 10.0),
+        ("a", T0.replace(hour=1), 30.0),  # hour 1 mean 20
+        ("a", T0.replace(hour=2), 10.0),  # hour 2 mean 10; overall mean 50/3
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP, value DOUBLE")
+    out = {r.grain: r for r in seasonal_index(df, "event_type", "ts", "value").collect()}
+    overall = 50.0 / 3.0
+    assert out[1].season_idx == round(20.0 / overall, 6)
+    assert out[2].season_idx == round(10.0 / overall, 6)
+    assert out[1].n_obs == 2 and out[2].n_obs == 1
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    # 12 steady values then one large spike; priors-only window means the
+    # spike cannot mask itself.
+    rows = [("a", _m(i), i, 10.0 + (i % 2) * 0.2) for i in range(12)]
+    rows.append(("a", _m(12), 12, 50.0))
+    df = spark.createDataFrame(
+        rows, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    out = rolling_zscore(df, "event_type", "ts", "event_id", "value").collect()
+    assert len(out) == 1
+    assert out[0].value == 50.0 and out[0].zscore > 3
+
+
+def test_rolling_zscore_zero_variance_and_min_obs_guard(spark):
+    # constant series: variance 0 -> never scored, never raises
+    rows = [("a", _m(i), i, 5.0) for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    assert rolling_zscore(df, "event_type", "ts", "event_id", "value").count() == 0
+    # fewer than min_obs priors: nothing scored even with variance
+    rows2 = [("a", _m(i), i, float(i)) for i in range(5)]
+    df2 = spark.createDataFrame(
+        rows2, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    assert rolling_zscore(df2, "event_type", "ts", "event_id", "value").count() == 0
