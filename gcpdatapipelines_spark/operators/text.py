@@ -750,3 +750,64 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 0.5,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, nll): per-document mean negative log-likelihood
+    under the corpus' own add-k-smoothed bigram language model —
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1,.) + k*V). The classic cheap
+    quality/outlier score (CCNet-style LM filtering without an
+    external model): boilerplate scores low, token soup scores high.
+    Reported as mean NLL rather than perplexity — exp() is not
+    correctly-rounded across libm implementations, ln rounded to 9 dp
+    before the sum is.
+
+    Float parity (NOTES rules): each bigram's log-probability is ONE
+    fixed double expression rounded to 9 dp into DECIMAL(18,9) before
+    the per-doc sum (associative), then one final rounded division.
+
+    Scale shape: bigrams come from a NARROW indexed-transform over the
+    token array (no window, no self-join — each doc emits its own
+    adjacent pairs); the count tables are map-side-combinable hash
+    aggregates; scoring is two dictionary equi-joins plus one
+    broadcast-scalar vocabulary row. Docs with < 2 tokens drop out
+    (no bigrams, as a model would treat them).
+
+    ``tokens_df``: reuse a persisted ``dedup.doc_tokens`` frame
+    ((id, __toks)) instead of re-tokenizing."""
+    from .dedup import doc_tokens
+
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1),"
+                " (x, i) -> named_struct('w1', x, 'w2', __toks[i + 1]))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("__toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    term = F.expr(f"round(ln((c2 + {k!r}) / (c1 + {k!r} * v)), 9)").cast(
+        "decimal(18,9)"
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), term.alias("c"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round((-F.sum("c").cast("double")) / F.count("*"), 6).alias("nll"),
+    )

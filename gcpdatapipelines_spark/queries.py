@@ -5831,6 +5831,111 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(ev, "event_type", "ts", "event_id", "value")
 
 
+@register(
+    "feat_target_encode",
+    """
+    WITH per AS (
+        SELECT o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               count(o_totalprice) AS c
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(c AS BIGINT) AS n_obs,
+           round((CAST(s AS DOUBLE)
+                  + 50.0 * (CAST(sum(s) OVER () AS DOUBLE) / sum(c) OVER ()))
+                 / (c + 50.0), 4) AS target_enc
+    FROM per
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of order priority against order
+    value (pseudo-count m=50 pulls rare categories toward the global
+    prior) — the standard high-cardinality categorical feature.
+    Decimal-exact sums; the encoding is one fixed double chain; global
+    totals window over the |categories|-row aggregate, never the
+    fact."""
+    from .operators.features import target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    return target_encode(o, "o_orderpriority", "o_totalprice", m=50.0)
+
+
+@register(
+    "feat_quantile_bin",
+    """
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.5)  AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CAST(1 + CAST(o_totalprice > q1 AS INT)
+                  + CAST(o_totalprice > q2 AS INT)
+                  + CAST(o_totalprice > q3 AS INT) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders CROSS JOIN q GROUP BY 1
+    """,
+)
+def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning of order value with EXACT
+    interpolated cutpoints (percentile == quantile_cont bit-identical,
+    a18) — the discretization behind ordinal features and calibration
+    buckets. The quantile pass reduces to ONE broadcast scalar row;
+    the fact never shuffles for the join; per-bin stats are copies of
+    raw values."""
+    from .operators.features import quantile_bin_summary
+
+    o = _t(spark, sf_dir, "orders")
+    return quantile_bin_summary(o, "o_totalprice", nbins=4)
+
+
+@register(
+    "text_bigram_nll",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+    ), bi AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx WHERE i < len(t)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM bi GROUP BY 1
+    ), vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(t) AS w FROM toks)
+    )
+    SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((-CAST(sum(CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * v)), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE)) / count(*), 6)
+               AS nll
+    FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus' own
+    add-0.5-smoothed bigram LM — cheap LM-quality filtering without an
+    external model (boilerplate scores low, token soup high). Bigrams
+    via a narrow indexed transform (no window/self-join); counts are
+    partial-agg dictionaries; per-bigram log-probs round to 9 dp into
+    DECIMAL before the associative per-doc sum."""
+    from .operators.text import bigram_nll
+
+    return bigram_nll(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=0.5,
+        tokens_df=_doc_tokens_cached(spark, sf_dir),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -209,3 +209,46 @@ def test_cluster_best_pick_longest(spark):
     assert got[2] == (1, True)  # longest of {1,2,3} kept, cluster id = min
     assert got[1] == (1, False) and got[3] == (1, False)
     assert got[9] == (9, True)  # singleton keeps itself
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar_topk
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.graph import adamic_adar_topk  # noqa: E402
+
+
+def test_adamic_adar_path_graph(spark):
+    # Path 1-2-3: only non-edge pair at distance 2 is (1,3) via center 2
+    # with deg(2)=2 -> score = 1/ln(2).
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u BIGINT, v BIGINT")
+    out = adamic_adar_topk(edges, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.n_common) == (1, 3, 1)
+    import math
+
+    assert r.aa_score == round(round(1.0 / math.log(2.0), 12), 6)
+
+
+def test_adamic_adar_excludes_existing_edges_and_sums_centers(spark):
+    # Square 1-2-3-4-1 plus diagonal 1-3: pair (2,4) shares centers 1,3
+    # (deg 3 each) -> 2/ln(3); pairs joined by an edge never appear.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "u BIGINT, v BIGINT"
+    )
+    rows = adamic_adar_topk(edges, k=10).collect()
+    got = {(r.u, r.v): r for r in rows}
+    assert set(got) == {(2, 4)}
+    import math
+
+    assert got[(2, 4)].n_common == 2
+    assert got[(2, 4)].aa_score == round(2 * round(1.0 / math.log(3.0), 12), 6)
+
+
+def test_adamic_adar_plan_no_cartesian(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u BIGINT, v BIGINT")
+    plan = adamic_adar_topk(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort

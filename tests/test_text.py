@@ -273,3 +273,36 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
         for r in T.unigram_surprisal(docs, "doc_id", "text").collect()
     }
     assert out[2] > out[1]
+
+
+# ---------------------------------------------------------------------------
+# bigram_nll
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.text import bigram_nll  # noqa: E402
+
+
+def test_bigram_nll_hand_model(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in bigram_nll(docs, "doc_id", "text", k=0.5).collect()}
+    # corpus bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b)
+    # c(a,b)=3, c(b,a)=1, c(a,.)=3, c(b,.)=1, V=3 (a, b, x)
+    lp_ab = round(math.log((3 + 0.5) / (3 + 0.5 * 3)), 9)
+    lp_ba = round(math.log((1 + 0.5) / (1 + 0.5 * 3)), 9)
+    assert out[1].n_bigrams == 3
+    assert out[1].nll == round(-(2 * lp_ab + lp_ba) / 3, 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].nll == round(-lp_ab, 6)
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_bigram_nll_plan_no_window_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    plan = bigram_nll(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # bigrams come from the narrow transform
