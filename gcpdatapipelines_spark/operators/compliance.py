@@ -50,3 +50,20 @@ def deletion_audit(retained: dict[str, DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """(qi..., group_size, violates): group sizes over a
+    quasi-identifier combination with a flag for groups smaller than
+    ``k`` — the k-anonymity re-identification audit run before any
+    dataset release (a QI group of 1-2 rows singles a person out even
+    with direct identifiers removed).
+
+    One map-side-combinable hash aggregate on the QI tuple; output is
+    bounded by the number of distinct QI combinations. Pure counts —
+    parity is exact by construction."""
+    return df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").alias("group_size")
+    ).withColumn("violates", F.col("group_size") < F.lit(k))

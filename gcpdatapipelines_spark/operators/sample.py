@@ -315,3 +315,58 @@ def split_kfold(
     return df.withColumn(
         out_col, ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    n_target: int = 200,
+) -> DataFrame:
+    """Temperature-scaled source mixture: sample ~``n_target`` rows with
+    per-group shares proportional to n_g^alpha (alpha < 1 upweights
+    small groups) — the multilingual-LM language-mix rule (mT5/XLM-R
+    style) that keeps head languages from drowning the tail. Each
+    group's quota is floor(n_target * share) capped at the group's own
+    size; members are picked in (md5(key), key) hash order, so the
+    draw is deterministic under any partitioning and decorrelated from
+    storage order.
+
+    Parity shape (NOTES.md): n^alpha rounds to 9 dp into DECIMAL
+    before the associative share denominator; the share and quota are
+    one fixed double chain (round 12 dp before the floor, so the
+    boundary cannot flip on a last-ulp difference).
+
+    Scale shape: quotas come from one partial-agg pass reduced to
+    |groups| rows that BROADCAST back; member ranking is one shuffle
+    on the group with per-partition sort (row_number), no global
+    sort."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    p9 = F.round(F.pow(F.col("__n").cast("double"), F.lit(alpha)), 9).cast(
+        "decimal(18,9)"
+    )
+    wall = Window.partitionBy()
+    share = F.round(
+        F.col("__p").cast("double") / F.sum("__p").over(wall).cast("double"), 12
+    )
+    quotas = (
+        counts.select(group_col, "__n", p9.alias("__p"))
+        .select(
+            group_col,
+            F.least(
+                F.col("__n"),
+                F.floor(F.lit(float(n_target)) * share).cast("long"),
+            ).alias("__quota"),
+        )
+    )
+    order = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

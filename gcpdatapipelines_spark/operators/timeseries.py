@@ -302,3 +302,46 @@ def gapfill_ffill(
         F.last(F.col(value_col), ignorenulls=True).over(w).alias("value"),
         F.col(value_col).isNull().alias("is_gap"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """(key, period, psum, pop_pct): per-key value sums over fixed
+    epoch-day periods with percent change vs the key's PREVIOUS
+    OBSERVED period — the week-over-week / month-over-month trend
+    shape. Periods are epoch-day arithmetic (floor(epoch_days /
+    period_days)) — date_trunc('week') origins differ across engines
+    (NOTES.md) and are avoided.
+
+    Parity shape: period sums are EXACT decimals cast to double
+    (copies thereafter); the percent change is one fixed double chain
+    over lag(), shared textually with the oracle. The first observed
+    period per key has NULL pop_pct.
+
+    Scale shape: one hash aggregate on (key, period); the lag window
+    runs over the AGGREGATE (|keys| x |periods| rows), reusing its
+    partitioning — the fact is scanned once."""
+    period = F.floor(
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
+        / period_days
+    ).cast("long")
+    per = df.groupBy(F.col(key), period.alias("period")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s")
+    )
+    w = Window.partitionBy(key).orderBy("period")
+    prev = F.lag("__s").over(w)
+    return per.select(
+        F.col(key),
+        F.col("period"),
+        F.col("__s").cast("double").alias("psum"),
+        F.round(
+            (F.col("__s").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("pop_pct"),
+    )

@@ -5936,6 +5936,96 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_temperature",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n,
+               CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7), 9)
+                    AS DECIMAL(18,9)) AS p
+        FROM documents GROUP BY source
+    ), q AS (
+        SELECT source,
+               least(n, CAST(floor(200.0 * round(CAST(p AS DOUBLE)
+                             / CAST(sum(p) OVER () AS DOUBLE), 12))
+                             AS BIGINT)) AS quota
+        FROM counts
+    ), r AS (
+        SELECT source, doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, doc_id, lang, n_chars
+    FROM r JOIN q USING (source) WHERE rn <= quota
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (alpha=0.7, ~200 docs): group
+    shares proportional to n^0.7 — the multilingual-LM language-mix
+    rule that upweights tail sources. Quotas come from one bounded
+    aggregate broadcast back; members picked in hash order; n^alpha
+    rounds into DECIMAL before the share denominator and the quota
+    chain rounds before the floor, so boundaries cannot flip."""
+    from .operators.sample import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "lang", "n_chars")
+    return temperature_sample(d, "source", "doc_id", alpha=0.7, n_target=200)
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 5 AS violates
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment) quasi-
+    identifier pair: group sizes with a violates flag for groups under
+    k=5 — the re-identification check run before a dataset release.
+    One map-side-combinable hash aggregate; output bounded by distinct
+    QI combinations; pure counts, parity exact by construction."""
+    from .operators.compliance import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "ts_wow_change",
+    """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts) / 86400.0) / 7) AS BIGINT) AS period,
+               sum(CAST(value AS DECIMAL(18,6))) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, period, CAST(s AS DOUBLE) AS psum,
+           round((CAST(s AS DOUBLE)
+                  - CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
+                         AS DOUBLE))
+                 / CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
+                        AS DOUBLE), 6) AS pop_pct
+    FROM weekly
+    """,
+)
+def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change of event value per type — periods
+    from epoch-day arithmetic (date_trunc('week') origins differ per
+    engine, NOTES.md), sums decimal-exact, the change one fixed double
+    chain over lag(). One hash agg on (type, period); the lag window
+    runs over the aggregate, never re-scanning events."""
+    from .operators.timeseries import period_over_period
+
+    ev = _t(spark, sf_dir, "events")
+    return period_over_period(ev, "event_type", "ts", "value", period_days=7)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

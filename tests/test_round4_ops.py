@@ -173,3 +173,20 @@ def test_kfold_balanced_and_deterministic(spark):
     assert sizes and all(r["mx"] - r["mn"] <= 1 for r in sizes)
     again = split_kfold(docs, "doc_id", "lang", k=5)
     assert out.exceptAll(again).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.compliance import k_anonymity_audit  # noqa: E402
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("us", "m", i) for i in range(5)] + [("fr", "f", 10), ("fr", "f", 11)]
+    df = spark.createDataFrame(rows, "country STRING, seg STRING, pid BIGINT")
+    out = {(r.country, r.seg): r for r in k_anonymity_audit(df, ["country", "seg"], k=3).collect()}
+    assert out[("us", "m")].group_size == 5 and not out[("us", "m")].violates
+    assert out[("fr", "f")].group_size == 2 and out[("fr", "f")].violates

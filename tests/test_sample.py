@@ -151,3 +151,36 @@ def test_negative_samples_exclude_positives_and_are_deterministic(spark):
     assert len(out) == 6
     out2 = negative_samples(keys, "k", pos, "pk", "item", np_df, k=6).collect()
     assert {(r.k, r.i, r.neg_item) for r in out} == {(r.k, r.i, r.neg_item) for r in out2}
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.sample import temperature_sample  # noqa: E402
+
+
+def test_temperature_flattens_the_mix(spark):
+    # head: 900 rows, tail: 100 rows. alpha=0.5 shifts share toward tail:
+    # p = (30, 10) -> shares (0.75, 0.25) vs raw (0.9, 0.1).
+    rows = [("head", i) for i in range(900)] + [("tail", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "src STRING, k BIGINT")
+    out = temperature_sample(df, "src", "k", alpha=0.5, n_target=100)
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert got["head"] == 75 and got["tail"] == 25
+
+
+def test_temperature_quota_capped_at_group_size(spark):
+    rows = [("a", i) for i in range(1000)] + [("b", i + 2000) for i in range(3)]
+    df = spark.createDataFrame(rows, "src STRING, k BIGINT")
+    out = temperature_sample(df, "src", "k", alpha=0.3, n_target=500)
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert got["b"] == 3  # quota > group size -> whole group, never more
+
+
+def test_temperature_deterministic(spark):
+    rows = [(f"s{i % 4}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "src STRING, k BIGINT")
+    a = sorted(r.k for r in temperature_sample(df, "src", "k").collect())
+    b = sorted(r.k for r in temperature_sample(df.repartition(7), "src", "k").collect())
+    assert a == b

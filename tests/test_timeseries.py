@@ -184,3 +184,28 @@ def test_rolling_zscore_zero_variance_and_min_obs_guard(spark):
         rows2, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
     )
     assert rolling_zscore(df2, "event_type", "ts", "event_id", "value").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# period_over_period
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.timeseries import period_over_period  # noqa: E402
+
+
+def test_period_over_period_weekly(spark):
+    rows = [
+        ("a", _d(0), 10.0),
+        ("a", _d(1), 10.0),   # period 0 of this span: 20
+        ("a", _d(8), 30.0),   # next week: 30 -> +50%
+        ("a", _d(22), 15.0),  # skips a week; change vs last OBSERVED period
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, v DOUBLE")
+    out = sorted(
+        period_over_period(df, "k", "ts", "v", period_days=7).collect(),
+        key=lambda r: r.period,
+    )
+    assert [r.psum for r in out] == [20.0, 30.0, 15.0]
+    assert out[0].pop_pct is None
+    assert out[1].pop_pct == 0.5
+    assert out[2].pop_pct == -0.5
