@@ -290,3 +290,39 @@ def activity_streaks(
         F.max("__len").cast("bigint").alias(f"{out_prefix}longest_streak"),
         F.sum("__len").cast("bigint").alias(f"{out_prefix}n_active_days"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    k: int = 20,
+    max_len: int = 8,
+) -> DataFrame:
+    """(path, n_steps, n_users): the k most common event journeys —
+    each key's chronological event sequence truncated to ``max_len``
+    steps, serialized ``a>b>c``, counted across keys. The "top user
+    paths" product-analytics staple.
+
+    Determinism: sequences sort inside the array over (ts, tiebreak)
+    structs (partitioning-independent, same contract as
+    :func:`event_sequences`); the cut is (count desc, path) so ties
+    break textually. Truncation bounds the path keyspace — untruncated
+    paths are near-unique and the count degenerates.
+
+    Scale shape: one shuffle on the key to build sequences, one
+    map-side-combinable hash agg on the (bounded) path string, and a
+    TakeOrdered cut — no global sort."""
+    seqs = event_sequences(df, key, ts_col, value_col, tiebreak)
+    paths = seqs.select(
+        F.array_join(F.slice(F.col("seq"), 1, max_len), ">").alias("path"),
+        F.least(F.size("seq"), F.lit(max_len)).cast("int").alias("n_steps"),
+    )
+    return (
+        paths.groupBy("path", "n_steps")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(k)
+    )

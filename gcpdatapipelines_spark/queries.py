@@ -6026,6 +6026,56 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_over_period(ev, "event_type", "ts", "value", period_days=7)
 
 
+@register(
+    "seq_top_paths",
+    """
+    WITH s AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ), p AS (
+        SELECT array_to_string(seq[1:8], '>') AS path,
+               CAST(least(len(seq), 8) AS INT) AS n_steps
+        FROM s
+    )
+    SELECT path, n_steps, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1, 2 ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user event journeys (first 8 steps, ``a>b>c`` form) —
+    the product-analytics path report. Sequences sort inside the array
+    (partitioning-independent), truncation bounds the path keyspace,
+    and the cut is (count desc, path). One key shuffle + one hash agg
+    + TakeOrdered."""
+    from .operators.sequences import top_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_paths(ev, "user_id", "ts", "event_type", "event_id", k=20, max_len=8)
+
+
+@register("mm_phash_neardup")  # rows-only: the hash-sketch signature has
+# no DuckDB twin (same precedent as dedup_simhash); the banding+verify
+# plumbing is the contract, pinned by tests incl. a planted-pair check
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media assets by perceptual-hash Hamming banding
+    (pigeonhole chunks -> equi-join candidates -> exact bit_count
+    verify). The perceptual hash is a labeled STAND-IN — a content
+    SimHash of the decoded payload, locality-sensitive like a real
+    pHash so the fixture yields true near-dup pairs; a Pillow-based
+    pHash drops in via ``hash_col`` with no other change. Never a
+    pair scan."""
+    from .operators.dedup import simhash
+    from .operators.multimodal import phash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # payload == utf8(text) in the fabricated assets table, so the
+    # stand-in phash computes from the shared token prep directly
+    sig = simhash(
+        docs, "doc_id", "text", tokens_df=_doc_tokens_cached(spark, sf_dir)
+    ).select(F.col("doc_id").alias("asset_id"), F.col("simhash").alias("phash"))
+    return phash_neardup_pairs(sig, max_hamming=3, hash_col="phash")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -73,3 +73,38 @@ def test_resize_stub_aspect_preserving(spark):
         assert r["out_height"] == max(int(r["height"] * scale), 1)
         if r["width"] <= 256 and r["height"] <= 256:
             assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+
+
+# ---------------------------------------------------------------------------
+# phash_neardup_pairs
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.multimodal import phash_neardup_pairs  # noqa: E402
+
+
+def test_phash_planted_pairs_by_hamming(spark):
+    # hash_col override plants exact distances: a-b differ in 2 bits,
+    # a-c differ in 20 bits, d == a duplicates.
+    rows = [
+        (1, 0b1111000011110000),
+        (2, 0b1111000011110011),          # hamming 2 from id 1
+        (3, 0b1111000011110000 ^ ((1 << 20) - 1)),  # hamming 20
+        (4, 0b1111000011110000),          # hamming 0 from id 1
+    ]
+    df = spark.createDataFrame(rows, "asset_id BIGINT, ph BIGINT")
+    out = {(r.asset_a, r.asset_b): r.hamming for r in phash_neardup_pairs(df, max_hamming=3, hash_col="ph").collect()}
+    assert out == {(1, 2): 2, (1, 4): 0, (2, 4): 2}
+
+
+def test_phash_xxhash_standin_pairs_only_exact_payloads(spark):
+    rows = [(1, "image", b"samebytes"), (2, "image", b"samebytes"), (3, "image", b"other")]
+    df = spark.createDataFrame(rows, "asset_id BIGINT, kind STRING, payload BINARY")
+    out = phash_neardup_pairs(df, max_hamming=3).collect()
+    assert [(r.asset_a, r.asset_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_phash_plan_equijoin_never_cartesian(spark):
+    df = spark.createDataFrame([(1, 7)], "asset_id BIGINT, ph BIGINT")
+    plan = phash_neardup_pairs(df, hash_col="ph")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

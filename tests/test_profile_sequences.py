@@ -264,3 +264,28 @@ def test_drift_psi_out_of_range_clamped(spark):
     a = spark.createDataFrame([(-5.0,), (500.0,)], "value DOUBLE")
     row = drift_psi(a, a, "value", lo=0.0, hi=100.0, nbins=10).collect()[0]
     assert row.psi == 0.0 and row.n_base == 2  # clamped into edge bins, not dropped
+
+
+# ---------------------------------------------------------------------------
+# top_paths
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.sequences import top_paths  # noqa: E402
+
+
+def test_top_paths_counts_and_truncation(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # three users with path a>b, one with a>b>c>d>e (truncated at 3)
+    for u in (1, 2, 3):
+        rows += [(u, t0, "a", u * 10), (u, t0 + dt.timedelta(minutes=1), "b", u * 10 + 1)]
+    for i, e in enumerate("abcde"):
+        rows.append((4, t0 + dt.timedelta(minutes=i), e, 100 + i))
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT")
+    out = top_paths(df, "user_id", "ts", "event_type", "event_id", k=5, max_len=3).collect()
+    got = {r.path: (r.n_steps, r.n_users) for r in out}
+    assert got["a>b"] == (2, 3)
+    assert got["a>b>c"] == (3, 1)
+    assert out[0].path == "a>b"  # most common first
