@@ -357,3 +357,82 @@ def mode_per_key(
         .filter(F.col("__r") == 1)
         .select(key, F.col(value_col).alias("mode"), "n")
     )
+
+
+def ab_ttest(
+    df: DataFrame,
+    is_b_col,
+    value_col: str,
+) -> DataFrame:
+    """One-row Welch two-sample t-test readout for an A/B experiment:
+    (n_a, n_b, mean_a, mean_b, t_stat, df) with Welch-Satterthwaite
+    degrees of freedom — the standard experiment-analysis primitive.
+    ``is_b_col``: boolean Column assigning each row to variant B.
+
+    Parity shape (NOTES.md variance rule): all four moments are EXACT
+    decimal conditional sums gathered in ONE scan (never builtin
+    stddev/var, which reassociate doubles); mean/variance/t/df are one
+    fixed textual double chain shared with the oracle.
+
+    Scale shape: a single partial+final hash aggregate with no keys —
+    six combinable aggregates, one reduce row. Nothing else moves."""
+    xd = F.col(value_col).cast("decimal(18,6)")
+    a, b = ~is_b_col, is_b_col
+    m = df.agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(b, 1)).alias("nb"),
+        F.sum(F.when(a, xd)).alias("sa"),
+        F.sum(F.when(b, xd)).alias("sb"),
+        F.sum(F.when(a, xd * xd)).alias("qa"),
+        F.sum(F.when(b, xd * xd)).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    va = (na * qa - sa * sa) / (na * (na - F.lit(1)))
+    vb = (nb * qb - sb * sb) / (nb * (nb - F.lit(1)))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1))
+    )
+    return m.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("df"),
+    )
+
+
+def hll_shard_sketches(
+    df: DataFrame, shard_col, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """(shard, sketch): one mergeable Apache DataSketches HLL sketch of
+    ``value_col`` per shard — the 100 TB distinct-count maintenance
+    shape: persist per-partition/per-day sketches (KB each) and answer
+    any cross-shard distinct query later by merging, never re-scanning
+    the fact. One partial-agg pass; sketches combine map-side."""
+    return df.groupBy(shard_col.alias("shard")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
+    """(n_shards, distinct_est): merge pre-aggregated HLL sketches and
+    estimate the union's distinct count. Approximate BY DESIGN and —
+    unlike every exact operator here — not bit-stable under
+    re-partitioning: partial sketches transition sparse->dense at
+    partition boundaries, so estimates can wiggle a few counts inside
+    the rsd band (tests pin the band, not a bit pattern; small shard
+    sketches stay sparse-exact and can even beat the one-pass
+    sketch). The merge moves |shards| KB-sized sketches — never
+    data."""
+    return sketches.agg(
+        F.count("*").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "distinct_est"
+        ),
+    )

@@ -180,3 +180,49 @@ def attribution(
         )
 
     return _roll("__last_ch", "last_touch").unionAll(_roll("__first_ch", "first_touch"))
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str = "purchase",
+    halflife_days: float = 7.0,
+) -> DataFrame:
+    """(channel, n_touches, credit): marketing credit per touch channel
+    where every touch preceding a conversion earns
+    0.5^(days_before / halflife) — the time-decay attribution model
+    that completes the first/last-touch pair (w15). A touch can earn
+    credit from several later conversions, matching the standard
+    model.
+
+    Parity shape (NOTES.md): the decay weight is ONE fixed double
+    expression rounded to 9 dp into DECIMAL(18,9) before the
+    associative per-channel sum; day deltas come from epoch-seconds
+    arithmetic shared textually with the oracle.
+
+    Scale shape: touch-conversion pairs come from ONE equi-join on the
+    user (per-user cost is touches x conversions for that user — the
+    model's own output size; cap per-user history upstream for
+    pathological actors), then one map-side-combinable hash agg on the
+    channel. No window over raw events, no cartesian."""
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__cts")
+    )
+    touch = df.filter(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("__tts"),
+    )
+    delta_days = (
+        F.col("__cts").cast("double") - F.col("__tts").cast("double")
+    ) / 86400.0
+    wgt = F.round(
+        F.pow(F.lit(0.5), delta_days / F.lit(halflife_days)), 9
+    ).cast("decimal(18,9)")
+    pairs = touch.join(conv, "__u").filter(F.col("__tts") < F.col("__cts"))
+    return pairs.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum(wgt), 6).cast("double").alias("credit"),
+    )

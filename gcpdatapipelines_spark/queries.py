@@ -6076,6 +6076,106 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(sig, max_hamming=3, hash_col="phash")
 
 
+@register(
+    "a25_ab_ttest",
+    """
+    WITH m AS (
+        SELECT count(CASE WHEN user_id % 2 = 1 THEN NULL ELSE 1 END) AS na,
+               count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS nb,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN NULL
+                             ELSE CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS sa,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS sb,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN NULL
+                             ELSE CAST(value AS DECIMAL(18,6))
+                                  * CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS qa,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,6))
+                                  * CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE) AS qb
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+           round((sa / na - sb / nb)
+                 / sqrt(((na * qa - sa * sa) / (na * (na - 1))) / na
+                        + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb), 4)
+               AS t_stat,
+           round((((na * qa - sa * sa) / (na * (na - 1))) / na
+                  + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                 * (((na * qa - sa * sa) / (na * (na - 1))) / na
+                    + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                 / ((((na * qa - sa * sa) / (na * (na - 1))) / na)
+                    * (((na * qa - sa * sa) / (na * (na - 1))) / na) / (na - 1)
+                    + (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                      * (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                      / (nb - 1)), 2) AS df
+    FROM m
+    """,
+)
+def a25_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test on purchase value, variants by
+    user_id parity — the experiment-readout primitive. Four decimal
+    conditional moments in ONE keyless scan; t and Welch-Satterthwaite
+    df are one fixed double chain shared with the oracle."""
+    from .operators.agg import ab_ttest
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ab_ttest(ev, F.col("user_id") % 2 == 1, "value")
+
+
+@register(
+    "w21_time_decay_attribution",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, ts AS cts FROM events
+        WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS u, event_type AS channel, ts AS tts FROM events
+        WHERE event_type <> 'purchase'
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(round(sum(CAST(round(pow(0.5, ((epoch(cts) - epoch(tts))
+                                             / 86400.0) / 7.0), 9)
+                              AS DECIMAL(18,9))), 6) AS DOUBLE) AS credit
+    FROM touch JOIN conv USING (u)
+    WHERE tts < cts
+    GROUP BY channel
+    """,
+)
+def w21_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution (half-life 7 days): every touch before a
+    conversion earns 0.5^(days/7) — completes the first/last-touch
+    model (w15). Decay weights round 9 dp into DECIMAL before the
+    associative channel sum; pairs come from one user equi-join, never
+    a window over raw events."""
+    from .operators.funnel import time_decay_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return time_decay_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", halflife_days=7.0
+    )
+
+
+@register("a26_hll_rollup")  # rows-only: DataSketches HLL binary sketches
+# have no DuckDB twin; determinism + accuracy pinned in tests (merged
+# estimate == direct whole-data sketch, and within rsd of exact)
+def a26_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count maintenance: per-source HLL sketches of
+    event users merged into one union estimate — the 100 TB shape
+    where per-day/partition sketches (KB each) answer any cross-shard
+    distinct query without re-scanning the fact. One partial-agg
+    sketch pass + a KB-sized merge."""
+    from .operators.agg import hll_merge_estimate, hll_shard_sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_shard_sketches(ev, F.col("event_type"), "user_id", lg_k=12)
+    return hll_merge_estimate(sk)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

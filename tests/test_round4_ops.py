@@ -190,3 +190,73 @@ def test_k_anonymity_flags_small_groups(spark):
     out = {(r.country, r.seg): r for r in k_anonymity_audit(df, ["country", "seg"], k=3).collect()}
     assert out[("us", "m")].group_size == 5 and not out[("us", "m")].violates
     assert out[("fr", "f")].group_size == 2 and out[("fr", "f")].violates
+
+
+# ---------------------------------------------------------------------------
+# ab_ttest / hll rollup / time-decay attribution
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.agg import (  # noqa: E402
+    ab_ttest,
+    hll_merge_estimate,
+    hll_shard_sketches,
+)
+from gcpdatapipelines_spark.operators.funnel import time_decay_attribution  # noqa: E402
+
+
+def test_ab_ttest_matches_hand_welch(spark):
+    import math
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [2.0, 4.0, 6.0]
+    rows = [(0, v) for v in a_vals] + [(1, v) for v in b_vals]
+    df = spark.createDataFrame(rows, "grp INT, value DOUBLE")
+    r = ab_ttest(df, F.col("grp") == 1, "value").first()
+    na, nb = len(a_vals), len(b_vals)
+    ma, mb = sum(a_vals) / na, sum(b_vals) / nb
+    va = sum((x - ma) ** 2 for x in a_vals) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b_vals) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.mean_a == round(ma, 6) and r.mean_b == round(mb, 6)
+    assert abs(r.t_stat - t) < 1e-3 and abs(r.df - dof) < 0.01
+
+
+def test_hll_merge_equals_direct_sketch_and_near_exact(spark):
+    rows = [(f"s{i % 4}", i % 1000) for i in range(5000)]
+    df = spark.createDataFrame(rows, "shard STRING, uid BIGINT")
+    merged = hll_merge_estimate(hll_shard_sketches(df, F.col("shard"), "uid")).first()
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12))).alias("est")
+    ).first()
+    assert merged.n_shards == 4
+    # union keeps small shard sketches in exact (sparse) mode, so it can
+    # be MORE accurate than the one-pass sketch; both sit within rsd
+    assert abs(merged.distinct_est - 1000) / 1000 < 0.05
+    assert abs(direct.est - 1000) / 1000 < 0.05
+    # re-partitioning can shift WHERE partial sketches go dense, so the
+    # estimate may wiggle a few counts — but stays inside the rsd band
+    again = hll_merge_estimate(
+        hll_shard_sketches(df.repartition(13), F.col("shard"), "uid")
+    ).first()
+    assert abs(again.distinct_est - 1000) / 1000 < 0.05
+
+
+def test_time_decay_attribution_hand_weights(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "click"),
+        (1, t0 + dt.timedelta(days=7), "email"),
+        (1, t0 + dt.timedelta(days=14), "purchase"),
+        (2, t0, "click"),  # user 2 never converts: no credit
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING")
+    out = {r.channel: r for r in time_decay_attribution(df, "user_id", "ts", "event_type").collect()}
+    # click is 14 days before the purchase -> 0.25; email 7 days -> 0.5
+    assert out["click"].credit == 0.25 and out["click"].n_touches == 1
+    assert out["email"].credit == 0.5
+    assert set(out) == {"click", "email"}
