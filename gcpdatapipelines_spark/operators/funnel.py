@@ -226,3 +226,58 @@ def time_decay_attribution(
         F.count("*").alias("n_touches"),
         F.round(F.sum(wgt), 6).cast("double").alias("credit"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """(cohort, age, buyers, rev, cum_rev): lifetime-value curves —
+    users cohorted by the period of their FIRST conversion (epoch-day
+    div period, engine-independent like :func:`retention_cohorts`),
+    revenue accumulated per cohort over ages. Completes the retention
+    triangle with the value dimension: cum_rev / cohort size is the
+    LTV-at-age curve.
+
+    Parity shape (NOTES.md): period revenue is an EXACT decimal sum;
+    the cumulative sum runs over DECIMALS in an age-ordered window
+    (associative — no double reassociation), cast to double only at
+    the edge.
+
+    Scale shape: first-conversion is one partial-agg pass; the cohort
+    join is user-keyed (co-partitioned with the first pass under AQE);
+    the (cohort, age) aggregate and the cumulative window both run on
+    the bounded |cohorts| x |ages| grid."""
+    period = F.floor(
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
+        / period_days
+    ).cast("long")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        period.alias("__p"),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+    )
+    first = ev.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    per = (
+        ev.join(first, "__u")
+        .groupBy(F.col("cohort"), (F.col("__p") - F.col("cohort")).alias("age"))
+        .agg(
+            F.countDistinct("__u").alias("buyers"),
+            F.sum("__v").alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort",
+        "age",
+        "buyers",
+        F.col("__rev").cast("double").alias("rev"),
+        F.sum("__rev").over(w).cast("double").alias("cum_rev"),
+    )

@@ -158,3 +158,37 @@ def drift_psi(
             F.sum("nc").alias("n_current"),
         )
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    shard_col: str,
+    ts_col: str,
+    stale_after_hours: float = 24.0,
+) -> DataFrame:
+    """(shard, n_rows, last_seen, lag_hours, stale): per-shard data
+    freshness vs the dataset's own high-water mark — the first
+    warehouse-maintenance monitor (a feed that stopped landing shows
+    up as a growing lag, not an empty diff).
+
+    last_seen is a COPY of a raw timestamp (max), the lag is one fixed
+    double chain over epoch seconds, so parity is exact. One
+    map-side-combinable hash aggregate; the global max comes from an
+    unbounded window over the |shards|-row aggregate."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.count("*").alias("n_rows"), F.max(ts_col).alias("last_seen")
+    )
+    w = Window.partitionBy()
+    lag_h = (
+        F.max("last_seen").over(w).cast("double")
+        - F.col("last_seen").cast("double")
+    ) / 3600.0
+    return per.select(
+        "shard",
+        "n_rows",
+        "last_seen",
+        F.round(lag_h, 4).alias("lag_hours"),
+        (lag_h > F.lit(stale_after_hours)).alias("stale"),
+    )

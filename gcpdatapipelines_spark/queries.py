@@ -6176,6 +6176,70 @@ def a26_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merge_estimate(sk)
 
 
+@register(
+    "w22_cohort_ltv",
+    """
+    WITH ev AS (
+        SELECT user_id AS u,
+               CAST(floor(floor(epoch(ts) / 86400.0) / 7) AS BIGINT) AS p,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), first AS (
+        SELECT u, min(p) AS cohort FROM ev GROUP BY u
+    ), per AS (
+        SELECT cohort, p - cohort AS age,
+               CAST(count(DISTINCT u) AS BIGINT) AS buyers,
+               sum(v) AS rev
+        FROM ev JOIN first USING (u)
+        GROUP BY 1, 2
+    )
+    SELECT cohort, age, buyers, CAST(rev AS DOUBLE) AS rev,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS cum_rev
+    FROM per
+    """,
+)
+def w22_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchasers cohorted by
+    first-purchase week (epoch-day periods), revenue accumulated per
+    cohort-age — the value dimension the retention triangle lacks.
+    Decimal sums end-to-end (the cumulative window sums DECIMALS);
+    aggregates and windows run on the bounded cohort x age grid."""
+    from .operators.funnel import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return cohort_ltv(ev, "user_id", "ts", "value", period_days=7)
+
+
+@register(
+    "profile_freshness",
+    """
+    WITH per AS (
+        SELECT event_type AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+               max(ts) AS last_seen
+        FROM events GROUP BY 1
+    )
+    SELECT shard, n_rows, last_seen,
+           round((epoch(max(last_seen) OVER ()) - epoch(last_seen))
+                 / 3600.0, 4) AS lag_hours,
+           (epoch(max(last_seen) OVER ()) - epoch(last_seen)) / 3600.0 > 24.0
+               AS stale
+    FROM per
+    """,
+)
+def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness monitor: each event type's high-water mark
+    vs the dataset's own maximum, with a staleness flag — the
+    warehouse-maintenance check that catches a feed that silently
+    stopped landing. Copies + one fixed double chain; global max from
+    a window over the |shards|-row aggregate."""
+    from .operators.profile import freshness_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_audit(ev, "event_type", "ts", stale_after_hours=24.0)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -214,3 +214,35 @@ def test_attribution_single_window_pass_plan(spark):
     # both models reuse ONE window operator (last+first in the same frame)
     assert plan.count("Window") <= 2  # one per union branch after reuse
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.funnel import cohort_ltv  # noqa: E402
+
+
+def test_cohort_ltv_accumulates_per_cohort(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 4)  # period boundaries irrelevant: same math
+    rows = [
+        (1, t0, 10.0),                          # cohort c, age 0
+        (1, t0 + dt.timedelta(days=7), 5.0),    # age 1
+        (2, t0, 20.0),                          # cohort c, age 0
+        (3, t0 + dt.timedelta(days=7), 7.0),    # later cohort c+1, age 0
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    out = sorted(
+        cohort_ltv(df, "user_id", "ts", "value", period_days=7).collect(),
+        key=lambda r: (r.cohort, r.age),
+    )
+    c0 = out[0].cohort
+    assert [(r.cohort - c0, r.age, r.buyers, r.rev, r.cum_rev) for r in out] == [
+        (0, 0, 2, 30.0, 30.0),
+        (0, 1, 1, 5.0, 35.0),
+        (1, 0, 1, 7.0, 7.0),
+    ]

@@ -260,3 +260,21 @@ def test_time_decay_attribution_hand_weights(spark):
     assert out["click"].credit == 0.25 and out["click"].n_touches == 1
     assert out["email"].credit == 0.5
     assert set(out) == {"click", "email"}
+
+
+def test_freshness_audit_lag_and_stale(spark):
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.profile import freshness_audit
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        ("live", t0),
+        ("live", t0 - dt.timedelta(days=9)),
+        ("dead", t0 - dt.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(rows, "feed STRING, ts TIMESTAMP")
+    out = {r.shard: r for r in freshness_audit(df, "feed", "ts").collect()}
+    assert out["live"].lag_hours == 0.0 and not out["live"].stale
+    assert out["dead"].lag_hours == 48.0 and out["dead"].stale
+    assert out["live"].n_rows == 2
