@@ -6240,6 +6240,112 @@ def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freshness_audit(ev, "event_type", "ts", stale_after_hours=24.0)
 
 
+@register(
+    "pipeline_session_analytics",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts > max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM islands GROUP BY user_id, island
+    ), per_user AS (
+        SELECT user_id, count(*) AS n_sessions, sum(dur_us) AS dur_us
+        FROM sess GROUP BY user_id
+    ), conv AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converters,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate,
+           round(CAST(sum(n_sessions) AS DOUBLE) / count(*), 4)
+               AS avg_sessions_per_user,
+           round(CAST(sum(dur_us) AS DOUBLE) / 1000000.0 / sum(n_sessions), 4)
+               AS avg_session_s
+    FROM per_user
+    JOIN conv USING (user_id)
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pipeline_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END product-analytics pipeline in ONE declarative plan —
+    the analytics twin of pipeline_pretrain_corpus: 30-minute
+    gaps-and-islands sessionization (merge_intervals) -> per-user
+    session counts/durations -> conversion flags -> customer/nation
+    enrichment -> per-nation conversion & engagement rollup. Every
+    stage is an independently-audited operator; Catalyst fuses the
+    composition.
+
+    Parity: durations stay exact integer microseconds (long sums are
+    associative) until four final fixed divisions; counts are counts.
+
+    Scale shape: events scan twice (session windows; conversion
+    flags), both passes partitioned/aggregated on user_id so AQE
+    coalesces their exchanges at the per-user join; dimensions
+    broadcast; the nation rollup is a bounded hash agg."""
+    from .operators.timeseries import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sess = merge_intervals(ev, "user_id", "ts", "event_id").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ended_at")) - F.unix_micros(F.col("started_at"))
+        ).alias("dur_us"),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("dur_us").alias("dur_us")
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return (
+        per_user.join(conv, "user_id")
+        .join(c, per_user.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converters"),
+            F.round(
+                F.sum("converted").cast("double") / F.count("*"), 4
+            ).alias("conv_rate"),
+            F.round(
+                F.sum("n_sessions").cast("double") / F.count("*"), 4
+            ).alias("avg_sessions_per_user"),
+            F.round(
+                F.sum("dur_us").cast("double") / 1000000.0 / F.sum("n_sessions"),
+                4,
+            ).alias("avg_session_s"),
+        )
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

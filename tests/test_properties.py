@@ -419,3 +419,98 @@ def test_resample_ohlc_matches_python_model(spark, events):
         vals = [v for _, _, v in evs]
         want[k] = (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals vs a python reference model
+# ---------------------------------------------------------------------------
+
+EVT = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=200),        # minutes offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=EVT)
+@SLOW
+def test_merge_intervals_matches_python_model(spark, evs):
+    """For any event set, islands must equal the sequential python
+    merge with a 30-minute gap: bounds, counts, and island count."""
+    import datetime as dt
+
+    from gcpdatapipelines_spark.operators.timeseries import merge_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), i) for i, (u, m) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+    got = sorted(
+        (
+            (r.user_id, r.started_at, r.ended_at, r.n_events)
+            for r in merge_intervals(df, "user_id", "ts", "event_id").collect()
+        )
+    )
+
+    want = []
+    by_user: dict[int, list] = {}
+    for u, ts, i in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        sessions = by_user.setdefault(u, [])
+        if sessions and ts <= sessions[-1][1] + dt.timedelta(minutes=30):
+            sessions[-1][1] = max(sessions[-1][1], ts)
+            sessions[-1][2] += 1
+        else:
+            sessions.append([ts, ts, 1])
+    for u, sessions in by_user.items():
+        for s in sessions:
+            want.append((u, s[0], s[1], s[2]))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample quota model
+# ---------------------------------------------------------------------------
+
+MIX = st.lists(
+    st.integers(min_value=1, max_value=60), min_size=1, max_size=5
+)
+
+
+@given(sizes=MIX, alpha=st.sampled_from([0.3, 0.7, 1.0]))
+@SLOW
+def test_temperature_sample_matches_quota_model(spark, sizes, alpha):
+    """Selected counts per group must equal the analytic quota
+    min(n_g, floor(N * n_g^a / sum n^a)) for any mix and alpha; at
+    alpha=1 shares are proportional."""
+    from gcpdatapipelines_spark.operators.sample import temperature_sample
+
+    rows = [
+        (f"g{gi}", gi * 1000 + j)
+        for gi, n in enumerate(sizes)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "src STRING, k BIGINT")
+    out = temperature_sample(df, "src", "k", alpha=alpha, n_target=50)
+    got = {
+        r.src: r.cnt
+        for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+    }
+    import decimal
+
+    p = [
+        float(
+            decimal.Decimal(round(n**alpha, 9)).quantize(
+                decimal.Decimal("1e-9")
+            )
+        )
+        for n in sizes
+    ]
+    tot = float(sum(decimal.Decimal(str(x)) for x in p))
+    for gi, n in enumerate(sizes):
+        share = round(p[gi] / tot, 12)
+        want = min(n, math.floor(50.0 * share))
+        assert got.get(f"g{gi}", 0) == want
