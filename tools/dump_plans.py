@@ -162,6 +162,31 @@ HEADLINERS = {
         "pre-bucketed ints — no exchange at all until a writer "
         "range-partitions on z."
     ),
+    "ts_merge_intervals": (
+        "Gaps-and-islands in ONE user-partitioned window family plus a "
+        "co-partitioned agg — no self-join, no join node at all."
+    ),
+    "graph_adamic_adar": (
+        "Wedges from a center-keyed equi self-join of the annotated "
+        "adjacency; existing edges leave via a hash anti-join; the cut "
+        "is TakeOrderedAndProject — no cartesian, no global sort."
+    ),
+    "feat_quantile_bin": (
+        "Exact quantile cutpoints reduce to ONE scalar row that "
+        "broadcasts back over the fact (BroadcastNestedLoopJoin over "
+        "one row) — the fact never shuffles for the binning."
+    ),
+    "text_bigram_nll": (
+        "Bigrams from a narrow indexed transform (no window, no "
+        "self-join); count dictionaries partial-agg; vocabulary rides "
+        "one broadcast scalar row."
+    ),
+    "pipeline_session_analytics": (
+        "Five audited operators fused into one plan: session windows "
+        "and conversion flags both keyed on user_id (AQE coalesces "
+        "their exchanges at the per-user join); dimensions broadcast; "
+        "nation rollup is a bounded hash agg."
+    ),
 }
 
 
