@@ -370,3 +370,101 @@ def temperature_sample(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    factors: dict[str, float],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Fractional-epoch upsampling: repeat each group's rows by its
+    recipe factor — factor 2.3 means two full copies of every row plus
+    a deterministic ~30% hash-picked third copy. The data-mixture
+    "repeat factor" from LM training recipes (small high-quality
+    sources see >1 epoch per pass over the mixture). Groups absent
+    from ``factors`` default to 1.0; emitted rows carry ``copy_idx``
+    (1-based) so downstream shuffles can decorrelate copies.
+
+    Determinism: the fractional copy keys on the same md5 bucket as
+    :func:`deterministic_sample` — same rows selected on every
+    run/engine/partitioning.
+
+    Scale shape: the factor table is a broadcast literal; repetition
+    is a narrow ``explode(sequence(...))`` — output size is the
+    recipe's own blow-up, with no shuffle at all."""
+    fac = df.sparkSession.createDataFrame(
+        [(g, float(f)) for g, f in factors.items()], f"{group_col} STRING, __f DOUBLE"
+    )
+    cut = (F.col("__f") % 1.0) * buckets
+    n_copies = (
+        F.floor(F.col("__f")).cast("int")
+        + (hash_bucket(F.col(key_col), buckets) < cut).cast("int")
+    )
+    return (
+        df.join(F.broadcast(fac), group_col, "left")
+        .withColumn("__f", F.coalesce(F.col("__f"), F.lit(1.0)))
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__f", "__n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    seq_len: int = 512,
+    shards: int = 16,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """(shard, bin_id, id, n_tokens): first-fit-decreasing sequence
+    packing — assign documents to fixed-capacity training sequences so
+    padding waste is minimized (the pretraining "sequence packing"
+    step; FFD fills >= ~99% on heavy-tailed length mixes vs ~60% for
+    one-doc-per-sequence). Documents longer than ``seq_len`` get a
+    singleton bin (truncation is the chunker's job, not the packer's).
+
+    Packing is greedy-stateful, so it runs per SHARD inside an
+    Arrow-batched applyInPandas kernel: shard = md5 hash of the id
+    (deterministic under any partitioning), docs sort (len desc, id)
+    inside the shard, bins are per-shard-local. State is one shard's
+    (id, len) pairs — size the shard count so that fits an executor
+    (a 100M-doc corpus at 64 shards is ~1.5M pairs/shard, trivially
+    in-memory; the BLOBS never enter the kernel, only lengths).
+    Deterministic: same shard split + same sort = same bins
+    everywhere; parity with a python reference model is pinned in
+    tests."""
+    import pandas as pd
+
+    shard = (hash_bucket(F.col(id_col), buckets) % shards).alias("shard")
+    src = df.select(shard, F.col(id_col), F.col(len_col))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([len_col, id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        out_bin = []
+        for ln in pdf[len_col]:
+            ln = int(min(ln, seq_len))
+            placed = None
+            for i, rem in enumerate(bins):
+                if rem >= ln:
+                    placed = i
+                    bins[i] = rem - ln
+                    break
+            if placed is None:
+                bins.append(seq_len - ln)
+                placed = len(bins) - 1
+            out_bin.append(placed)
+        pdf = pdf.copy()
+        pdf["bin_id"] = out_bin
+        return pdf
+
+    out_schema = f"shard BIGINT, {id_col} BIGINT, {len_col} BIGINT, bin_id INT"
+    return (
+        src.groupBy("shard")
+        .applyInPandas(pack, schema=out_schema)
+        .withColumnRenamed(len_col, "n_tokens")
+    )

@@ -6346,6 +6346,57 @@ def pipeline_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_epoch_repeat",
+    f"""
+    WITH f(source, fac) AS (VALUES ('src0', 2.3), ('src1', 1.5)),
+    d AS (
+        SELECT doc_id, documents.source, coalesce(fac, 1.0) AS fac
+        FROM documents LEFT JOIN f ON documents.source = f.source
+    ), n AS (
+        SELECT doc_id, source,
+               CAST(floor(fac) AS INT)
+               + CASE WHEN {_BUCKET_SQL.format(key="doc_id")}
+                          < (fac % 1.0) * 10000
+                      THEN 1 ELSE 0 END AS nc
+        FROM d
+    ), u AS (
+        SELECT doc_id, source, unnest(generate_series(1, nc)) AS copy_idx
+        FROM n WHERE nc >= 1
+    )
+    SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx FROM u
+    """,
+)
+def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling per the mixture recipe (src0 x2.3,
+    src1 x1.5, rest x1.0) — LM-training repeat factors: full copies
+    plus a deterministic md5-bucket-picked fractional copy, each row
+    tagged with copy_idx. Broadcast factor literal + narrow
+    explode(sequence) — zero shuffles."""
+    from .operators.sample import epoch_repeat
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_repeat(d, "source", "doc_id", {"src0": 2.3, "src1": 1.5})
+
+
+@register("sample_pack_sequences")  # rows-only: first-fit-decreasing is
+# greedy-stateful (not SQL-expressible); determinism + packing quality +
+# python-model parity are pinned in tests/test_sample.py
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: first-fit-decreasing
+    of documents (by token count) into 512-token bins, sharded by md5
+    hash so the stateful greedy runs per-shard in an Arrow kernel over
+    LENGTHS only (blobs never enter Python). One row per document with
+    its (shard, bin) assignment."""
+    from .operators.sample import pack_sequences
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", seq_len=512, shards=16)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -184,3 +184,66 @@ def test_temperature_deterministic(spark):
     a = sorted(r.k for r in temperature_sample(df, "src", "k").collect())
     b = sorted(r.k for r in temperature_sample(df.repartition(7), "src", "k").collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat / pack_sequences
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.sample import (  # noqa: E402
+    epoch_repeat,
+    pack_sequences,
+)
+
+
+def test_epoch_repeat_counts_and_copy_idx(spark):
+    rows = [("a", i) for i in range(100)] + [("b", 1000)]
+    df = spark.createDataFrame(rows, "src STRING, k BIGINT")
+    out = epoch_repeat(df, "src", "k", {"a": 2.5})
+    per = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # every 'a' row twice, ~half a third time; 'b' defaults to 1.0
+    assert 200 <= per["a"] <= 300 and per["b"] == 1
+    copies = out.filter(F.col("k") == 0).select("copy_idx").collect()
+    assert sorted(r.copy_idx for r in copies) in ([1, 2], [1, 2, 3])
+    # deterministic under repartitioning
+    again = {r.src: r.cnt for r in epoch_repeat(df.repartition(7), "src", "k", {"a": 2.5}).groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert again == per
+
+
+def test_pack_sequences_capacity_and_model_parity(spark):
+    rows = [(i, (i * 37) % 400 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tok BIGINT")
+    out = pack_sequences(df, "doc_id", "n_tok", seq_len=512, shards=4).collect()
+    assert len(out) == 200  # every doc assigned exactly once
+    # no bin over capacity
+    used: dict = {}
+    for r in out:
+        used[(r.shard, r.bin_id)] = used.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(v <= 512 for v in used.values())
+    # python FFD model agrees bin-for-bin within each shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append((r.n_tokens, r.doc_id, r.bin_id))
+    for shard, docs in by_shard.items():
+        want_bins: list = []
+        assign = {}
+        for ln, did, _ in sorted(docs, key=lambda t: (-t[0], t[1])):
+            placed = None
+            for i, rem in enumerate(want_bins):
+                if rem >= ln:
+                    placed, want_bins[i] = i, rem - ln
+                    break
+            if placed is None:
+                want_bins.append(512 - ln)
+                placed = len(want_bins) - 1
+            assign[did] = placed
+        for ln, did, got_bin in docs:
+            assert got_bin == assign[did]
+
+
+def test_pack_sequences_oversize_doc_gets_singleton_bin(spark):
+    df = spark.createDataFrame([(1, 9000), (2, 100)], "doc_id BIGINT, n_tok BIGINT")
+    out = {r.doc_id: r for r in pack_sequences(df, "doc_id", "n_tok", seq_len=512, shards=1).collect()}
+    assert out[1].bin_id != out[2].bin_id  # oversize never shares
