@@ -1377,3 +1377,51 @@ def pq_build_sample(
     ).select(
         F.col("__e.sub_id").alias("sub_id"), "cent_id", F.col("__e.cent_vec").alias("cent_vec")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    q_label_col: str = "q_label",
+    k: int = 5,
+) -> DataFrame:
+    """(q_id, vec_id, sim, rnk): per query, the k most-similar vectors
+    with a DIFFERENT label — hard-negative mining for contrastive /
+    metric-learning training (the negatives nearest the anchor teach
+    the most; random negatives are trivially separable). Exact scan
+    form, same contract as :func:`brute_force_topk`: the label filter
+    runs BEFORE ranking, so every returned row is a true negative.
+
+    Determinism/parity: norms computed once per vector, similarity
+    rounded to 6 dp before the rank, (sim desc, id) tiebreak — shares
+    brute_force_topk's oracle pattern with the label predicate added.
+
+    Scale shape: the query/anchor side broadcasts (bounded by
+    construction); candidate generation at corpus scale swaps in the
+    IVF probe exactly as it does for top-k — the ranking contract
+    stays identical."""
+    from pyspark.sql import Window
+
+    v = _with_vec_norm(vectors, vec_col, "__v", "__vn")
+    q = _with_vec_norm(queries, q_vec_col, "__q", "__qn")
+    joined = v.crossJoin(F.broadcast(q)).filter(
+        F.col(label_col) != F.col(q_label_col)
+    )
+    scored = joined.select(
+        q_id_col,
+        id_col,
+        F.round(
+            _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "sim", "rnk")
+    )

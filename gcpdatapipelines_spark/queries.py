@@ -6397,6 +6397,43 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "doc_id", "n_tok", seq_len=512, shards=16)
 
 
+@register(
+    "sim_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+               label AS q_label
+        FROM embeddings WHERE vec_id < 3
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
+    ), scored AS (
+        SELECT q_id, vec_id, {_SIM_SQL_COS} AS sim
+        FROM q CROSS JOIN v WHERE label <> q_label
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    5 most-similar DIFFERENT-label vectors (exact scan; label filter
+    before the rank, 6-dp round + id tiebreak). The anchor side
+    broadcasts; at corpus scale candidate generation swaps in the IVF
+    probe with the same ranking contract."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    return hard_negatives(emb, qs, k=5)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

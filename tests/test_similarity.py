@@ -476,3 +476,28 @@ def test_pq_build_sample_contract_and_determinism(spark):
     qs = emb_small.limit(1).selectExpr("vec_id AS q_id", "embedding AS q_vec")
     out = pq_topk(codes, cb, qs, k=3).collect()
     assert len(out) == 3 and [r.rnk for r in out] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.similarity import hard_negatives  # noqa: E402
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),   # anchor
+        (2, [0.99, 0.1], 0),  # same label: excluded though nearest
+        (3, [0.9, 0.4], 1),   # hardest negative
+        (4, [0.0, 1.0], 1),   # easy negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    qs = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(emb, qs, k=2).collect()
+    assert [(r.vec_id, r.rnk) for r in out] == [(3, 1), (4, 2)]
+    assert all(r.vec_id != 2 for r in out)
