@@ -88,3 +88,74 @@ def quality_checks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def fk_orphan_audit(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """(relation, n_child, n_orphans, orphan_rate): referential-
+    integrity audit over (name, child, fk_col, parent, pk_col)
+    specs — orphaned foreign keys are the first thing a broken
+    ingest/delete pipeline produces. Each relation costs one child
+    aggregate plus one DISTINCT-key anti-join probe (the distinct
+    keyset is dimension-sized, so the probe broadcasts); results
+    union into one report frame.
+
+    Parity: counts + one fixed double division."""
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        keys = child.select(F.col(fk).alias("__k"))
+        orphans = keys.join(
+            parent.select(F.col(pk).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        outs.append(
+            keys.agg(F.count("*").alias("n_child")).crossJoin(
+                orphans.agg(F.count("*").alias("n_orphans"))
+            ).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """(digit, n, observed, expected, deviation): first-significant-
+    digit distribution of a positive numeric column against Benford's
+    law — the classic fraud / synthetic-data / unit-mixup smell test
+    (organic multiplicative quantities follow log10(1 + 1/d); uniform
+    generators and fabricated figures don't).
+
+    The leading digit comes from the decimal STRING form (portable —
+    no log-floor arithmetic whose edge cases differ); expected and
+    deviation are one fixed double chain. One hash aggregate onto nine
+    rows; the percent columns window over that aggregate."""
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), "[0.]", ""),
+        1,
+        1,
+    ).cast("int")
+    per = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    observed = F.col("n").cast("double") / F.sum("n").over(w)
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return per.select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(observed - expected, 6).alias("deviation"),
+    )

@@ -6434,6 +6434,92 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, qs, k=5)
 
 
+@register(
+    "quality_fk_orphans",
+    """
+    SELECT 'orders->customer' AS relation,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_orphans,
+           round(CAST((SELECT count(*) FROM orders
+                       WHERE o_custkey NOT IN
+                             (SELECT c_custkey FROM customer)) AS DOUBLE)
+                 / (SELECT count(*) FROM orders), 6) AS orphan_rate
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT),
+           round(CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey NOT IN
+                             (SELECT o_orderkey FROM orders)) AS DOUBLE)
+                 / (SELECT count(*) FROM lineitem), 6)
+    """,
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned foreign keys across the
+    orders->customer and lineitem->orders relations — the first smell
+    of a broken ingest or non-cascading delete. One child aggregate +
+    one broadcast anti-probe per relation (the distinct parent keyset
+    is dimension-sized)."""
+    from .operators.quality import fk_orphan_audit
+
+    return fk_orphan_audit(
+        [
+            (
+                "orders->customer",
+                _t(spark, sf_dir, "orders"),
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+            (
+                "lineitem->orders",
+                _t(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                _t(spark, sf_dir, "orders"),
+                "o_orderkey",
+            ),
+        ]
+    )
+
+
+@register(
+    "quality_benford",
+    """
+    WITH per AS (
+        SELECT CAST(substr(regexp_replace(CAST(abs(l_extendedprice) AS VARCHAR),
+                                          '[0.]', '', 'g'), 1, 1) AS INT)
+                   AS digit,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+        GROUP BY 1
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected,
+           round(CAST(n AS DOUBLE) / sum(n) OVER ()
+                 - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM per
+    """,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of line-item prices — the classic
+    fraud / synthetic-data / unit-mixup smell test. The leading digit
+    comes from the decimal string form (first char after stripping
+    zeros and dots — portable across the engines' float formatting,
+    since only the first SIGNIFICANT digit matters); expected and
+    deviation are one fixed double chain. One hash agg onto <= 9
+    rows."""
+    from .operators.quality import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -278,3 +278,26 @@ def test_freshness_audit_lag_and_stale(spark):
     assert out["live"].lag_hours == 0.0 and not out["live"].stale
     assert out["dead"].lag_hours == 48.0 and out["dead"].stale
     assert out["live"].n_rows == 2
+
+
+def test_fk_orphan_audit_counts(spark):
+    from gcpdatapipelines_spark.operators.quality import fk_orphan_audit
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk BIGINT")
+    parent = spark.createDataFrame([(1,), (2,)], "pk BIGINT")
+    r = fk_orphan_audit([("c->p", child, "fk", parent, "pk")]).first()
+    assert (r.n_child, r.n_orphans) == (3, 1)
+    assert r.orphan_rate == round(1 / 3, 6)
+
+
+def test_benford_first_digit_extraction(spark):
+    from gcpdatapipelines_spark.operators.quality import benford_audit
+
+    import math
+
+    vals = [123.4, 0.00156, 1999.0, -245.0, 0.0, None, 9.81]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert {d: out[d].n for d in out} == {1: 3, 2: 1, 9: 1}  # 0/None excluded
+    assert out[1].expected == round(math.log10(2.0), 6)
+    assert abs(sum(r.observed for r in out.values()) - 1.0) < 1e-9
