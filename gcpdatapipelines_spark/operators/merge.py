@@ -128,3 +128,45 @@ def apply_cdc(
         touched = F.broadcast(touched)
     untouched = target.join(touched, on, "left_anti")
     return untouched.unionByName(upserts)
+
+
+def survivorship_golden(
+    records: DataFrame,
+    key: str,
+    priority_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Golden-record survivorship: one row per entity where EACH
+    attribute independently takes its first non-null value in source-
+    priority order — the MDM merge rule (a trusted CRM wins on name,
+    but its null phone falls through to the web profile). Classic
+    entity-resolution last mile after fuzzy matching assigns cluster
+    keys.
+
+    Determinism: attribute picks are ``first(ignorenulls)`` over a
+    (priority, tiebreak)-ordered unbounded frame — same value under
+    any partitioning, and COPIES of inputs (no arithmetic), so
+    cross-engine parity is exact.
+
+    Scale shape: ONE window pass partitioned by the entity key
+    computes every attribute's survivor plus the row_number that
+    collapses to one output row — a single shuffle regardless of how
+    many source systems or attributes merge."""
+    from pyspark.sql import Window
+
+    order = [F.col(priority_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy(key).orderBy(*order)
+    picked = records.select(
+        F.col(key),
+        *[F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in attr_cols],
+        F.row_number().over(w_rn).alias("__rn"),
+    )
+    return picked.filter(F.col("__rn") == 1).drop("__rn")

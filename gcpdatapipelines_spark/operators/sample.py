@@ -468,3 +468,59 @@ def pack_sequences(
         .applyInPandas(pack, schema=out_schema)
         .withColumnRenamed(len_col, "n_tokens")
     )
+
+
+def time_series_cv_folds(
+    df: DataFrame,
+    ts_col: str,
+    k: int = 5,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """(fold, train_end, test_end, n_train, n_test): rolling-origin
+    (expanding-window) cross-validation folds for time-series models —
+    fold i trains on everything up to cut_i and tests on the next
+    ``horizon_days``; cuts spread evenly over the usable span. The
+    backtesting split that random k-fold gets WRONG for temporal data
+    (it leaks the future into training).
+
+    All cut arithmetic is integer epoch-days (engine-portable);
+    counts are counts. One bounds aggregate reduces to a scalar row;
+    the fold table is a k-row literal range; membership is one narrow
+    k-way conditional fan-out of the fact plus a bounded hash agg —
+    the fact is scanned once and never shuffled by more than the
+    k-row aggregate."""
+    day = F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0).cast(
+        "long"
+    )
+    src = df.select(day.alias("__d"))
+    bounds = src.agg(
+        F.min("__d").alias("__mn"), F.max("__d").alias("__mx")
+    )
+    folds = df.sparkSession.range(k).select(F.col("id").alias("fold"))
+    cuts = folds.crossJoin(F.broadcast(bounds)).select(
+        "fold",
+        (
+            F.col("__mn")
+            + F.floor(
+                (F.col("fold") + 1)
+                * (F.col("__mx") - F.lit(horizon_days) - F.col("__mn"))
+                / F.lit(k)
+            )
+        ).alias("train_end"),
+    ).withColumn("test_end", F.col("train_end") + F.lit(horizon_days))
+    joined = src.crossJoin(F.broadcast(cuts))
+    return (
+        joined.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.count(F.when(F.col("__d") <= F.col("train_end"), 1)).alias(
+                "n_train"
+            ),
+            F.count(
+                F.when(
+                    (F.col("__d") > F.col("train_end"))
+                    & (F.col("__d") <= F.col("test_end")),
+                    1,
+                )
+            ).alias("n_test"),
+        )
+    )

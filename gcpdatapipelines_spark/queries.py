@@ -6520,6 +6520,96 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(li, "l_extendedprice")
 
 
+@register(
+    "merge_survivorship",
+    """
+    WITH recs AS (
+        SELECT c_custkey AS k, 1 AS pri,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END AS name,
+               c_mktsegment AS segment,
+               CAST(NULL AS DOUBLE) AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, c_name,
+               CAST(NULL AS VARCHAR),
+               c_acctbal
+        FROM customer
+    )
+    SELECT k,
+           first(name ORDER BY pri) FILTER (WHERE name IS NOT NULL) AS name,
+           first(segment ORDER BY pri) FILTER (WHERE segment IS NOT NULL)
+               AS segment,
+           first(acctbal ORDER BY pri) FILTER (WHERE acctbal IS NOT NULL)
+               AS acctbal
+    FROM recs GROUP BY k
+    """,
+)
+def merge_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record merge over two simulated source systems (a
+    trusted CRM with gaps, a complete-but-lower-priority web profile):
+    each attribute independently survives from the highest-priority
+    non-null source. ONE key-partitioned window pass picks every
+    attribute and collapses to one row; values are copies, parity
+    exact."""
+    from .operators.merge import survivorship_golden
+
+    c = _t(spark, sf_dir, "customer")
+    crm = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("pri"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(None).cast("double").alias("acctbal"),
+    )
+    web = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("pri"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return survivorship_golden(
+        crm.unionByName(web), "k", "pri", ["name", "segment", "acctbal"]
+    )
+
+
+@register(
+    "split_time_cv",
+    """
+    WITH src AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d FROM events
+    ), bounds AS (
+        SELECT min(d) AS mn, max(d) AS mx FROM src
+    ), cuts AS (
+        SELECT f.fold,
+               mn + CAST(floor((f.fold + 1) * (mx - 7 - mn) / 5.0) AS BIGINT)
+                   AS train_end
+        FROM (SELECT unnest(generate_series(0, 4)) AS fold) f
+        CROSS JOIN bounds
+    )
+    SELECT fold, train_end, train_end + 7 AS test_end,
+           CAST((SELECT count(*) FROM src WHERE d <= c.train_end) AS BIGINT)
+               AS n_train,
+           CAST((SELECT count(*) FROM src
+                 WHERE d > c.train_end AND d <= c.train_end + 7) AS BIGINT)
+               AS n_test
+    FROM cuts c
+    """,
+)
+def split_time_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) time-series CV: five folds,
+    each training on everything up to its cut and testing on the next
+    7 days — the backtest split random k-fold gets wrong for temporal
+    data. Integer epoch-day arithmetic; one bounds scalar + k-row
+    literal fold table; the fact scans once."""
+    from .operators.sample import time_series_cv_folds
+
+    ev = _t(spark, sf_dir, "events")
+    return time_series_cv_folds(ev, "ts", k=5, horizon_days=7)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

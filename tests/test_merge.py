@@ -173,3 +173,33 @@ def test_apply_cdc_target_never_shuffles(spark):
     out = apply_cdc(target, changes, ["k"])
     assert "BroadcastHashJoin" in PL.join_strategies(out)
     assert PL.num_exchanges(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# survivorship_golden
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.merge import survivorship_golden  # noqa: E402
+
+
+def test_survivorship_per_attribute_fallthrough(spark):
+    rows = [
+        # key 1: CRM(p1) has name but null phone; WEB(p2) fills phone
+        (1, 1, "Ada", None),
+        (1, 2, "ada_web", "555"),
+        # key 2: CRM entirely null -> everything falls to WEB
+        (2, 1, None, None),
+        (2, 2, "Bob", "777"),
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, pri INT, name STRING, phone STRING")
+    out = {r.k: r for r in survivorship_golden(df, "k", "pri", ["name", "phone"]).collect()}
+    assert (out[1].name, out[1].phone) == ("Ada", "555")
+    assert (out[2].name, out[2].phone) == ("Bob", "777")
+    assert len(out) == 2
+
+
+def test_survivorship_single_window_pass(spark):
+    df = spark.createDataFrame([(1, 1, "x")], "k BIGINT, pri INT, name STRING")
+    plan = survivorship_golden(df, "k", "pri", ["name"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one key shuffle serves every attribute
+    assert "Join" not in plan

@@ -247,3 +247,27 @@ def test_pack_sequences_oversize_doc_gets_singleton_bin(spark):
     df = spark.createDataFrame([(1, 9000), (2, 100)], "doc_id BIGINT, n_tok BIGINT")
     out = {r.doc_id: r for r in pack_sequences(df, "doc_id", "n_tok", seq_len=512, shards=1).collect()}
     assert out[1].bin_id != out[2].bin_id  # oversize never shares
+
+
+def test_time_series_cv_monotone_expanding_and_no_leak(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(days=d),) for d in range(60) for _ in range(2)]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP")
+    out = sorted(
+        time_series_cv_folds(df, "ts", k=4, horizon_days=7).collect(),
+        key=lambda r: r.fold,
+    )
+    assert len(out) == 4
+    ends = [r.train_end for r in out]
+    assert ends == sorted(ends) and len(set(ends)) == 4  # expanding origins
+    for r in out:
+        assert r.test_end == r.train_end + 7
+        assert r.n_train > 0 and r.n_test > 0
+    # later folds never shrink the training window
+    trains = [r.n_train for r in out]
+    assert trains == sorted(trains)
+
+
+from gcpdatapipelines_spark.operators.sample import time_series_cv_folds  # noqa: E402
