@@ -471,12 +471,22 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     tokens_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 16-bit
     chunk banding: any pair within Hamming 3 of a 64-bit hash must agree
     on at least one of 4 disjoint 16-bit chunks (pigeonhole), so only
-    chunk-bucket collisions are candidate pairs."""
-    sig = simhash(df, id_col, text_col, tokens_df=tokens_df)
+    chunk-bucket collisions are candidate pairs.
+
+    ``sig_df``: reuse precomputed (ideally persisted) ``simhash``
+    signatures — the signature pass is the expensive half (64
+    conditional aggregates), so consumers sharing a corpus should
+    compute it once."""
+    sig = (
+        sig_df
+        if sig_df is not None
+        else simhash(df, id_col, text_col, tokens_df=tokens_df)
+    )
     chunks = sig.select(
         id_col,
         "simhash",

@@ -95,6 +95,26 @@ def _doc_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks
 
 
+def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped shared prep: 64-bit SimHash signatures of the
+    documents corpus — the expensive half (64 conditional aggregates)
+    of both the text near-dup detector and the media phash stand-in;
+    at 100 TB the signature table is materialized once per corpus."""
+    from .operators.dedup import simhash
+
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash")
+    sig = _PREP_CACHE.get(key)
+    if sig is None:
+        sig = simhash(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            tokens_df=_doc_tokens_cached(spark, sf_dir),
+        ).persist()
+        _PREP_CACHE[key] = sig
+    return sig
+
+
 def _doc_shingles_cached(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     from .operators.dedup import doc_shingles
 
@@ -1266,7 +1286,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         max_hamming=3,
-        tokens_df=_doc_tokens_cached(spark, sf_dir),
+        sig_df=_simhash_cached(spark, sf_dir),
     )
 
 
@@ -6064,15 +6084,14 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pHash so the fixture yields true near-dup pairs; a Pillow-based
     pHash drops in via ``hash_col`` with no other change. Never a
     pair scan."""
-    from .operators.dedup import simhash
     from .operators.multimodal import phash_neardup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
     # payload == utf8(text) in the fabricated assets table, so the
-    # stand-in phash computes from the shared token prep directly
-    sig = simhash(
-        docs, "doc_id", "text", tokens_df=_doc_tokens_cached(spark, sf_dir)
-    ).select(F.col("doc_id").alias("asset_id"), F.col("simhash").alias("phash"))
+    # stand-in phash is the SHARED per-session signature table — at
+    # 100 TB the signature pass runs once per corpus, not per consumer
+    sig = _simhash_cached(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"), F.col("simhash").alias("phash")
+    )
     return phash_neardup_pairs(sig, max_hamming=3, hash_col="phash")
 
 
