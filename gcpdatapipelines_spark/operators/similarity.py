@@ -1425,3 +1425,57 @@ def hard_negatives(
         .filter(F.col("rnk") <= k)
         .select(q_id_col, id_col, "sim", "rnk")
     )
+
+
+def diverse_kcenter(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """(rank, id, max_cos_to_prior): greedy farthest-point traversal —
+    the 2-approximation to k-center — selecting k maximally-diverse
+    vectors: each round adds the corpus point LEAST similar (max
+    cosine) to everything already selected. The diversity-curation
+    primitive behind coreset selection and eval-set de-clustering
+    (near-duplicate prototypes never both get picked).
+
+    Deterministic: the seed is the minimum id; each round breaks ties
+    (equal rounded similarity) toward the smaller id, so the
+    selection is reproducible under any partitioning.
+
+    Scale shape: the selected set is bounded driver metadata (k
+    vectors); every round is ONE corpus scan through the Arrow dgemm
+    assignment kernel (:func:`_assign_nearest` — no shuffle) plus a
+    1-row TakeOrdered. k driver-synchronized rounds is the inherent
+    data dependency of the greedy; at extreme corpus sizes seed the
+    traversal from a deterministic sample, same contract."""
+    first = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    spark = vectors.sparkSession
+    sel = [(0, first[id_col], None, [float(x) for x in first[vec_col]])]
+    for rnd in range(1, k):
+        cents = spark.createDataFrame(
+            [(i, v) for i, (_, _, _, v) in enumerate(sel)],
+            "cent_id INT, cent_vec ARRAY<DOUBLE>",
+        )
+        assigned = _assign_nearest(vectors, cents, id_col, vec_col)
+        already = [s[1] for s in sel]
+        nxt = (
+            assigned.filter(~F.col(id_col).isin(already))
+            .select(id_col, vec_col, F.round(F.col("__cs"), 9).alias("__cs"))
+            .orderBy(F.col("__cs").asc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append(
+            (rnd, nxt[id_col], float(nxt["__cs"]), [float(x) for x in nxt[vec_col]])
+        )
+    return spark.createDataFrame(
+        [(r, i, c) for r, i, c, _ in sel],
+        f"rank INT, {id_col} BIGINT, max_cos_to_prior DOUBLE",
+    )

@@ -6629,6 +6629,73 @@ def split_time_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_series_cv_folds(ev, "ts", k=5, horizon_days=7)
 
 
+@register("sim_diverse_kcenter")  # rows-only: iterative float argmin has
+# no SQL twin; determinism + diversity property pinned in tests
+def sim_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 maximally-diverse embeddings by greedy farthest-point
+    (k-center 2-approx): each round one Arrow-dgemm corpus scan + a
+    1-row TakeOrdered; the selected set is bounded driver metadata.
+    The coreset/eval-set de-clustering primitive."""
+    from .operators.similarity import diverse_kcenter
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diverse_kcenter(emb, "vec_id", "embedding", k=10)
+
+
+@register(
+    "w23_bounce_rate",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts > max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, island, count(*) AS n_events
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM sess
+    """,
+)
+def w23_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-wide bounce rate over 30-minute sessions (single-event
+    sessions / all sessions) — the composite of merge_intervals the
+    web-analytics dashboard actually reads. One window family + two
+    bounded aggregates; counts and one fixed division."""
+    from .operators.timeseries import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    sess = merge_intervals(ev, "user_id", "ts", "event_id")
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -501,3 +501,37 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     out = hard_negatives(emb, qs, k=2).collect()
     assert [(r.vec_id, r.rnk) for r in out] == [(3, 1), (4, 2)]
     assert all(r.vec_id != 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# diverse_kcenter
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.similarity import diverse_kcenter  # noqa: E402
+
+
+def test_diverse_kcenter_picks_the_spread(spark):
+    # two tight clusters + one outlier: k=3 must take one per group
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1: never picked at k=3
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.01]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = diverse_kcenter(emb, k=3).collect()
+    picked = {r.vec_id for r in out}
+    assert out[0].vec_id == 1 and out[0].rank == 0  # deterministic seed
+    assert picked == {1, 3, 5} or picked == {1, 5, 3}
+    assert 2 not in picked and 4 not in picked
+    # each later pick records its similarity to the already-selected set
+    assert all(r.max_cos_to_prior is not None for r in out if r.rank > 0)
+
+
+def test_diverse_kcenter_deterministic_under_partitioning(spark):
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    a = [(r.rank, r.vec_id) for r in diverse_kcenter(emb, k=5).collect()]
+    b = [(r.rank, r.vec_id) for r in diverse_kcenter(emb.repartition(9), k=5).collect()]
+    assert a == b
