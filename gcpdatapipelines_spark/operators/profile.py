@@ -192,3 +192,49 @@ def freshness_audit(
         F.round(lag_h, 4).alias("lag_hours"),
         (lag_h > F.lit(stale_after_hours)).alias("stale"),
     )
+
+
+def key_skew_audit(
+    df: DataFrame, key_col: str, top_n: int = 1
+) -> DataFrame:
+    """(n_keys, n_rows, gini, top1_share, max_over_avg): skew profile
+    of a join/partition key — the diagnostic run BEFORE choosing a
+    join strategy at scale (a high Gini / max_over_avg key wants
+    salting or AQE skew-join; a flat one doesn't). Gini over the
+    per-key frequency distribution via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n on ascending counts.
+
+    Parity shape: counts are integers; rank-weighted sums stay in
+    DECIMAL (exact), the final G / shares are fixed double chains.
+
+    Scale shape: one hash aggregate to per-key counts, one window
+    rank over the |keys|-row aggregate, one reduce row. The fact is
+    scanned once."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("__c"))
+    w = Window.orderBy(F.col("__c"), F.col(key_col))
+    ranked = counts.select(
+        "__c", F.row_number().over(w).alias("__i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(
+                (F.col("__i").cast("decimal(18,0)") * F.col("__c"))
+            ).cast("double")
+            / (F.count("*") * F.sum("__c").cast("double"))
+            - (F.count("*") + F.lit(1)).cast("double") / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.max("__c").cast("double") / F.sum("__c"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.max("__c").cast("double")
+            / (F.sum("__c").cast("double") / F.count("*")),
+            4,
+        ).alias("max_over_avg"),
+    )

@@ -345,3 +345,74 @@ def period_over_period(
             6,
         ).alias("pop_pct"),
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    min_seg: int = 5,
+) -> DataFrame:
+    """(key, n, split_pos, split_ts, mean_left, mean_right, shift):
+    single-changepoint detection per key by binary segmentation — the
+    split position maximizing |mean_left - mean_right|, segments at
+    least ``min_seg`` long. The first step of the standard recursive
+    changepoint search, and the level-shift detector behind "did this
+    metric move when we deployed".
+
+    Parity shape (NOTES.md): candidate scores come from DECIMAL
+    prefix sums over one ordered window (associative), the score and
+    both means are fixed double chains, and the argmax picks by
+    (rounded score desc, position) — fully engine-portable.
+
+    Scale shape: ONE window pass per key (prefix sum + total via the
+    same partitioning), a narrow per-row score, and a row_number
+    argmax on the same key partitioning — three same-key window/agg
+    stages AQE runs off a single exchange. Never a self-join."""
+    xd = F.col(value_col).cast("decimal(18,6)")
+    w_ord = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(key)
+    pos = F.row_number().over(w_ord)
+    scored = df.select(
+        F.col(key),
+        F.col(ts_col),
+        pos.alias("__i"),
+        F.sum(xd).over(w_run).alias("__sl"),
+        F.sum(xd).over(w_all).alias("__st"),
+        F.count(value_col).over(w_all).alias("__n"),
+    )
+    ml = F.col("__sl").cast("double") / F.col("__i")
+    mr = (F.col("__st").cast("double") - F.col("__sl").cast("double")) / (
+        F.col("__n") - F.col("__i")
+    )
+    cand = scored.where(
+        (F.col("__i") >= F.lit(min_seg))
+        & (F.col("__i") <= F.col("__n") - F.lit(min_seg))
+    ).select(
+        F.col(key),
+        F.col(ts_col),
+        F.col("__i"),
+        F.col("__n"),
+        ml.alias("__ml"),
+        mr.alias("__mr"),
+        F.round(F.abs(ml - mr), 9).alias("__score"),
+    )
+    w_pick = Window.partitionBy(key).orderBy(
+        F.col("__score").desc(), F.col("__i")
+    )
+    return (
+        cand.withColumn("__r", F.row_number().over(w_pick))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col(key),
+            F.col("__n").alias("n"),
+            F.col("__i").cast("long").alias("split_pos"),
+            F.col(ts_col).alias("split_ts"),
+            F.round("__ml", 6).alias("mean_left"),
+            F.round("__mr", 6).alias("mean_right"),
+            F.round(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
+        )
+    )

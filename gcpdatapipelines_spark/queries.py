@@ -6696,6 +6696,83 @@ def w23_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_changepoint",
+    """
+    WITH s AS (
+        SELECT event_type, ts,
+               row_number() OVER wo AS i,
+               sum(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+               sum(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY event_type) AS st,
+               count(value) OVER (PARTITION BY event_type) AS n
+        FROM events
+        WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), cand AS (
+        SELECT event_type, ts, i, n,
+               CAST(sl AS DOUBLE) / i AS ml,
+               (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - i) AS mr,
+               round(abs(CAST(sl AS DOUBLE) / i
+                         - (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE))
+                           / (n - i)), 9) AS score
+        FROM s WHERE i >= 5 AND i <= n - 5
+    ), pick AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY score DESC, i) AS r
+        FROM cand
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(i AS BIGINT) AS split_pos, ts AS split_ts,
+           round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+           round(mr - ml, 6) AS shift
+    FROM pick WHERE r = 1
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint (level-shift) detection per event type by
+    binary segmentation: the split maximizing |mean_left - mean_right|
+    (segments >= 5) — "did this metric move". Decimal prefix sums in
+    ONE ordered window family; score/means fixed double chains; argmax
+    by (rounded score, position). Never a self-join."""
+    from .operators.timeseries import changepoint_single
+
+    ev = _t(spark, sf_dir, "events")
+    return changepoint_single(ev, "event_type", "ts", "event_id", "value")
+
+
+@register(
+    "profile_key_skew",
+    """
+    WITH counts AS (
+        SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(2.0 * CAST(sum(CAST(i AS DECIMAL(18,0)) * c) AS DOUBLE)
+                 / (count(*) * CAST(sum(c) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+           round(CAST(max(c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) / count(*)), 4) AS max_over_avg
+    FROM ranked
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem's supplier key (Gini over
+    per-key frequencies + top-1 share + max/avg) — the diagnostic run
+    BEFORE picking a join strategy at 100 TB: high skew wants salting
+    or AQE skew-join. One fact aggregate; the rank window runs over
+    the |keys|-row aggregate only."""
+    from .operators.profile import key_skew_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_audit(li, "l_suppkey")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

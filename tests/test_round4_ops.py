@@ -301,3 +301,15 @@ def test_benford_first_digit_extraction(spark):
     assert {d: out[d].n for d in out} == {1: 3, 2: 1, 9: 1}  # 0/None excluded
     assert out[1].expected == round(math.log10(2.0), 6)
     assert abs(sum(r.observed for r in out.values()) - 1.0) < 1e-9
+
+
+def test_key_skew_audit_flat_vs_skewed(spark):
+    from gcpdatapipelines_spark.operators.profile import key_skew_audit
+
+    flat = spark.createDataFrame([(i % 10,) for i in range(100)], "k BIGINT")
+    skew = spark.createDataFrame([(0,)] * 91 + [(i,) for i in range(1, 10)], "k BIGINT")
+    rf = key_skew_audit(flat, "k").first()
+    rs = key_skew_audit(skew, "k").first()
+    assert rf.gini == 0.0 and rf.max_over_avg == 1.0
+    assert rs.gini > 0.7 and rs.top1_share == 0.91 and rs.max_over_avg == 9.1
+    assert rf.n_keys == rs.n_keys == 10

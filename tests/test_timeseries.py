@@ -209,3 +209,32 @@ def test_period_over_period_weekly(spark):
     assert out[0].pop_pct is None
     assert out[1].pop_pct == 0.5
     assert out[2].pop_pct == -0.5
+
+
+# ---------------------------------------------------------------------------
+# changepoint_single
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.timeseries import changepoint_single  # noqa: E402
+
+
+def test_changepoint_finds_the_level_shift(spark):
+    # 10 points at ~1.0 then 10 at ~5.0: split belongs at position 10
+    rows = [("a", _m(i), i, 1.0 + (i % 3) * 0.01) for i in range(10)]
+    rows += [("a", _m(10 + i), 10 + i, 5.0 + (i % 3) * 0.01) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    r = changepoint_single(df, "event_type", "ts", "event_id", "value").first()
+    assert r.split_pos == 10
+    assert abs(r.mean_left - 1.01) < 0.01 and abs(r.mean_right - 5.01) < 0.01
+    assert r.shift > 3.9
+
+
+def test_changepoint_respects_min_seg(spark):
+    rows = [("a", _m(i), i, float(i)) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    r = changepoint_single(df, "event_type", "ts", "event_id", "value", min_seg=5).first()
+    assert 5 <= r.split_pos <= 7  # only positions 5..7 are candidates
