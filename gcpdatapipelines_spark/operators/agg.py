@@ -436,3 +436,51 @@ def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
             "distinct_est"
         ),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """(key, weighted_median, n, w_total): the smallest value whose
+    cumulative weight reaches half the key's total weight — the
+    weighted-median (volume-weighted "typical price") the plain
+    median misstates whenever weights are skewed.
+
+    Parity shape: weights accumulate in EXACT decimal window sums and
+    the crossing test is ``2*cumw >= total`` — a decimal COMPARISON,
+    no division anywhere; the median itself is a COPY of an input
+    value picked deterministically ((value, tiebreak) order).
+
+    Scale shape: one ordered window per key (cumulative weight +
+    total share the partitioning), a narrow crossing filter, and a
+    row_number pick on the same partitioning — single exchange."""
+    from pyspark.sql import Window
+
+    wd = F.col(weight_col).cast("decimal(18,6)")
+    order = [F.col(value_col)] + [F.col(c) for c in tiebreak_cols]
+    w_ord = Window.partitionBy(key).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(key)
+    staged = df.select(
+        F.col(key),
+        F.col(value_col),
+        *[F.col(c) for c in tiebreak_cols],
+        F.sum(wd).over(w_run).alias("__cw"),
+        F.sum(wd).over(w_all).alias("__tw"),
+        F.count("*").over(w_all).alias("__n"),
+    ).where(F.col("__cw") * 2 >= F.col("__tw"))
+    w_pick = Window.partitionBy(key).orderBy(*order)
+    return (
+        staged.withColumn("__r", F.row_number().over(w_pick))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col(key),
+            F.col(value_col).alias("weighted_median"),
+            F.col("__n").alias("n"),
+            F.col("__tw").cast("double").alias("w_total"),
+        )
+    )

@@ -6773,6 +6773,49 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_audit(li, "l_suppkey")
 
 
+@register(
+    "a27_weighted_median",
+    """
+    WITH s AS (
+        SELECT l_returnflag, l_extendedprice,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+                   PARTITION BY l_returnflag) AS tw,
+               count(*) OVER (PARTITION BY l_returnflag) AS n,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), x AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
+        FROM s WHERE cw * 2 >= tw
+    )
+    SELECT l_returnflag, l_extendedprice AS weighted_median,
+           CAST(n AS BIGINT) AS n, CAST(tw AS DOUBLE) AS w_total
+    FROM x WHERE r = 1
+    """,
+)
+def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    volume-weighted "typical price". Decimal cumulative weights, a
+    decimal COMPARISON (2*cumw >= total, no division), and the median
+    is a copy picked in (value, line id) order — one exchange serves
+    the cumulative window, the total, and the pick."""
+    from .operators.agg import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -313,3 +313,17 @@ def test_key_skew_audit_flat_vs_skewed(spark):
     assert rf.gini == 0.0 and rf.max_over_avg == 1.0
     assert rs.gini > 0.7 and rs.top1_share == 0.91 and rs.max_over_avg == 9.1
     assert rf.n_keys == rs.n_keys == 10
+
+
+def test_weighted_median_crossing_rule(spark):
+    from gcpdatapipelines_spark.operators.agg import weighted_median
+
+    # values 1..4 with weights 1,1,6,2: total 10, crossing at value 3
+    rows = [("a", 1.0, 1.0, 1), ("a", 2.0, 1.0, 2), ("a", 3.0, 6.0, 3), ("a", 4.0, 2.0, 4)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE, w DOUBLE, id BIGINT")
+    r = weighted_median(df, "k", "v", "w", ["id"]).first()
+    assert r.weighted_median == 3.0 and r.n == 4 and r.w_total == 10.0
+    # plain median of values would say 2.5 — weights matter
+    # exact half-crossing: weights 1,1 over values 1,2 -> 2*cw==tw at v=1
+    df2 = spark.createDataFrame([("a", 1.0, 1.0, 1), ("a", 2.0, 1.0, 2)], "k STRING, v DOUBLE, w DOUBLE, id BIGINT")
+    assert weighted_median(df2, "k", "v", "w", ["id"]).first().weighted_median == 1.0
