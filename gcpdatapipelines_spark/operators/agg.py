@@ -484,3 +484,34 @@ def weighted_median(
             F.col("__tw").cast("double").alias("w_total"),
         )
     )
+
+
+def srm_check(
+    df: DataFrame,
+    is_b_col,
+    expected_b: float = 0.5,
+) -> DataFrame:
+    """(n_a, n_b, expected_b, chi2): sample-ratio-mismatch check for an
+    A/B experiment — a chi-square statistic of the observed variant
+    split against the design ratio. SRM is the first gate before
+    reading ANY experiment metric (chi2 >~ 3.84 at one dof means the
+    assignment itself is broken and the t-test is meaningless).
+
+    One keyless partial+final aggregate; chi2 is one fixed double
+    chain over two counts."""
+    m = df.agg(
+        F.count(F.when(~is_b_col, 1)).alias("n_a"),
+        F.count(F.when(is_b_col, 1)).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    eb = n * F.lit(expected_b)
+    ea = n * F.lit(1.0 - expected_b)
+    chi2 = (F.col("n_a") - ea) * (F.col("n_a") - ea) / ea + (
+        F.col("n_b") - eb
+    ) * (F.col("n_b") - eb) / eb
+    return m.select(
+        "n_a",
+        "n_b",
+        F.lit(expected_b).alias("expected_b"),
+        F.round(chi2, 4).alias("chi2"),
+    )

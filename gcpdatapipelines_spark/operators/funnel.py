@@ -281,3 +281,88 @@ def cohort_ltv(
         F.col("__rev").cast("double").alias("rev"),
         F.sum("__rev").over(w).cast("double").alias("cum_rev"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """(period, n_new, n_retained, n_resurrected, n_churned): the
+    growth-accounting table — every active user classified per period
+    as NEW (first period ever), RETAINED (also active the previous
+    period), or RESURRECTED (returning after a gap); CHURNED counts
+    users active the previous period who did not return. The identity
+    active(p) = new + retained + resurrected and
+    churned(p) = active(p-1) - retained(p) is pinned in tests.
+
+    Pure integer epoch-day period logic over the DISTINCT (user,
+    period) activity set — parity exact.
+
+    Scale shape: one distinct aggregate reduces events to user-period
+    rows; classification is lag/lead windows per user over that
+    (bounded) activity set; the final rollup is a hash agg per
+    period. The event log is scanned once."""
+    period = F.floor(
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
+        / period_days
+    ).cast("long")
+    act = df.select(F.col(user_col).alias("__u"), period.alias("p")).distinct()
+    w = Window.partitionBy("__u").orderBy("p")
+    marked = act.select(
+        "__u",
+        "p",
+        F.lag("p").over(w).alias("__prev"),
+        F.lead("p").over(w).alias("__next"),
+        F.min("p").over(
+            Window.partitionBy("__u")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__first"),
+    )
+    gmax = act.agg(F.max("p").alias("__gmax"))
+    cls = marked.crossJoin(F.broadcast(gmax)).select(
+        "p",
+        F.when(F.col("p") == F.col("__first"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+        F.when(F.col("__prev") == F.col("p") - 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_retained"),
+        F.when(
+            (F.col("p") != F.col("__first"))
+            & (F.col("__prev") < F.col("p") - 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_resurrected"),
+        # this user churns at p+1 when no activity lands there and the
+        # observation window extends at least to p+1
+        F.when(
+            (F.col("__next").isNull() | (F.col("__next") > F.col("p") + 1))
+            & (F.col("p") + 1 <= F.col("__gmax")),
+            F.col("p") + 1,
+        ).alias("churn_period"),
+    )
+    active = cls.groupBy("p").agg(
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_retained").alias("n_retained"),
+        F.sum("is_resurrected").alias("n_resurrected"),
+    )
+    churned = (
+        cls.where(F.col("churn_period").isNotNull())
+        .groupBy(F.col("churn_period").alias("p"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        active.join(churned, "p", "left")
+        .withColumn("n_churned", F.coalesce(F.col("n_churned"), F.lit(0)))
+        .select(
+            F.col("p").alias("period"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+        )
+    )

@@ -6816,6 +6816,86 @@ def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a28_srm_check",
+    """
+    WITH m AS (
+        SELECT count(CASE WHEN user_id % 2 = 1 THEN NULL ELSE 1 END) AS n_a,
+               count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b
+        FROM events
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           0.5 AS expected_b,
+           round((n_a - (n_a + n_b) * (1.0 - 0.5))
+                 * (n_a - (n_a + n_b) * (1.0 - 0.5))
+                 / ((n_a + n_b) * (1.0 - 0.5))
+                 + (n_b - (n_a + n_b) * 0.5)
+                   * (n_b - (n_a + n_b) * 0.5)
+                   / ((n_a + n_b) * 0.5), 4) AS chi2
+    FROM m
+    """,
+)
+def a28_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square for the parity-split
+    experiment — the gate that must pass BEFORE reading any experiment
+    metric (a broken assignment invalidates the t-test). One keyless
+    aggregate; chi2 is one fixed double chain."""
+    from .operators.agg import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    return srm_check(ev, F.col("user_id") % 2 == 1, expected_b=0.5)
+
+
+@register(
+    "w24_growth_accounting",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(floor(floor(epoch(ts) / 86400.0) / 7) AS BIGINT) AS p
+        FROM events
+    ), marked AS (
+        SELECT u, p,
+               lag(p)  OVER (PARTITION BY u ORDER BY p) AS prev,
+               lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt,
+               min(p)  OVER (PARTITION BY u) AS first_p
+        FROM act
+    ), g AS (SELECT max(p) AS gmax FROM act),
+    cls AS (
+        SELECT p,
+               CASE WHEN p = first_p THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev = p - 1 THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN p <> first_p AND prev < p - 1 THEN 1 ELSE 0 END
+                   AS is_resurrected,
+               CASE WHEN (nxt IS NULL OR nxt > p + 1) AND p + 1 <= gmax
+                    THEN p + 1 END AS churn_period
+        FROM marked CROSS JOIN g
+    ), active AS (
+        SELECT p, CAST(sum(is_new) AS BIGINT) AS n_new,
+               CAST(sum(is_retained) AS BIGINT) AS n_retained,
+               CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+        FROM cls GROUP BY p
+    ), churned AS (
+        SELECT churn_period AS p, CAST(count(*) AS BIGINT) AS n_churned
+        FROM cls WHERE churn_period IS NOT NULL GROUP BY 1
+    )
+    SELECT active.p AS period, n_new, n_retained, n_resurrected,
+           coalesce(n_churned, 0) AS n_churned
+    FROM active LEFT JOIN churned ON active.p = churned.p
+    """,
+)
+def w24_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth-accounting table: every active user classified as
+    new / retained / resurrected, plus the churn counts implied by the
+    previous period — the startup-metrics decomposition where
+    active(p) = new + retained + resurrected. Pure integer epoch-day
+    logic over the distinct user-period set; windows run over that
+    bounded activity table, the event log scans once."""
+    from .operators.funnel import growth_accounting
+
+    ev = _t(spark, sf_dir, "events")
+    return growth_accounting(ev, "user_id", "ts", period_days=7)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -246,3 +246,53 @@ def test_cohort_ltv_accumulates_per_cohort(spark):
         (0, 1, 1, 5.0, 35.0),
         (1, 0, 1, 7.0, 7.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.funnel import growth_accounting  # noqa: E402
+
+
+def test_growth_accounting_identities(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 4)
+
+    def wk(i):
+        return t0 + dt.timedelta(days=7 * i)
+
+    rows = [
+        (1, wk(0)), (1, wk(1)), (1, wk(2)),      # steady user
+        (2, wk(0)), (2, wk(2)),                  # skips week 1: resurrects
+        (3, wk(1)),                              # one-week wonder: churns at 2
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
+    out = sorted(growth_accounting(df, "user_id", "ts").collect(), key=lambda r: r.period)
+    p0 = out[0].period
+    got = {r.period - p0: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned) for r in out}
+    assert got[0] == (2, 0, 0, 0)          # users 1,2 new
+    assert got[1] == (1, 1, 0, 1)          # 3 new, 1 retained, 2 churned
+    assert got[2] == (0, 1, 1, 1)          # 1 retained, 2 resurrected, 3 churned
+    # identity: active(p) = new + retained + resurrected
+    act = {r.period - p0: r for r in out}
+    sizes = {0: 2, 1: 2, 2: 2}
+    for off, n_active in sizes.items():
+        r = act[off]
+        assert r.n_new + r.n_retained + r.n_resurrected == n_active
+
+
+def test_srm_check_balanced_and_broken(spark):
+    from pyspark.sql import functions as F
+
+    from gcpdatapipelines_spark.operators.agg import srm_check
+
+    even = spark.createDataFrame([(i,) for i in range(1000)], "uid BIGINT")
+    r = srm_check(even, F.col("uid") % 2 == 1).first()
+    assert (r.n_a, r.n_b, r.chi2) == (500, 500, 0.0)
+    broken = spark.createDataFrame([(i,) for i in range(900)] + [(2 * i + 1,) for i in range(100)], "uid BIGINT")
+    r2 = srm_check(broken, F.col("uid") % 2 == 1).first()
+    assert r2.chi2 > 3.84  # flags the imbalance
