@@ -6896,6 +6896,21 @@ def w24_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(ev, "user_id", "ts", period_days=7)
 
 
+@register("graph_kcore")  # rows-only: iterative peeling has no
+# (non-recursive-aggregate) SQL twin; python-model parity + core
+# invariants pinned in tests/test_graph.py
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supported co-purchase graph: survivors of
+    iterative degree-<3 peeling with their within-core degrees — the
+    density filter behind community/spam-ring mining. Monotone
+    shrinkage, a handful of hash-agg + semi-join rounds with
+    checkpointed lineage."""
+    from .operators.graph import kcore
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    return kcore(edges, k=3)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -252,3 +252,54 @@ def test_adamic_adar_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.graph import kcore  # noqa: E402
+
+
+def _py_kcore(edge_list, k):
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        pruned = {e for e in edges if e[0] in keep and e[1] in keep}
+        if pruned == edges:
+            break
+        edges = pruned
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def test_kcore_matches_python_model(spark):
+    # triangle with a pendant chain: 2-core = the triangle only
+    edge_list = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edge_list, "u BIGINT, v BIGINT")
+    got = {r.node: r.degree for r in kcore(df, k=2).collect()}
+    assert got == _py_kcore(edge_list, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    # star: hub has degree 5 but every leaf has 1 -> k=2 empties it all
+    edge_list = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edge_list, "u BIGINT, v BIGINT")
+    assert kcore(df, k=2).count() == 0
+
+
+def test_kcore_random_graph_vs_model(spark):
+    import random
+
+    rng = random.Random(7)
+    edge_list = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    df = spark.createDataFrame(edge_list, "u BIGINT, v BIGINT")
+    got = {r.node: r.degree for r in kcore(df, k=3).collect()}
+    assert got == _py_kcore(edge_list, 3)
