@@ -515,3 +515,58 @@ def srm_check(
         F.lit(expected_b).alias("expected_b"),
         F.round(chi2, 4).alias("chi2"),
     )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+) -> DataFrame:
+    """(n_units, ratio, se, ci_lo, ci_hi): a ratio metric R = sum(x) /
+    sum(y) over randomization UNITS (users), with its delta-method
+    standard error — the correct uncertainty for per-user ratio
+    metrics like revenue-per-session, where naive row-level variance
+    is wrong because sessions within a user correlate.
+
+    var(R) ~= (var_x - 2 R cov_xy + R^2 var_y) / (n * mean_y^2),
+    everything from EXACT decimal per-unit co-moments gathered in one
+    pass; the chain after the moments is fixed double arithmetic
+    (NOTES.md variance rule — never builtin var/cov for
+    oracle-checked queries).
+
+    Scale shape: one hash aggregate to per-unit (x, y), one keyless
+    partial+final moment aggregate, one reduce row."""
+    per = df.groupBy(F.col(unit_col)).agg(
+        # a unit with no numerator rows contributes ZERO, not NULL —
+        # dropping it would bias both the ratio and the variance
+        F.coalesce(F.sum(num_col), F.lit(0)).alias("__x"),
+        F.coalesce(F.sum(den_col), F.lit(0)).alias("__y"),
+    )
+    xd = F.col("__x").cast("decimal(28,6)")
+    yd = F.col("__y").cast("decimal(28,6)")
+    m = per.agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = sx / sy
+    my = sy / n
+    vx = (n * sxx - sx * sx) / (n * (n - F.lit(1)))
+    vy = (n * syy - sy * sy) / (n * (n - F.lit(1)))
+    cxy = (n * sxy - sx * sy) / (n * (n - F.lit(1)))
+    se = F.sqrt((vx - F.lit(2.0) * r * cxy + r * r * vy) / n) / my
+    return m.select(
+        n.alias("n_units"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )

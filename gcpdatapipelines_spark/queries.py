@@ -6911,6 +6911,68 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3)
 
 
+@register(
+    "a29_ratio_delta_method",
+    """
+    WITH per AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                   AS x,
+               coalesce(sum(1), 0) AS y
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy
+        FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           round(sx / sy, 6) AS ratio,
+           round(sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                       + (sx / sy) * (sx / sy)
+                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                 / (sy / n), 6) AS se,
+           round(sx / sy - 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                       + (sx / sy) * (sx / sy)
+                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                 / (sy / n)), 6) AS ci_lo,
+           round(sx / sy + 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                       + (sx / sy) * (sx / sy)
+                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                 / (sy / n)), 6) AS ci_hi
+    FROM m
+    """,
+)
+def a29_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-per-event ratio metric with its delta-method standard
+    error and 95% CI, user as the randomization unit — the correct
+    uncertainty for per-user ratio metrics (row-level variance ignores
+    within-user correlation). Decimal per-unit co-moments in one pass;
+    the whole chain after them is fixed double arithmetic."""
+    from .operators.agg import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_delta(
+        ev,
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,6)"),
+        ),
+        F.lit(1),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

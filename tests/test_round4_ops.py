@@ -327,3 +327,34 @@ def test_weighted_median_crossing_rule(spark):
     # exact half-crossing: weights 1,1 over values 1,2 -> 2*cw==tw at v=1
     df2 = spark.createDataFrame([("a", 1.0, 1.0, 1), ("a", 2.0, 1.0, 2)], "k STRING, v DOUBLE, w DOUBLE, id BIGINT")
     assert weighted_median(df2, "k", "v", "w", ["id"]).first().weighted_median == 1.0
+
+
+def test_ratio_delta_method_vs_numpy(spark):
+    import numpy as np
+
+    from gcpdatapipelines_spark.operators.agg import ratio_metric_delta
+
+    rng = np.random.RandomState(3)
+    x = np.round(rng.gamma(2.0, 10.0, 200), 2)
+    y = rng.poisson(5.0, 200) + 1
+    rows = [(i, float(x[i]), int(y[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid BIGINT, x DOUBLE, y BIGINT")
+    r = ratio_metric_delta(df, "uid", F.col("x"), F.col("y")).first()
+    n = 200
+    ratio = x.sum() / y.sum()
+    vx, vy = x.var(ddof=1), y.var(ddof=1)
+    cxy = np.cov(x, y, ddof=1)[0, 1]
+    se = np.sqrt((vx - 2 * ratio * cxy + ratio**2 * vy) / n) / y.mean()
+    assert r.n_units == n
+    assert abs(r.ratio - ratio) < 1e-5
+    assert abs(r.se - se) < 1e-5
+    assert r.ci_lo < r.ratio < r.ci_hi
+
+
+def test_ratio_delta_units_without_numerator_count_as_zero(spark):
+    from gcpdatapipelines_spark.operators.agg import ratio_metric_delta
+
+    rows = [(1, 10.0, 1), (2, None, 1)]  # unit 2 has no revenue
+    df = spark.createDataFrame(rows, "uid BIGINT, x DOUBLE, y BIGINT")
+    r = ratio_metric_delta(df, "uid", F.col("x"), F.col("y")).first()
+    assert r.n_units == 2 and r.ratio == 5.0  # 10 / 2, not 10 / 1
