@@ -238,3 +238,28 @@ def test_changepoint_respects_min_seg(spark):
     )
     r = changepoint_single(df, "event_type", "ts", "event_id", "value", min_seg=5).first()
     assert 5 <= r.split_pos <= 7  # only positions 5..7 are candidates
+
+
+def test_merge_intervals_agrees_with_session_window(spark, sf_dir):
+    """The batch gaps-and-islands operator and Spark's session_window
+    partition events into IDENTICAL sessions (same starts, same
+    sizes) — pins that the two tiers (batch interval merge, streaming
+    sessionizer) implement one semantics."""
+    from gcpdatapipelines_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    ours = {
+        (r.user_id, r.started_at): r.n_events
+        for r in merge_intervals(ev, "user_id", "ts", "event_id").collect()
+    }
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("started_at"),
+            "n_events",
+        )
+    )
+    theirs = {(r.user_id, r.started_at): r.n_events for r in sw.collect()}
+    assert ours == theirs
