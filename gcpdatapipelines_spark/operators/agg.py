@@ -570,3 +570,68 @@ def ratio_metric_delta(
         F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
         F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 100,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """(n, mean, ci_lo, ci_hi): percentile-bootstrap confidence
+    interval for the mean via the DISTRIBUTED Poisson bootstrap — the
+    uncertainty tool for statistics with no closed-form SE. Instead of
+    materializing B resamples (a shuffle per replicate), every row
+    contributes a Poisson(1)-distributed weight to each replicate,
+    computed ON THE FLY from xxhash64(id, replicate) through the
+    inverse CDF — deterministic, partitioning-independent, and the
+    whole thing is one narrow explode + one hash aggregate on B keys.
+
+    The hash-seeded weights make this rows-only territory (xxhash64
+    has no cross-engine twin); statistical sanity (coverage, width
+    scaling) is pinned in tests. Replicate means use decimal sums so
+    each replicate is itself exactly reproducible."""
+    # Poisson(1) inverse CDF breakpoints: P(X<=k) for k = 0..4
+    cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563]
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.col("__b")), F.lit(1_000_000))
+        / F.lit(1_000_000.0)
+    )
+    w = (
+        F.when(u < cdf[0], 0)
+        .when(u < cdf[1], 1)
+        .when(u < cdf[2], 2)
+        .when(u < cdf[3], 3)
+        .when(u < cdf[4], 4)
+        .otherwise(5)
+    )
+    xd = F.col(value_col).cast("decimal(18,6)")
+    rep = (
+        df.select(F.col(id_col), xd.alias("__x"))
+        .withColumn(
+            "__b", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
+        )
+        .select("__b", w.alias("__w"), F.col("__x"))
+        .groupBy("__b")
+        .agg(
+            (
+                F.sum(F.col("__w") * F.col("__x")).cast("double")
+                / F.sum("__w")
+            ).alias("__m")
+        )
+    )
+    base = df.agg(
+        F.count(value_col).alias("n"),
+        F.round(F.sum(xd).cast("double") / F.count(value_col), 6).alias("mean"),
+    )
+    ci = rep.agg(
+        F.round(
+            F.percentile(F.col("__m"), F.lit(alpha / 2)), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.percentile(F.col("__m"), F.lit(1 - alpha / 2)), 6
+        ).alias("ci_hi"),
+    )
+    return base.crossJoin(ci)

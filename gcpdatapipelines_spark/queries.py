@@ -6973,6 +6973,20 @@ def a29_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a30_bootstrap_ci")  # rows-only: hash-seeded Poisson weights
+# have no cross-engine twin; coverage/width statistics pinned in tests
+def a30_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for mean purchase value via the
+    distributed Poisson bootstrap — per-row Poisson(1) weights from
+    xxhash64(id, replicate), so B=100 resamples cost ONE narrow
+    explode + one B-key aggregate instead of B shuffles. The
+    uncertainty tool for statistics with no closed-form SE."""
+    from .operators.agg import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return bootstrap_mean_ci(ev, "event_id", "value", replicates=100)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

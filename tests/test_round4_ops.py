@@ -358,3 +358,20 @@ def test_ratio_delta_units_without_numerator_count_as_zero(spark):
     df = spark.createDataFrame(rows, "uid BIGINT, x DOUBLE, y BIGINT")
     r = ratio_metric_delta(df, "uid", F.col("x"), F.col("y")).first()
     assert r.n_units == 2 and r.ratio == 5.0  # 10 / 2, not 10 / 1
+
+
+def test_bootstrap_ci_covers_mean_and_scales_with_n(spark):
+    from gcpdatapipelines_spark.operators.agg import bootstrap_mean_ci
+
+    rows = [(i, 10.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id BIGINT, x DOUBLE")
+    r = bootstrap_mean_ci(df, "id", "x", replicates=60).first()
+    true_mean = sum(10.0 + (i % 7) for i in range(500)) / 500
+    assert r.n == 500 and abs(r.mean - true_mean) < 1e-6
+    assert r.ci_lo < true_mean < r.ci_hi
+    # width roughly ~ 2*1.96*sigma/sqrt(n): sigma(uniform 0..6)=2, n=500
+    width = r.ci_hi - r.ci_lo
+    assert 0.1 < width < 0.8
+    # deterministic under repartitioning (hash-seeded weights)
+    r2 = bootstrap_mean_ci(df.repartition(7), "id", "x", replicates=60).first()
+    assert (r2.ci_lo, r2.ci_hi) == (r.ci_lo, r.ci_hi)
