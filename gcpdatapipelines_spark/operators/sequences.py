@@ -326,3 +326,58 @@ def top_paths(
         .orderBy(F.col("n_users").desc(), F.col("path"))
         .limit(k)
     )
+
+
+def holt_linear_state(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """(key, n, level, trend, forecast_1): Holt's linear (double
+    exponential) smoothing final state per key — level + trend with a
+    one-step-ahead forecast, the next rung above seq_ema for drifting
+    metrics. Keys need >= 2 observations (level seeds from x0, trend
+    from x1 - x0; the fold consumes x2..).
+
+    Cross-engine parity (the seq_ema fold trick, extended to STRUCT
+    state): the recursion runs inside one in-array ``aggregate`` fold
+    in (ts, tiebreak) order with textually identical double
+    arithmetic on both engines — sequential evaluation order is part
+    of the contract, so results match bit-for-bit (DuckDB twin:
+    list_reduce seeded by list_prepend; state encoded as a 2-list
+    there because DuckDB struct accumulators alias in place).
+
+    Scale shape: one shuffle to build per-key ordered arrays; the
+    fold is narrow. Keys with pathologically long histories should be
+    length-capped upstream, as with event_sequences."""
+    seqs = event_sequences(df, key, ts_col, value_col, tiebreak, out_col="__arr")
+    arr = F.col("__arr")
+    a, b1 = F.lit(float(alpha)), F.lit(float(beta))
+    seed = F.struct(
+        F.get(arr, 0).cast("double").alias("l"),
+        (F.get(arr, 1) - F.get(arr, 0)).cast("double").alias("b"),
+    )
+    tail = F.slice(arr, 3, F.greatest(F.size(arr) - 2, F.lit(0)))
+
+    def step(acc, x):
+        new_l = a * x + (F.lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+        new_b = b1 * (new_l - acc.getField("l")) + (F.lit(1.0) - b1) * acc.getField(
+            "b"
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(tail, seed, step)
+    return (
+        seqs.where(F.size(arr) >= 2)
+        .select(
+            F.col(key),
+            F.size(arr).cast("long").alias("n"),
+            F.round(st.getField("l"), 6).alias("level"),
+            F.round(st.getField("b"), 6).alias("trend"),
+            F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_1"),
+        )
+    )

@@ -6987,6 +6987,54 @@ def a30_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(ev, "event_id", "value", replicates=100)
 
 
+@register(
+    "seq_holt_linear",
+    """
+    WITH s AS (
+        SELECT event_type, list(value ORDER BY ts, event_id) AS arr
+        FROM events GROUP BY event_type
+    ), folded AS (
+        -- state is a 2-list [l, b], NOT a struct: DuckDB 1.0 list_reduce
+        -- struct accumulators alias in place (a later field expression can
+        -- read the already-updated value of an earlier field); list-typed
+        -- accumulators evaluate all element expressions against the OLD
+        -- state, matching fold semantics.
+        SELECT event_type, arr,
+               list_reduce(
+                   list_prepend(
+                       [CAST(arr[1] AS DOUBLE),
+                        CAST(arr[2] - arr[1] AS DOUBLE)],
+                       [[CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]
+                        for x in arr[3:]]),
+                   (acc, x) -> [
+                       0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                       0.3 * ((0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                              - acc[1])
+                           + (1.0 - 0.3) * acc[2]]) AS st
+        FROM s WHERE len(arr) >= 2
+    )
+    SELECT event_type, CAST(len(arr) AS BIGINT) AS n,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM folded
+    """,
+)
+def seq_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear smoothing final state per event type (alpha 0.5,
+    beta 0.3) with one-step forecast — the seq_ema fold trick extended
+    to STRUCT state: the recursion runs as one in-array fold with
+    textually identical double arithmetic on both engines (DuckDB
+    list_reduce seeded via list_prepend), so the sequential result is
+    bit-identical. One shuffle for the ordered arrays; the fold is
+    narrow."""
+    from .operators.sequences import holt_linear_state
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear_state(
+        ev, "event_type", "ts", "event_id", "value", alpha=0.5, beta=0.3
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -289,3 +289,32 @@ def test_top_paths_counts_and_truncation(spark):
     assert got["a>b"] == (2, 3)
     assert got["a>b>c"] == (3, 1)
     assert out[0].path == "a>b"  # most common first
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """Level/trend state must equal the sequential Holt recursion; a
+    <2-observation key is dropped (no trend seed)."""
+    from gcpdatapipelines_spark.operators.sequences import holt_linear_state
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0]
+    df = spark.createDataFrame(
+        [(1, _ts(i), i, v) for i, v in enumerate(vals)] + [(2, _ts(0), 9, 5.0)],
+        "k BIGINT, ts TIMESTAMP, eid BIGINT, v DOUBLE",
+    )
+    out = {
+        r["k"]: (r["n"], r["level"], r["trend"], r["forecast_1"])
+        for r in holt_linear_state(
+            df, "k", "ts", "eid", "v", alpha=0.5, beta=0.3
+        ).collect()
+    }
+    lvl, trd = vals[0], vals[1] - vals[0]
+    for x in vals[2:]:
+        new_l = 0.5 * x + 0.5 * (lvl + trd)
+        trd = 0.3 * (new_l - lvl) + 0.7 * trd
+        lvl = new_l
+    assert 2 not in out  # single observation: no trend seed
+    n, level, trend, fc1 = out[1]
+    assert n == len(vals)
+    assert level == round(lvl, 6)
+    assert trend == round(trd, 6)
+    assert fc1 == round(lvl + trd, 6)
