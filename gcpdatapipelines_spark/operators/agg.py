@@ -635,3 +635,51 @@ def bootstrap_mean_ci(
         ).alias("ci_hi"),
     )
     return base.crossJoin(ci)
+
+
+def skew_kurtosis_per_key(
+    df: DataFrame,
+    key: str,
+    value_col,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(key, n, mean, skewness, kurtosis_excess): higher-moment shape
+    statistics per group from EXACT decimal power sums — the
+    engine-portable form of skewness()/kurtosis() built-ins (which
+    reassociate doubles and cannot be oracle-matched; same rule as
+    linear_fit_per_key).
+
+    ``value_col`` must be a decimal Column whose 4th power stays
+    within precision 38 (e.g. a 2-dp metric < 10^7 cast to
+    decimal(8,2): x^4 is decimal(35,8)). The four sums are associative
+    decimals; the moment chain after them is one fixed textual double
+    expression shared with the oracle: population central moments
+    m2/m3/m4 from raw power sums, g1 = m3/m2^1.5, g2 = m4/m2^2 - 3.
+
+    One partial+final hash aggregate; four extra decimal columns per
+    group in the shuffle."""
+    x = value_col
+    g = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__s1"),
+        F.sum(x * x).cast("double").alias("__s2"),
+        F.sum(x * x * x).cast("double").alias("__s3"),
+        F.sum(x * x * x * x).cast("double").alias("__s4"),
+    )
+    n = F.col("__n")
+    m1 = F.col("__s1") / n
+    m2 = F.col("__s2") / n - m1 * m1
+    m3 = F.col("__s3") / n - F.lit(3.0) * m1 * (F.col("__s2") / n) + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        F.col("__s4") / n
+        - F.lit(4.0) * m1 * (F.col("__s3") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("__s2") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return g.select(
+        key,
+        n.cast("bigint").alias("n"),
+        F.round(m1, ndigits).alias("mean"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), ndigits).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), ndigits).alias("kurtosis_excess"),
+    )

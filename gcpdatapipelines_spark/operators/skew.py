@@ -142,3 +142,64 @@ def salted_count_per_key(
         .agg(F.count("*").alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias(alias))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_expr,
+    k: int = 80,
+    out_col: str = "item",
+) -> DataFrame:
+    """(item, n): every value whose exact count exceeds n/k, found via
+    per-partition Misra-Gries summaries + an exact recount — the
+    bounded-memory heavy-hitter shape for 100 TB streams where a full
+    GROUP BY over the value space is too wide to hold.
+
+    Why it is EXACT (and shares the plain GROUP BY ... HAVING oracle):
+    an item with global count > n/k must exceed n_p/k in at least one
+    partition p (else summing the per-partition bounds caps it at
+    n/k), and Misra-Gries with k-1 counters keeps a positive counter
+    for every item above n_p/k — so the union of all partition
+    summaries is a guaranteed SUPERSET of the true heavy hitters. The
+    candidates (<= partitions * (k-1) rows, bounded metadata) are
+    exactly recounted with one broadcast semi-join + hash aggregate,
+    and false candidates fall to the threshold filter. Lossless
+    pruning, same trick as dedup_jaccard_prefix.
+
+    Scale shape: one Arrow-batched pass per partition holding k-1
+    counters (nothing data-sized in Python memory), one tiny union,
+    one recount aggregate over the surviving keys only."""
+    import pandas as pd
+
+    src = df.select(value_expr.cast("string").alias(out_col))
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[out_col].value_counts().items():
+                # fold this batch's exact counts into the MG summary
+                if v in counters or len(counters) < k - 1:
+                    counters[v] = counters.get(v, 0) + int(c)
+                else:
+                    # decrement all by the largest amount that keeps
+                    # the guarantee: min(new count, smallest counter)
+                    dec = min(int(c), min(counters.values()))
+                    counters = {
+                        key_: cnt - dec
+                        for key_, cnt in counters.items()
+                        if cnt - dec > 0
+                    }
+                    rem = int(c) - dec
+                    if rem > 0 and len(counters) < k - 1:
+                        counters[v] = rem
+        if counters:
+            yield pd.DataFrame({out_col: list(counters.keys())})
+
+    cand = src.mapInPandas(mg_partition, f"{out_col} string").distinct()
+    total = src.count()
+    return (
+        src.join(F.broadcast(cand), out_col, "left_semi")
+        .groupBy(out_col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * F.lit(int(k)) > F.lit(int(total)))
+    )

@@ -416,3 +416,78 @@ def changepoint_single(
             F.round(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    max_lag: int = 3,
+    decimal_type: str = "decimal(9,2)",
+    ndigits: int = 6,
+) -> DataFrame:
+    """(key, lag, n_pairs, acf): lag-1..max_lag sample autocorrelation
+    of a per-key ordered series — the seasonality/momentum screen run
+    before fitting anything time-series shaped.
+
+    Uses the Pearson-of-lagged-pairs form (each lag's ACF is the
+    correlation between x_t and x_{t-lag} over the pairs where both
+    exist), so the a17/linear_fit decimal co-moment machinery applies
+    verbatim: pair co-moments are EXACT decimal conditional sums in
+    ONE scan (never builtin corr), the closing arithmetic is one fixed
+    double chain shared with the oracle.
+
+    Scale shape: one window shuffle on the key computes all lags'
+    shifted values (shared sort), then a single partial+final hash
+    aggregate emits per-(key, lag) moments via conditional sums — no
+    self-joins, no per-lag rescans."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    xd = F.col(value_col).cast(decimal_type)
+    lagged = df.select(
+        F.col(key),
+        xd.alias("__x"),
+        *[F.lag(xd, i).over(w).alias(f"__y{i}") for i in range(1, max_lag + 1)],
+    )
+    aggs = []
+    for i in range(1, max_lag + 1):
+        y = F.col(f"__y{i}")
+        both = y.isNotNull()
+        x = F.col("__x")
+        aggs += [
+            F.count(F.when(both, 1)).cast("double").alias(f"__n{i}"),
+            F.sum(F.when(both, x)).cast("double").alias(f"__sx{i}"),
+            F.sum(F.when(both, y)).cast("double").alias(f"__sy{i}"),
+            F.sum(F.when(both, x * y)).cast("double").alias(f"__sxy{i}"),
+            F.sum(F.when(both, x * x)).cast("double").alias(f"__sxx{i}"),
+            F.sum(F.when(both, y * y)).cast("double").alias(f"__syy{i}"),
+        ]
+    g = lagged.groupBy(key).agg(*aggs)
+    per_lag = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("lag"),
+                F.col(f"__n{i}").alias("n"),
+                F.col(f"__sx{i}").alias("sx"),
+                F.col(f"__sy{i}").alias("sy"),
+                F.col(f"__sxy{i}").alias("sxy"),
+                F.col(f"__sxx{i}").alias("sxx"),
+                F.col(f"__syy{i}").alias("syy"),
+            )
+            for i in range(1, max_lag + 1)
+        ]
+    )
+    long = g.select(F.col(key), F.explode(per_lag).alias("__m"))
+    m = F.col("__m")
+    n, sx, sy = m.getField("n"), m.getField("sx"), m.getField("sy")
+    sxy, sxx, syy = m.getField("sxy"), m.getField("sxx"), m.getField("syy")
+    num = n * sxy - sx * sy
+    return long.select(
+        F.col(key),
+        m.getField("lag").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), ndigits
+        ).alias("acf"),
+    )

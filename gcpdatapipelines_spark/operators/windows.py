@@ -137,3 +137,57 @@ def session_table(
         ).alias("duration_s"),
         F.max((F.col(type_col) == conversion).cast("int")).alias("converted"),
     )
+
+
+def running_total_scan(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Globally-ordered running total WITHOUT the single-reducer trap:
+    a window ``sum().over(orderBy(...))`` with no partition key pulls
+    the whole table into ONE partition — the classic scale killer for
+    cumulative metrics. This is the distributed two-phase prefix scan
+    instead:
+
+    1. ``repartitionByRange`` on the order keys (balanced, globally
+       ordered ranges; persisted so the sampled range boundaries are
+       computed once),
+    2. per-range totals — a tiny |partitions|-row aggregate collected
+       as bounded driver metadata (the architecture invariant every
+       ``.collect()`` here satisfies),
+    3. intra-range running sums + the broadcast-literal offset of all
+       earlier ranges.
+
+    Every range scans in parallel; nothing data-sized ever converges
+    on one task. Keep ``value_col`` decimal-typed for engine-exact
+    cumulative sums (NOTES.md money rules), and include a unique
+    tiebreak in ``order_cols`` for a total (deterministic) order."""
+    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in d.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    }
+    offset, acc = {}, None
+    for pid in sorted(totals):
+        offset[pid] = acc
+        acc = totals[pid] if acc is None else acc + totals[pid]
+    off_expr = F.lit(None)
+    for pid, val in offset.items():
+        if val is not None:
+            off_expr = F.when(F.col("__pid") == pid, F.lit(val)).otherwise(off_expr)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(value_col).over(w)
+    return d.withColumn(
+        cum_col,
+        F.when(off_expr.isNull(), run).otherwise(run + off_expr),
+    ).drop("__pid")

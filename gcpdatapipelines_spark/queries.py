@@ -7035,6 +7035,272 @@ def seq_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w25_pareto_abc",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT sum(r) AS tot FROM rev),
+    c AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+        FROM rev
+    )
+    SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c, t
+    """,
+)
+def w25_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue share: class A
+    parts cover the first 80% of cumulative revenue, B to 95%, C the
+    tail — the standard inventory/contribution segmentation.
+
+    The cumulative sum runs through windows.running_total_scan — the
+    distributed two-phase prefix scan — NOT a bare
+    ``sum().over(Window.orderBy(...))``, which would drag the whole
+    table through one partition (the oracle's window form states the
+    semantics; the scan computes the identical decimal sums). The
+    share division happens once, in doubles, from bit-identical
+    decimal inputs on both engines."""
+    from .operators.windows import running_total_scan
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("__rev")
+    )
+    tot = rev.agg(F.sum("__rev").alias("__tot"))
+    scanned = running_total_scan(
+        rev,
+        [F.col("__rev").desc(), F.col("l_partkey")],
+        "__rev",
+        cum_col="__cum",
+        num_partitions=8,
+    )
+    share = F.col("__cum").cast("double") / F.col("__tot").cast("double")
+    return scanned.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+
+
+@register(
+    "w26_rfm_segments",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               max(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) AS last_day,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), t AS (SELECT max(last_day) AS max_day FROM per),
+    scored AS (
+        SELECT o_custkey,
+               t.max_day - last_day AS recency_days,
+               frequency, monetary,
+               ntile(5) OVER (ORDER BY t.max_day - last_day DESC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m
+        FROM per, t
+    )
+    SELECT o_custkey, recency_days, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           r, f, m, r * 100 + f * 10 + m AS segment
+    FROM scored
+    """,
+)
+def w26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since
+    last order, epoch-day arithmetic — integer-exact), frequency, and
+    decimal-exact monetary total, each scored into quintiles (5 =
+    best) with a full (metric, custkey) tiebreak so ntile is
+    deterministic on both engines.
+
+    Scale note: the quintile windows are global over the CUSTOMER
+    dimension (one row per customer — dimension-sized, not
+    fact-sized); a corpus-scale fact never enters a global window. At
+    billions of customers switch the scores to quantile-binned lookups
+    (feat_quantile_bin) — same output contract."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros(F.col("o_orderdate")) / F.lit(86400000000.0)).cast(
+        "bigint"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    t = per.agg(F.max("last_day").alias("max_day"))
+    j = per.crossJoin(F.broadcast(t)).withColumn(
+        "recency_days", F.col("max_day") - F.col("last_day")
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    )
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), F.col("o_custkey")))
+    return j.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        r.alias("r"),
+        f_.alias("f"),
+        m.alias("m"),
+        (r * 100 + f_ * 10 + m).alias("segment"),
+    )
+
+
+@register(
+    "a31_skew_kurtosis",
+    """
+    WITH raw AS (
+        SELECT event_type, CAST(value AS DECIMAL(7,2)) AS x FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS s1,
+               CAST(sum(x * x) AS DOUBLE) AS s2,
+               CAST(sum(x * x * x) AS DOUBLE) AS s3,
+               -- x^4 as x^2 * x^2 with widened casts: DuckDB's chained
+               -- x*x*x*x overflows its physical int64 lane; both forms
+               -- are EXACT decimals, so the sums (and their doubles)
+               -- are identical to Spark's ((x*x)*x)*x
+               CAST(sum(CAST(x * x AS DECIMAL(19,4))
+                        * CAST(x * x AS DECIMAL(19,4))) AS DOUBLE) AS s4
+        FROM raw GROUP BY event_type
+    ), m AS (
+        SELECT event_type, n, s1 / n AS m1, s2, s3, s4 FROM g
+    ), c AS (
+        SELECT event_type, n, m1,
+               s2 / n - m1 * m1 AS m2,
+               s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1 AS m3,
+               s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
+                   - 3.0 * m1 * m1 * m1 * m1 AS m4
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, round(m1, 6) AS mean,
+           round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    FROM c
+    """,
+)
+def a31_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: skewness and excess
+    kurtosis from exact decimal power sums (the a17 co-moment rule
+    extended to 3rd/4th moments — builtin skewness()/kurtosis()
+    reassociate doubles and cannot be oracle-matched). decimal(7,2)
+    keeps x^4 inside precision 38 for values < 10^5."""
+    from .operators.agg import skew_kurtosis_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_kurtosis_per_key(
+        ev, "event_type", F.col("value").cast("decimal(7,2)")
+    )
+
+
+@register(
+    "a32_heavy_hitters",
+    """
+    WITH v AS (
+        SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item FROM events
+    ), t AS (SELECT count(*) AS n FROM v)
+    SELECT item, count(*) AS n
+    FROM v, t
+    GROUP BY item, t.n
+    HAVING count(*) * 80 > t.n
+    """,
+)
+def a32_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the skewed integer value buckets (~300
+    distinct, so the 79-counter Misra-Gries summaries genuinely
+    decrement): every item whose count exceeds n/80, via
+    per-partition MG summaries + an exact recount of the
+    (guaranteed-superset) candidates — bounded memory per partition
+    at any scale, and LOSSLESS, which is why it shares the plain
+    GROUP BY ... HAVING oracle (same machinery-inside-the-gate trick
+    as a21_count_salted)."""
+    from .operators.skew import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(
+        ev, F.floor(F.col("value")).cast("bigint"), k=80, out_col="item"
+    )
+
+
+@register(
+    "ts_autocorr",
+    """
+    WITH s AS (
+        SELECT event_type, CAST(value AS DECIMAL(9,2)) AS x,
+               lag(CAST(value AS DECIMAL(9,2)), 1) OVER w AS y1,
+               lag(CAST(value AS DECIMAL(9,2)), 2) OVER w AS y2,
+               lag(CAST(value AS DECIMAL(9,2)), 3) OVER w AS y3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN y1 IS NOT NULL THEN 1 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) AS sx1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y1 END) AS DOUBLE) AS sy1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN x * y1 END) AS DOUBLE) AS sxy1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y1 * y1 END) AS DOUBLE) AS syy1,
+               CAST(count(CASE WHEN y2 IS NOT NULL THEN 1 END) AS DOUBLE) AS n2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN x END) AS DOUBLE) AS sx2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN y2 END) AS DOUBLE) AS sy2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN x * y2 END) AS DOUBLE) AS sxy2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN y2 * y2 END) AS DOUBLE) AS syy2,
+               CAST(count(CASE WHEN y3 IS NOT NULL THEN 1 END) AS DOUBLE) AS n3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN x END) AS DOUBLE) AS sx3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN y3 END) AS DOUBLE) AS sy3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN x * y3 END) AS DOUBLE) AS sxy3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN y3 * y3 END) AS DOUBLE) AS syy3
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, 1 AS lag, CAST(n1 AS BIGINT) AS n_pairs,
+           round((n1 * sxy1 - sx1 * sy1)
+                 / sqrt((n1 * sxx1 - sx1 * sx1) * (n1 * syy1 - sy1 * sy1)), 6) AS acf
+    FROM g
+    UNION ALL
+    SELECT event_type, 2, CAST(n2 AS BIGINT),
+           round((n2 * sxy2 - sx2 * sy2)
+                 / sqrt((n2 * sxx2 - sx2 * sx2) * (n2 * syy2 - sy2 * sy2)), 6)
+    FROM g
+    UNION ALL
+    SELECT event_type, 3, CAST(n3 AS BIGINT),
+           round((n3 * sxy3 - sx3 * sy3)
+                 / sqrt((n3 * sxx3 - sx3 * sx3) * (n3 * syy3 - sy3 * sy3)), 6)
+    FROM g
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of event values per event type — the
+    seasonality/momentum screen. ONE window sort produces all lags'
+    shifted values and ONE hash aggregate gathers every lag's decimal
+    co-moments as conditional sums; the Pearson chain is the a17
+    textual form per lag."""
+    from .operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, "event_type", "ts", "event_id", "value", max_lag=3)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
