@@ -683,3 +683,125 @@ def skew_kurtosis_per_key(
         F.round(m3 / F.sqrt(m2 * m2 * m2), ndigits).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), ndigits).alias("kurtosis_excess"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """(n, r_levels, c_levels, dof, chi2): Pearson chi-square test of
+    independence between two categorical columns — the "are these two
+    dimensions related at all" gate before any segmented metric
+    reading.
+
+    Parity shape: observed/expected come from integer contingency
+    counts (exact everywhere); the per-cell terms are doubles, so
+    their SUM would be association-sensitive — instead the cells are
+    sorted by (row, col) and folded SEQUENTIALLY in one in-array
+    aggregate, the NOTES.md fold-parity trick, making the statistic
+    bit-identical across engines.
+
+    Scale shape: one partial+final hash aggregate to the contingency
+    table (|r x c| rows — category-dictionary sized, never
+    data-sized); the window totals and the fold run on that tiny
+    table."""
+    from pyspark.sql import Window
+
+    obs = df.groupBy(row_col, col_col).agg(F.count("*").alias("__o"))
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wa = Window.partitionBy()
+    cells = obs.select(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+        F.col("__o"),
+        F.sum("__o").over(wr).alias("__rt"),
+        F.sum("__o").over(wc).alias("__ct"),
+        F.sum("__o").over(wa).alias("__n"),
+    )
+    e = F.col("__rt").cast("double") * F.col("__ct").cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    term = (
+        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e
+    )
+    g = cells.agg(
+        F.max("__n").alias("n"),
+        F.countDistinct("__r").alias("r_levels"),
+        F.countDistinct("__c").alias("c_levels"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__r"), F.col("__c"), term.alias("__t")))
+        ).alias("__cells"),
+    )
+    chi2 = F.aggregate(
+        F.col("__cells"), F.lit(0.0), lambda acc, x: acc + x.getField("__t")
+    )
+    return g.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    is_b_col,
+    value_col: str,
+    decimal_type: str = "decimal(9,2)",
+) -> DataFrame:
+    """(n_a, n_b, u_stat, z): Mann-Whitney U (Wilcoxon rank-sum) test
+    with tie correction — the nonparametric A/B comparison for skewed
+    metrics where the t-test's mean is the wrong summary.
+
+    Rank sums WITHOUT a data-sized global sort: ranks are computed on
+    the VALUE DICTIONARY (group by value: count + group-A count), so
+    the ordered window runs over distinct values only. Doubled
+    average ranks keep everything integer-exact — 2*avg_rank =
+    2*cum_before + c + 1 — so the rank sum, the tie term
+    sum(c^3 - c), and all counts are exact integers on any engine;
+    U/z close over them in one fixed double chain.
+
+    Scale shape: one hash aggregate to the dictionary, one
+    dictionary-sized window, one 1-row reduce."""
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col(value_col).cast(decimal_type).alias("__x"),
+        is_b_col.alias("__is_b"),
+    )
+    byval = v.groupBy("__x").agg(
+        F.count("*").alias("__c"),
+        F.count(F.when(~F.col("__is_b"), 1)).alias("__ca"),
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    cells = byval.select(
+        F.col("__c"),
+        F.col("__ca"),
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cb"),
+    )
+    g = cells.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum(F.col("__c") - F.col("__ca")).alias("__nb"),
+        F.sum(
+            F.col("__ca") * (2 * F.col("__cb") + F.col("__c") + 1)
+        ).alias("__r2a"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__tie"),
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    n = na + nb
+    u = F.col("__r2a").cast("double") / F.lit(2.0) - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("__tie").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    return g.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 4).alias("z"),
+    )

@@ -480,3 +480,43 @@ def kcore(
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    max_depth: int = 4,
+) -> DataFrame:
+    """(node, depth): minimum hop distance from a source node set over
+    an undirected edge list, bounded at ``max_depth`` — the reach /
+    blast-radius primitive (recall expansion from a seed set,
+    contamination spread through a near-dup graph).
+
+    Level-synchronous frontier expansion: each round joins ONLY the
+    current frontier (never the visited set) against the symmetrized
+    edges, dedups, and anti-joins out already-visited nodes, so round
+    k's work is proportional to frontier_k x degree — the textbook
+    distributed BFS. ``localCheckpoint`` truncates the growing plan
+    lineage per round (the CC/kcore pattern). A fixed depth bound
+    keeps the round count deterministic with NO per-round driver
+    probes; an exhausted frontier makes the remaining rounds no-ops.
+
+    ``source_nodes``: one column ``node``. Returns every node with
+    min-distance <= max_depth (sources at depth 0)."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    levels = source_nodes.select("node", F.lit(0).alias("depth")).localCheckpoint()
+    frontier = levels.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels, "node", "left_anti")
+            .select("node", F.lit(depth).alias("depth"))
+            .localCheckpoint()
+        )
+        levels = levels.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return levels

@@ -491,3 +491,86 @@ def autocorrelation(
             num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), ndigits
         ).alias("acf"),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    ndigits: int = 6,
+) -> DataFrame:
+    """(duration, n_risk, n_events, n_censored, survival): the
+    Kaplan-Meier product-limit survival estimator over integer
+    durations with right censoring — time-to-churn / time-to-failure
+    analysis where simply averaging durations is biased by the
+    still-alive population.
+
+    S(t) = prod over distinct durations t_i <= t of
+    (1 - d_i / n_risk_i); both deaths and censorings leave the risk
+    set after their duration. The risk-set counts are integer window
+    arithmetic (exact); the product is a SEQUENTIAL in-array fold over
+    the duration-sorted factors (NOTES.md fold-parity trick — a
+    product of doubles is association-sensitive, a fold is not),
+    matching a DuckDB prefix-product list_reduce bit-for-bit.
+
+    Scale shape: one hash aggregate to the duration dictionary
+    (bounded by the observation window, never data-sized), one
+    dictionary-sized window + single-row fold."""
+    from pyspark.sql import Window
+
+    g = durations.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.count("*").alias("__c"),
+        F.sum(F.col(observed_col).cast("bigint")).alias("n_events"),
+    )
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.partitionBy()
+    cells = g.select(
+        "duration",
+        "__c",
+        "n_events",
+        (
+            F.sum("__c").over(wa) - F.coalesce(F.sum("__c").over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = (
+        F.lit(1.0)
+        - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    )
+    one = cells.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("duration"),
+                    F.col("n_risk"),
+                    F.col("n_events"),
+                    (F.col("__c") - F.col("n_events")).alias("n_censored"),
+                    factor.alias("__f"),
+                )
+            )
+        ).alias("__arr")
+    )
+    prods = F.aggregate(
+        F.col("__arr"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, F.lit(1.0))
+                .otherwise(F.element_at(acc, -1))
+                * x.getField("__f")
+            ),
+        ),
+    )
+    z = one.select(
+        F.posexplode(F.arrays_zip(F.col("__arr"), prods.alias("__p"))).alias(
+            "__i", "__z"
+        )
+    )
+    c = F.col("__z").getField("__arr")
+    return z.select(
+        c.getField("duration").alias("duration"),
+        c.getField("n_risk").alias("n_risk"),
+        c.getField("n_events").alias("n_events"),
+        c.getField("n_censored").alias("n_censored"),
+        F.round(F.col("__z").getField("__p"), ndigits).alias("survival"),
+    )

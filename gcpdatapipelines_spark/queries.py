@@ -7301,6 +7301,225 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(ev, "event_type", "ts", "event_id", "value", max_lag=3)
 
 
+@register(
+    "a33_mann_whitney",
+    """
+    WITH v AS (
+        SELECT CAST(value AS DECIMAL(9,2)) AS x,
+               event_type = 'view' AS is_b
+        FROM events WHERE event_type IN ('click', 'view')
+    ), byval AS (
+        SELECT x, count(*) AS c,
+               count(CASE WHEN NOT is_b THEN 1 END) AS ca
+        FROM v GROUP BY x
+    ), cells AS (
+        SELECT c, ca,
+               coalesce(sum(c) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM byval
+    ), g AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(c - ca) AS BIGINT) AS nb,
+               CAST(sum(ca * (2 * cb + c + 1)) AS DOUBLE) AS r2a,
+               CAST(sum(c * c * c - c) AS DOUBLE) AS tie
+        FROM cells
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(r2a / 2.0
+                 - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0,
+                 1) AS u_stat,
+           round((r2a / 2.0
+                  - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                 / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                        * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                           - tie / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                    * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                       - 1.0)))),
+                 4) AS z
+    FROM g
+    """,
+)
+def a33_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test of click vs view values — the
+    nonparametric A/B read for skewed metrics. Ranks come from the
+    VALUE DICTIONARY (never a data-sized global sort) and stay
+    integer-exact via doubled average ranks; U and the tie-corrected
+    z close over exact integers in one fixed double chain."""
+    from .operators.agg import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return mann_whitney_u(ev, F.col("event_type") == "view", "value")
+
+
+@register(
+    "a34_chi2_independence",
+    """
+    WITH obs AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ), cells AS (
+        SELECT r, c, o,
+               sum(o) OVER (PARTITION BY r) AS rt,
+               sum(o) OVER (PARTITION BY c) AS ct,
+               sum(o) OVER () AS nn
+        FROM obs
+    ), terms AS (
+        SELECT r, c, nn,
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                   AS t
+        FROM cells
+    ), g AS (
+        SELECT CAST(max(nn) AS BIGINT) AS n,
+               count(DISTINCT r) AS r_levels,
+               count(DISTINCT c) AS c_levels,
+               list(t ORDER BY r, c) AS ts
+        FROM terms
+    )
+    SELECT n, r_levels, c_levels,
+           (r_levels - 1) * (c_levels - 1) AS dof,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                             (a, x) -> a + x), 4) AS chi2
+    FROM g
+    """,
+)
+def a34_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of order priority vs order status.
+    Observed/expected come from the integer contingency table; the
+    double cell terms are summed by a SEQUENTIAL (r, c)-sorted fold
+    (NOTES.md fold-parity — a plain sum of doubles reassociates), so
+    the statistic is bit-identical across engines."""
+    from .operators.agg import chi2_independence
+
+    o = _t(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "ts_survival_km",
+    """
+    WITH per AS (
+        SELECT user_id, min(epoch_us(ts)) AS f,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p,
+               max(epoch_us(ts)) AS l
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT (coalesce(p, l) - f) // 3600000000 AS duration,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM per
+    ), g AS (
+        SELECT duration, count(*) AS c,
+               CAST(sum(observed) AS BIGINT) AS n_events
+        FROM d GROUP BY duration
+    ), cells AS (
+        SELECT duration, c, n_events,
+               CAST(sum(c) OVER ()
+                    - coalesce(sum(c) OVER (ORDER BY duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM g
+    ), arr AS (
+        SELECT list(struct_pack(
+                   duration := duration,
+                   n_risk := n_risk,
+                   n_events := n_events,
+                   n_censored := CAST(c - n_events AS BIGINT),
+                   f := 1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               ) ORDER BY duration) AS a
+        FROM cells
+    )
+    SELECT a[i].duration AS duration, a[i].n_risk AS n_risk,
+           a[i].n_events AS n_events, a[i].n_censored AS n_censored,
+           round(list_reduce(list_transform(a[1:i], x -> x.f),
+                             (p, q) -> p * q), 6) AS survival
+    FROM arr, unnest(generate_series(1, len(a))) AS u(i)
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase: hours from a user's first
+    event to their first purchase, right-censoring never-purchasers at
+    their last observed event — the conversion-latency curve a plain
+    mean misstates because it drops the censored population. Risk-set
+    counts are integer window arithmetic; the survival products run
+    as a SEQUENTIAL duration-sorted fold, matching DuckDB prefix
+    list_reduce products bit-for-bit (seeding with 1.0 is exact)."""
+    from .operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("__f"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("__p"),
+        F.max(us).alias("__l"),
+    )
+    d = per.select(
+        F.expr(
+            "CAST((coalesce(__p, __l) - __f) DIV 3600000000 AS BIGINT)"
+        ).alias("duration"),
+        F.when(F.col("__p").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    return kaplan_meier(d, "duration", "observed")
+
+
+@register(
+    "graph_bfs_levels",
+    f"""
+    WITH RECURSIVE {_COPURCHASE_EDGE_SQL},
+    sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    src AS (SELECT min(u) AS node FROM e),
+    walk(node, depth) AS (
+        SELECT node, 0 FROM src
+        UNION
+        SELECT sym.v, w.depth + 1
+        FROM walk w JOIN sym ON sym.u = w.node
+        WHERE w.depth < 4
+    )
+    SELECT node, CAST(min(depth) AS INT) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 4) from the smallest part in the
+    co-purchase graph — level-synchronous frontier BFS (each round
+    joins only the frontier against the edges; localCheckpoint
+    truncates the iterative lineage). The oracle states the same
+    semantics as a recursive CTE with min-depth dedup."""
+    from .operators.graph import bfs_levels
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    src = edges.agg(F.min("u").alias("node"))
+    out = bfs_levels(edges, src, max_depth=4)
+    return out.groupBy("node").agg(F.min("depth").alias("depth"))
+
+
+@register("sim_binary_hamming")  # rows-only: the Hamming candidate
+# stage is approximate by design (a true neighbor can fall outside the
+# rerank set), so there is no exact SQL twin; recall@10 against the
+# brute-force baseline is pinned in tests/test_round5_ops.py
+def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign signatures (32x compression),
+    integer xor+popcount Hamming scan for 50 candidates per query,
+    exact cosine rerank to top-10. Signature packing is unrolled
+    JVM-side integer codegen; full-precision vectors are touched only
+    for |q| x 50 rows."""
+    from .operators.similarity import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return binary_hamming_topk(emb, qs, k=10, rerank=50)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -124,3 +124,143 @@ def test_autocorrelation_matches_numpy(spark):
         assert n_pairs == len(series) - lag
         assert abs(acf - want) < 1e-4
     assert out[1][1] > 0.5  # AR(1) signal present
+
+
+def test_chi2_independence_matches_python(spark):
+    from gcpdatapipelines_spark.operators.agg import chi2_independence
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice("abc"), rng.choice(["x", "y"]) if rng.random() < 0.8 else "x")
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "r STRING, c STRING")
+    got = chi2_independence(df, "r", "c").collect()[0]
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    n = len(rows)
+    chi2 = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in obs.items()
+    )
+    assert got["n"] == n
+    assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-3
+
+
+def test_mann_whitney_matches_python(spark):
+    """U and tie-corrected z against a direct python rank computation
+    (with tied values so the tie machinery is exercised)."""
+    from gcpdatapipelines_spark.operators.agg import mann_whitney_u
+
+    rng = random.Random(17)
+    a = [round(rng.gauss(50, 10), 1) for _ in range(120)]
+    b = [round(rng.gauss(55, 10), 1) for _ in range(140)]
+    df = spark.createDataFrame(
+        [(v, False) for v in a] + [(v, True) for v in b], "v DOUBLE, isb BOOLEAN"
+    )
+    got = mann_whitney_u(df, F.col("isb"), "v").collect()[0]
+
+    allv = sorted(a + b)
+    # average ranks
+    import collections
+
+    first = {}
+    cnt = collections.Counter(allv)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    ra = sum(avg_rank[v] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2
+    tie = sum(c**3 - c for c in cnt.values())
+    var = (na * nb / 12) * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["u_stat"] - u) < 0.6
+    assert abs(got["z"] - z) < 1e-3
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic small example with deaths, censoring, and ties."""
+    from gcpdatapipelines_spark.operators.timeseries import kaplan_meier
+
+    # (duration, observed): deaths at 1 (x2), 3; censored at 2, 3, 4
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, "duration BIGINT, observed INT")
+    out = {r["duration"]: r for r in kaplan_meier(df).collect()}
+
+    # t=1: risk 6, d 2 -> S = 4/6
+    # t=2: risk 4, d 0 -> S unchanged
+    # t=3: risk 3, d 1 -> S = 4/6 * 2/3
+    # t=4: risk 1, d 0 -> S unchanged
+    assert out[1]["n_risk"] == 6 and out[1]["n_events"] == 2
+    assert abs(out[1]["survival"] - 4 / 6) < 1e-6
+    assert out[2]["n_risk"] == 4 and out[2]["n_censored"] == 1
+    assert abs(out[2]["survival"] - 4 / 6) < 1e-6
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 1
+    assert abs(out[3]["survival"] - (4 / 6) * (2 / 3)) < 1e-6
+    assert out[4]["n_risk"] == 1
+    assert abs(out[4]["survival"] - (4 / 6) * (2 / 3)) < 1e-6
+
+
+def test_bfs_levels_matches_python(spark):
+    from collections import deque
+
+    from gcpdatapipelines_spark.operators.graph import bfs_levels
+
+    rng = random.Random(23)
+    nodes = list(range(40))
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)}
+    edf = spark.createDataFrame(sorted(edges), "u BIGINT, v BIGINT")
+    src = spark.createDataFrame([(0,)], "node BIGINT")
+
+    got = {r["node"]: r["depth"] for r in bfs_levels(edf, src, max_depth=4).collect()}
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    want, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+
+
+def test_binary_hamming_recall_vs_bruteforce(spark):
+    """The 1-bit + rerank path must recover most true top-10 neighbors
+    (recall@10 >= 0.6 on random-ish data with rerank=50)."""
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in binary_hamming_topk(emb, qs, k=10, rerank=50).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall@10 = {recall}"
