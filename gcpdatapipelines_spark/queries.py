@@ -7520,6 +7520,341 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_topk(emb, qs, k=10, rerank=50)
 
 
+@register(
+    "a35_gini",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        FROM lineitem GROUP BY l_suppkey
+    ), i AS (
+        SELECT l_suppkey, r,
+               row_number() OVER (ORDER BY r, l_suppkey) AS rn
+        FROM rev
+    ), g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(r) AS DOUBLE) AS sx,
+               CAST(sum(rn * r) AS DOUBLE) AS sixi,
+               sum(r) AS sxd
+        FROM i
+    )
+    SELECT CAST(n AS BIGINT) AS n_suppliers,
+           CAST(round(sxd, 2) AS DOUBLE) AS total_revenue,
+           round((2.0 * sixi - (n + 1.0) * sx) / (n * sx), 6) AS gini
+    FROM g
+    """,
+)
+def a35_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across suppliers —
+    the inequality/concentration readout behind "how dependent are we
+    on our top suppliers". Rank-weighted sums stay EXACT (integer
+    rank x decimal revenue); the Gini closes in one fixed double
+    chain. The ranking window runs over the supplier DIMENSION (one
+    row per supplier), never the fact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("r")
+    )
+    w = Window.orderBy(F.col("r"), F.col("l_suppkey"))
+    i = rev.withColumn("rn", F.row_number().over(w))
+    g = i.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("r").cast("double").alias("__sx"),
+        F.sum(F.col("rn") * F.col("r")).cast("double").alias("__sixi"),
+        F.sum("r").alias("__sxd"),
+    )
+    n, sx, sixi = F.col("__n"), F.col("__sx"), F.col("__sixi")
+    return g.select(
+        n.cast("bigint").alias("n_suppliers"),
+        F.round(F.col("__sxd"), 2).cast("double").alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * sixi - (n + F.lit(1.0)) * sx) / (n * sx), 6
+        ).alias("gini"),
+    )
+
+
+@register(
+    "a36_assoc_rules",
+    """
+    WITH pres AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ), n AS (SELECT count(DISTINCT ok) AS nb FROM pres),
+    ic AS (SELECT item, count(*) AS ni FROM pres GROUP BY item),
+    pc AS (
+        SELECT a.item AS x, b.item AS y, count(*) AS nxy
+        FROM pres a JOIN pres b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ), rules AS (
+        SELECT pc.x AS antecedent, pc.y AS consequent, pc.nxy,
+               ia.ni AS nx, ib.ni AS ny
+        FROM pc JOIN ic ia ON ia.item = pc.x JOIN ic ib ON ib.item = pc.y
+        UNION ALL
+        SELECT pc.y, pc.x, pc.nxy, ib.ni, ia.ni
+        FROM pc JOIN ic ia ON ia.item = pc.x JOIN ic ib ON ib.item = pc.y
+    ), scored AS (
+        SELECT antecedent, consequent, nxy AS n_both,
+               round(CAST(nxy AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+               round(CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE), 6) AS confidence,
+               round((CAST(nxy AS DOUBLE) * CAST(nb AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS lift
+        FROM rules, n
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            ORDER BY lift DESC, antecedent, consequent) AS rnk
+        FROM scored
+    )
+    SELECT antecedent, consequent, n_both, support, confidence, lift, rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def a36_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    (antecedent -> consequent) support/confidence/lift for every
+    co-occurring part pair with >= 3 shared baskets, top-20 by lift.
+    The pair join is basket-keyed (bounded by lines-per-order, the
+    _copurchase_edges shape — never item x item); item counts and the
+    basket total join back as broadcast dimensions; ranking cuts on
+    the ROUNDED lift + rule tiebreak (NOTES.md rank rule). The final
+    window orders RULES (pair-dictionary sized), not data."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pres = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = pres.agg(F.countDistinct("ok").alias("nb"))
+    ic = pres.groupBy("item").agg(F.count("*").alias("ni"))
+    a = pres.select(F.col("ok"), F.col("item").alias("x"))
+    b = pres.select(F.col("ok"), F.col("item").alias("y"))
+    pc = (
+        a.join(b, "ok")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("nxy"))
+        .filter(F.col("nxy") >= 3)
+    )
+    ia = ic.select(F.col("item").alias("x"), F.col("ni").alias("nx"))
+    ib = ic.select(F.col("item").alias("y"), F.col("ni").alias("ny"))
+    both = pc.join(F.broadcast(ia), "x").join(F.broadcast(ib), "y")
+    fwd = both.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        F.col("nxy"),
+        F.col("nx").alias("n_ante"),
+        F.col("ny").alias("n_cons"),
+    )
+    rev = both.select(
+        F.col("y").alias("antecedent"),
+        F.col("x").alias("consequent"),
+        F.col("nxy"),
+        F.col("ny").alias("n_ante"),
+        F.col("nx").alias("n_cons"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    nxy = F.col("nxy").cast("double")
+    nbd = F.col("nb").cast("double")
+    nxd = F.col("n_ante").cast("double")
+    nyd = F.col("n_cons").cast("double")
+    scored = rules.select(
+        "antecedent",
+        "consequent",
+        F.col("nxy").alias("n_both"),
+        F.round(nxy / nbd, 6).alias("support"),
+        F.round(nxy / nxd, 6).alias("confidence"),
+        F.round((nxy * nbd) / (nxd * nyd), 6).alias("lift"),
+    )
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@register(
+    "a37_power_mde",
+    """
+    WITH v AS (
+        SELECT CAST(value AS DECIMAL(18,6)) AS x,
+               event_type = 'view' AS is_b
+        FROM events WHERE event_type IN ('click', 'view')
+    ), g AS (
+        SELECT count(CASE WHEN NOT is_b THEN 1 END) AS na,
+               count(CASE WHEN is_b THEN 1 END) AS nb,
+               CAST(sum(CASE WHEN NOT is_b THEN x END) AS DOUBLE) AS sa,
+               CAST(sum(CASE WHEN is_b THEN x END) AS DOUBLE) AS sb,
+               CAST(sum(CASE WHEN NOT is_b THEN x * x END) AS DOUBLE) AS qa,
+               CAST(sum(CASE WHEN is_b THEN x * x END) AS DOUBLE) AS qb
+        FROM v
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(sa / na, 6) AS mean_a,
+           round(sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
+                      + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb), 6) AS se,
+           round(2.8016152181129683
+                 * sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
+                        + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb),
+                 6) AS mde_abs,
+           round(2.8016152181129683
+                 * sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
+                        + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb)
+                 / (sa / na), 6) AS mde_rel
+    FROM g
+    """,
+)
+def a37_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the click-vs-view experiment at
+    alpha=0.05 / power=0.8: MDE = (z_{0.975} + z_{0.8}) * SE with the
+    constant folded to 2.8016152181129683 (1.959963984540054 +
+    0.8416212335729143) as an identical literal on both sides —
+    normal quantiles are index metadata, not data. Variances come
+    from exact decimal conditional sums (ab_ttest machinery); one
+    keyless reduce row."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_b = F.col("event_type") == "view"
+    xd = F.col("value").cast("decimal(18,6)")
+    g = ev.agg(
+        F.count(F.when(~is_b, 1)).alias("na"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.sum(F.when(~is_b, xd)).alias("sa"),
+        F.sum(F.when(is_b, xd)).alias("sb"),
+        F.sum(F.when(~is_b, xd * xd)).alias("qa"),
+        F.sum(F.when(is_b, xd * xd)).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    se = F.sqrt(
+        (na * qa - sa * sa) / (na * (na - F.lit(1))) / na
+        + (nb * qb - sb * sb) / (nb * (nb - F.lit(1))) / nb
+    )
+    zsum = F.lit(2.8016152181129683)
+    return g.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(se, 6).alias("se"),
+        F.round(zsum * se, 6).alias("mde_abs"),
+        F.round(zsum * se / (sa / na), 6).alias("mde_rel"),
+    )
+
+
+@register(
+    "w27_peak_concurrency",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) -
+                         epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM gaps
+    ), st AS (
+        SELECT user_id, sess_id, min(ts) AS a, max(ts) AS b
+        FROM sess GROUP BY user_id, sess_id
+    ), sweep AS (
+        SELECT a AS t, 1 AS delta, user_id FROM st
+        UNION ALL
+        SELECT b AS t, -1 AS delta, user_id FROM st
+    ), c AS (
+        SELECT t, sum(delta) OVER (ORDER BY t, delta DESC, user_id
+                                   ROWS UNBOUNDED PRECEDING) AS conc
+        FROM sweep
+    )
+    SELECT epoch_us(t) // 86400000000 AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM c GROUP BY day
+    """,
+)
+def w27_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning
+    number. Sessions (the w17 30-minute-gap definition) sweep as
+    +1/-1 boundary events; the running concurrency is the
+    windows.running_total_scan distributed prefix scan over the total
+    (t, delta DESC, user) order (+1 before -1 at a shared instant:
+    boundary-touching sessions count as concurrent), with integer
+    sums exact on any engine. The oracle states the same sweep as a
+    naive global window."""
+    from .operators.windows import running_total_scan, session_table
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_table(ev, "user_id", "ts", "event_id", "value")
+    sweep = s.select(
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+        F.col("user_id"),
+    ).unionByName(
+        s.select(
+            F.col("session_end").alias("t"),
+            F.lit(-1).alias("delta"),
+            F.col("user_id"),
+        )
+    )
+    c = running_total_scan(
+        sweep,
+        [F.col("t"), F.col("delta").desc(), F.col("user_id")],
+        "delta",
+        cum_col="conc",
+        num_partitions=8,
+    )
+    day = F.expr("CAST(unix_micros(t) DIV 86400000000 AS BIGINT)")
+    return c.groupBy(day.alias("day")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )
+
+
+@register(
+    "sample_balanced_classes",
+    """
+    WITH c AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), m AS (SELECT min(n) AS mn FROM c),
+    r AS (
+        SELECT event_id, event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type FROM r, m WHERE rn <= m.mn
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps exactly
+    min-class-count rows (the first ones by event id — a
+    deterministic, oracle-stable pick policy), the standard rebalance
+    before training on a skewed label. One count aggregate, one
+    broadcast scalar, one per-class ranking window that shares the
+    class partitioning."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("mn"))
+        .select("event_id", "event_type")
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
