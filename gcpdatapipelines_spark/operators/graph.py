@@ -520,3 +520,59 @@ def bfs_levels(
         levels = levels.union(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return levels
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, label): synchronous label propagation community detection
+    with a DETERMINISTIC vote — each round every node adopts its
+    neighbors' most frequent label, smallest label winning ties — for
+    a FIXED number of rounds. Unlike classic randomized-order LPA,
+    this variant is a pure function of the graph, so it is
+    engine-reproducible and oracle-checkable (the oracle unrolls the
+    same rounds as CTE layers).
+
+    Per round: one edge-to-labels equi-join co-partitioned on the
+    node key, one partial-agg vote count, one per-node rank — all
+    hash-shuffle shapes that survive 100 TB graphs (the vote table is
+    |edges| rows, never node x node). The iteration partitioning is
+    right-sized to the graph (the pagerank rule: a fixed per-task
+    floor makes wide default partitioning pure overhead on small
+    graphs), edges are hash-partitioned ONCE on the vote key so each
+    round's join is co-partitioned, and localCheckpoint truncates the
+    iterative lineage (the CC/kcore/pagerank pattern)."""
+    from pyspark.sql import Window
+
+    n = edges.count()
+    parts = max(2, min(4096, n // 250_000 + 2))
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .select(F.col("v").alias("node"), F.col("u"))
+        .repartition(parts, "node")
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .repartition(parts, "node")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("u").orderBy(F.col("__c").desc(), F.col("label"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, "node")
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count("*").alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .repartition(parts, "node")
+            .localCheckpoint()
+        )
+    return labels

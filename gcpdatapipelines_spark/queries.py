@@ -7855,6 +7855,210 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_label_prop",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+    v1 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2
+    ), l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v1
+        ) WHERE rn = 1
+    ), v2 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2
+    ), l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v2
+        ) WHERE rn = 1
+    ), v3 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2
+    ), l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v3
+        ) WHERE rn = 1
+    )
+    SELECT node, label FROM l3
+    """,
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the co-purchase graph after 3 synchronous
+    label-propagation rounds with a deterministic (count DESC, label
+    ASC) vote — engine-reproducible unlike randomized LPA, so the
+    oracle simply unrolls the rounds as CTE layers. Per round: one
+    co-partitioned join + vote count + per-node rank."""
+    from .operators.graph import label_propagation
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    return label_propagation(edges, iterations=3)
+
+
+@register(
+    "j10_nearest_event",
+    """
+    WITH cl AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), er AS (
+        SELECT user_id, ts, max(event_id) AS err_id FROM events
+        WHERE event_type = 'error' GROUP BY user_id, ts
+    ), p AS (
+        SELECT cl.user_id, cl.event_id, cl.ts,
+               er.ts AS pts, er.err_id AS pid
+        FROM cl ASOF LEFT JOIN er
+          ON cl.user_id = er.user_id AND cl.ts >= er.ts
+    ), n AS (
+        SELECT cl.event_id, er.ts AS nts, er.err_id AS nid
+        FROM cl ASOF LEFT JOIN er
+          ON cl.user_id = er.user_id AND cl.ts <= er.ts
+    )
+    SELECT p.user_id, p.event_id,
+           CASE WHEN p.pid IS NULL THEN n.nid
+                WHEN n.nid IS NULL THEN p.pid
+                WHEN epoch_us(p.ts) - epoch_us(p.pts)
+                     <= epoch_us(n.nts) - epoch_us(p.ts) THEN p.pid
+                ELSE n.nid END AS err_id,
+           CASE WHEN p.pid IS NULL AND n.nid IS NULL THEN NULL
+                WHEN p.pid IS NULL
+                    THEN (epoch_us(n.nts) - epoch_us(p.ts)) / 1000000.0
+                WHEN n.nid IS NULL
+                    THEN (epoch_us(p.pts) - epoch_us(p.ts)) / 1000000.0
+                WHEN epoch_us(p.ts) - epoch_us(p.pts)
+                     <= epoch_us(n.nts) - epoch_us(p.ts)
+                    THEN (epoch_us(p.pts) - epoch_us(p.ts)) / 1000000.0
+                ELSE (epoch_us(n.nts) - epoch_us(p.ts)) / 1000000.0
+           END AS delta_s
+    FROM p JOIN n ON p.event_id = n.event_id
+    """,
+)
+def j10_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each click picks the same user's CLOSEST
+    error event in either direction (earlier wins exact-tie distances;
+    signed delta_s < 0 means the error preceded the click) — the
+    "what was happening around this event" lookup, built from one
+    backward + one forward as-of join (each a single-exchange window
+    fill; never a pair materialization). NULLs survive for users with
+    no errors."""
+    from .operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errs_p = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("__ets"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    errs_n = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("__ets"),
+        F.col("ts").alias("nts"),
+        F.col("event_id").alias("nid"),
+    )
+    back = as_of_join(
+        clicks, errs_p, on="user_id", left_ts="ts", right_ts="__ets",
+        value_cols=["pts", "pid"], direction="backward",
+    )
+    both = as_of_join(
+        back, errs_n, on="user_id", left_ts="ts", right_ts="__ets",
+        value_cols=["nts", "nid"], direction="forward",
+    )
+    us = F.unix_micros
+    pd_ = us(F.col("ts")) - us(F.col("pts"))
+    nd_ = us(F.col("nts")) - us(F.col("ts"))
+    prefer_prev = pd_ <= nd_
+    return both.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("pid").isNull(), F.col("nid"))
+        .when(F.col("nid").isNull(), F.col("pid"))
+        .when(prefer_prev, F.col("pid"))
+        .otherwise(F.col("nid"))
+        .alias("err_id"),
+        F.when(F.col("pid").isNull() & F.col("nid").isNull(), F.lit(None))
+        .when(F.col("pid").isNull(), (us(F.col("nts")) - us(F.col("ts"))) / F.lit(1000000.0))
+        .when(F.col("nid").isNull(), (us(F.col("pts")) - us(F.col("ts"))) / F.lit(1000000.0))
+        .when(prefer_prev, (us(F.col("pts")) - us(F.col("ts"))) / F.lit(1000000.0))
+        .otherwise((us(F.col("nts")) - us(F.col("ts"))) / F.lit(1000000.0))
+        .alias("delta_s"),
+    )
+
+
+@register(
+    "text_sentence_stats",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(text, '[.!?]+'),
+                                  x -> trim(x)),
+                   x -> x <> '') AS sents
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               len(sents) AS n_sentences,
+               list_transform(sents,
+                   x -> len(list_filter(string_split_regex(x, '[ ]+'),
+                                        t -> t <> ''))) AS wc
+        FROM s WHERE len(sents) > 0
+    )
+    SELECT doc_id, CAST(n_sentences AS INT) AS n_sentences,
+           CAST(list_sum(wc) AS BIGINT) AS n_words,
+           round(CAST(list_sum(wc) AS DOUBLE) / n_sentences, 4)
+               AS avg_sentence_words,
+           CAST(list_max(wc) AS INT) AS max_sentence_words
+    FROM w
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence segmentation stats (count, word totals,
+    mean/max sentence length) — the readability layer of the quality
+    stack. Splits on [.!?]+ with a Java-RE2-common regex; all counts
+    are integers, the mean is one double division. Fully narrow:
+    per-row array ops, no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    wc = F.transform(
+        F.col("__sents"),
+        lambda s: F.size(F.filter(F.split(s, "[ ]+"), lambda t: t != "")),
+    )
+    w = (
+        d.select("doc_id", sents.alias("__sents"))
+        .filter(F.size("__sents") > 0)
+        .select(
+            "doc_id",
+            F.size("__sents").alias("n_sentences"),
+            wc.alias("__wc"),
+        )
+    )
+    total = F.aggregate(
+        F.col("__wc"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return w.select(
+        "doc_id",
+        "n_sentences",
+        total.alias("n_words"),
+        F.round(total.cast("double") / F.col("n_sentences"), 4).alias(
+            "avg_sentence_words"
+        ),
+        F.array_max("__wc").alias("max_sentence_words"),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 
