@@ -436,6 +436,89 @@ def embedding_neardup_pairs_pruned(
     )
 
 
+def semdedup_pairs_seeded(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup within-cell pair scan (Abbas et al. 2303.09540): the
+    corpus is partitioned into ``nlist`` cells and high-cosine pairs
+    are scored ONLY within each cell — the deliberate SemDeDup
+    approximation that caps the pair space at sum(c_i^2)/2 instead of
+    n^2/2. At 100 TB this is the recipe: one narrow assignment pass,
+    one equi self-join hash-partitioned by cell (never a cartesian,
+    never a cost-based flat fallback — the fallback branch does not
+    exist on this path), skew bounded by the largest cell.
+
+    The quantizer here is ORACLE-EXPRESSIBLE by construction: cells
+    are the ``nlist`` lowest-id vectors, and each vector goes to its
+    max-cosine seed with the cosine rounded to 6 dp before the argmax
+    (ties → lowest cent_id), so DuckDB reproduces the exact same
+    assignment and the whole approximate pipeline hash-checks
+    end-to-end. Production callers chasing recall swap in trained
+    k-means centroids (ivf_build_kmeans) — that only changes WHICH
+    cells exist, not the mechanics; the within-cell scan and its cost
+    bound are identical.
+
+    Returns (id_1 < id_2, sim) with sim from the same codegen-unrolled
+    left-to-right chain as the exact scan."""
+    vectors.sparkSession.conf.set(
+        "spark.sql.constraintPropagation.enabled", "false"
+    )
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    seeds = (
+        v.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col("__v").alias("cent_vec"),
+            _norm(F.col("__v")).alias("__cnorm"),
+        )
+    )
+    # assignment: n x nlist broadcast fan-out, cosine rounded to 6 dp
+    # (absorbs fold-order reassociation between engines), argmax via a
+    # lexicographic struct max — one partial+final agg keyed on id.
+    scored = (
+        v.withColumn("__vn", _norm(F.col("__v")))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col),
+            F.col("cent_id"),
+            F.round(
+                _dot(F.col("__v"), F.col("cent_vec"))
+                / (F.col("__vn") * F.col("__cnorm")),
+                6,
+            ).alias("__cs"),
+        )
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cs"), (-F.col("cent_id")).alias("__nc"))).alias(
+            "__m"
+        )
+    ).select(F.col(id_col), (-F.col("__m.__nc")).alias("cent_id"))
+    # persisted: the assignment subtree feeds BOTH sides of the
+    # within-cell self-join — without it the n x nlist fan-out and its
+    # argmax agg execute twice. Same materialize-the-assigned-table
+    # step _cell_index runs before its pair scan.
+    assigned = vectors.select(id_col, vec_col).join(assign, id_col).persist()
+    wide = _widened(assigned, id_col, vec_col, dim, extra_cols=["cent_id"])
+    a, b = _wide_sides(wide, id_col, dim, cell_col="cent_id")
+    return (
+        a.join(b, F.col("cell_a") == F.col("cell_b"))
+        .filter(F.col("id_1") < F.col("id_2"))
+        .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def neardup_pairs_blas(
     vectors: DataFrame,
     id_col: str = "vec_id",

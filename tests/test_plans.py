@@ -177,8 +177,16 @@ def test_pruned_neardup_cost_based_plan_choice(spark):
     assert got == want and len(want) > 0
 
     # diffuse fixture: stats price the blocks at ~n² -> flat scan plan
-    df = _q(spark, "sim_embedding_neardup")
-    fplan = P.formatted_plan(df)
+    # (exercised through the operator directly — the CATALOG entry
+    # sim_embedding_neardup no longer routes here; it runs the
+    # within-cell SemDeDup scan, pinned fallback-free in
+    # test_semdedup_catalog_entry_has_no_flat_fallback)
+    from gcpdatapipelines_spark.io import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    fplan = P.formatted_plan(
+        S.embedding_neardup_pairs_pruned(emb, threshold=0.4, nlist=16)
+    )
     assert (
         "CartesianProduct" in fplan or "BroadcastNestedLoopJoin" in fplan
     ), fplan
@@ -364,3 +372,33 @@ def test_pipeline_pretrain_filters_reach_scan(spark):
     assert "lang" in pushed and "n_chars" in pushed, pushed
     plan = P.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_catalog_entry_has_no_flat_fallback(spark):
+    """dedup_semantic_keep's pair stage is the within-cell SemDeDup
+    scan: the vector pair sides meet through an EQUI join on cell id —
+    no CartesianProduct anywhere, and no cost-based flat-fallback
+    branch even exists on this path. The only nested-loop node allowed
+    is the bounded n x nlist seed-assignment fan-out (broadcast of the
+    nlist-row seed frame)."""
+    from gcpdatapipelines_spark.operators import similarity as S
+    from gcpdatapipelines_spark.io import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    pairs = S.semdedup_pairs_seeded(emb, threshold=0.4, nlist=16)
+    plan = P.formatted_plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    # pair sides join equi on cell id (shuffle or broadcast hash)
+    strategies = set(P.join_strategies(pairs))
+    assert strategies & {"SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"}, (
+        strategies
+    )
+    # the only BNLJ is the seed fan-out (nlist-row broadcast side),
+    # and it lives inside the persisted assignment relation, so it is
+    # ONE distinct plan node (both pair sides scan the same cache —
+    # node ids dedupe what the tree printer repeats per branch)
+    import re
+
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 1, plan
+    assert "InMemoryTableScan" in plan, plan

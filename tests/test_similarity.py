@@ -535,3 +535,81 @@ def test_diverse_kcenter_deterministic_under_partitioning(spark):
     a = [(r.rank, r.vec_id) for r in diverse_kcenter(emb, k=5).collect()]
     b = [(r.rank, r.vec_id) for r in diverse_kcenter(emb.repartition(9), k=5).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup within-cell pair scan (the scale-safe semantic-dedup recipe)
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.similarity import (  # noqa: E402
+    embedding_neardup_pairs_codegen,
+    semdedup_pairs_seeded,
+)
+
+
+def _interleaved_cluster_vecs(spark, n_clusters=4, per_cluster=20, dim=8):
+    """Tight unit clusters with ids INTERLEAVED across clusters, so the
+    nlist lowest-id seed vectors cover every cluster and the seeded
+    quantizer maps each cluster to its own cell."""
+    import math
+
+    rows = []
+    for j in range(per_cluster):
+        for c in range(n_clusters):
+            base = [1.0 if i == c else 0.0 for i in range(dim)]
+            eps = 0.001 * (j % 7)
+            v = [x + (eps if i == (c + 1) % dim else 0.0) for i, x in enumerate(base)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            rows.append((j * n_clusters + c, [x / nrm for x in v]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_semdedup_equals_exact_when_cells_cover_clusters(spark):
+    """With seeds covering every cluster and a near-dup threshold, all
+    qualifying pairs are intra-cluster == intra-cell, so the SemDeDup
+    approximation loses nothing and matches the exact O(n^2) scan."""
+    vecs = _interleaved_cluster_vecs(spark)
+    got = {
+        (r.id_1, r.id_2)
+        for r in semdedup_pairs_seeded(vecs, threshold=0.95, nlist=4).collect()
+    }
+    want = {
+        (r.id_1, r.id_2)
+        for r in embedding_neardup_pairs_codegen(vecs, threshold=0.95).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_semdedup_is_subset_of_exact_on_diffuse_data(spark):
+    """On diffuse data (no cluster structure) the within-cell scan is a
+    SUBSET of the exact pairs (pure precision, recall = the documented
+    approximation) — never a false positive."""
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(6)])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {
+        (r.id_1, r.id_2)
+        for r in semdedup_pairs_seeded(vecs, threshold=0.8, nlist=8).collect()
+    }
+    want = {
+        (r.id_1, r.id_2)
+        for r in embedding_neardup_pairs_codegen(vecs, threshold=0.8).collect()
+    }
+    assert got <= want and len(want) > 0
+
+
+def test_semdedup_deterministic_under_partitioning(spark):
+    vecs = _interleaved_cluster_vecs(spark)
+    a = sorted(
+        (r.id_1, r.id_2, r.sim)
+        for r in semdedup_pairs_seeded(vecs, threshold=0.95, nlist=4).collect()
+    )
+    b = sorted(
+        (r.id_1, r.id_2, r.sim)
+        for r in semdedup_pairs_seeded(
+            vecs.repartition(7), threshold=0.95, nlist=4
+        ).collect()
+    )
+    assert a == b and a

@@ -46,6 +46,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the DRIVER's canonicalizer: sorted columns, then
+    ``sort_values`` over all columns on RAW dtypes (no stringify).
+    Raises TypeError on unhashable/unorderable cells (lists, dicts,
+    arrays) — exactly the wall `text_hashing_features` hit in round 3
+    (CORRECTNESS_r03: ``TypeError: unhashable type: 'list'``). Every
+    catalog query's output must survive this before the driver sees it:
+    non-scalar columns belong joined into strings or exploded long."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            head = df[c].dropna().head(5)
+            for v in head:
+                if isinstance(v, (list, dict, set)) or hasattr(v, "__array__"):
+                    raise TypeError(
+                        f"unhashable type in column {c!r}: "
+                        f"{type(v).__name__} (driver canonicalizer would die)"
+                    )
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pd) != len(duck_pd):
