@@ -805,3 +805,145 @@ def mann_whitney_u(
         F.round(u, 1).alias("u_stat"),
         F.round((u - mu) / F.sqrt(var), 4).alias("z"),
     )
+
+
+def mutual_info_cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """(n, r_levels, c_levels, mi_nats, cramers_v): mutual information
+    (nats) and Cramér's V between two categorical columns — the
+    effect-SIZE companions to :func:`chi2_independence` (chi2 grows
+    with n; MI and V answer "how strongly related", which is the
+    feature-selection question).
+
+    Parity shape: the contingency table is exact integers; the double
+    per-cell terms (p·ln(p/(pr·pc)) for MI, the chi2 cell term for V)
+    are folded SEQUENTIALLY over the (row, col)-sorted cell array —
+    the NOTES.md fold-parity trick — so both statistics are
+    bit-identical across engines. Zero cells contribute nothing (the
+    contingency table only materializes observed cells, and
+    0·ln(0) -> 0 is the correct MI limit).
+
+    Scale shape: one partial+final hash aggregate to the |r×c|
+    contingency table; windows and folds run on that dictionary-sized
+    frame."""
+    from pyspark.sql import Window
+
+    obs = df.groupBy(row_col, col_col).agg(F.count("*").alias("__o"))
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wa = Window.partitionBy()
+    cells = obs.select(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+        F.col("__o"),
+        F.sum("__o").over(wr).alias("__rt"),
+        F.sum("__o").over(wc).alias("__ct"),
+        F.sum("__o").over(wa).alias("__n"),
+    )
+    o = F.col("__o").cast("double")
+    rt = F.col("__rt").cast("double")
+    ct = F.col("__ct").cast("double")
+    nn = F.col("__n").cast("double")
+    e = rt * ct / nn
+    chi_term = (o - e) * (o - e) / e
+    # p·ln(p/(pr·pc)) == (o/n)·ln(o·n/(rt·ct)) — one log per cell
+    mi_term = (o / nn) * F.log(o * nn / (rt * ct))
+    g = cells.agg(
+        F.max("__n").alias("n"),
+        F.countDistinct("__r").alias("r_levels"),
+        F.countDistinct("__c").alias("c_levels"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__r"),
+                    F.col("__c"),
+                    chi_term.alias("__chi"),
+                    mi_term.alias("__mi"),
+                )
+            )
+        ).alias("__cells"),
+    )
+    chi2 = F.aggregate(
+        F.col("__cells"), F.lit(0.0), lambda acc, x: acc + x.getField("__chi")
+    )
+    mi = F.aggregate(
+        F.col("__cells"), F.lit(0.0), lambda acc, x: acc + x.getField("__mi")
+    )
+    kmin = F.least(F.col("r_levels"), F.col("c_levels")) - 1
+    return g.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+def cuped_adjusted_means(
+    per_unit: DataFrame,
+    x_col: str,
+    y_col: str,
+    arm_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): per-arm
+    adjusted metric means ``mean(y) - theta·(mean_arm(x) - mean(x))``
+    with theta = cov(x, y)/var(x) fitted GLOBALLY on the pre-period
+    covariate — the standard pre-experiment-data adjustment that cuts
+    metric variance by rho² without biasing the treatment contrast.
+
+    ``per_unit`` must carry ONE row per experiment unit with
+    decimal-typed ``x_col`` (pre-period covariate) and ``y_col``
+    (experiment metric) — exact decimal co-moments make theta and
+    every mean bit-identical across engines (same machinery as
+    :func:`linear_fit_per_key`).
+
+    Returns one row per arm: (arm, n_units, mean_y, mean_y_adj,
+    theta, rho2) — theta/rho² constant across rows (global fit; rho²
+    is the fraction of variance CUPED removes).
+
+    Scale shape: one global co-moment aggregate (6 decimal sums) +
+    one per-arm aggregate, both partial+final; the arm table joins
+    the 1-row global fit broadcast."""
+    x, y = F.col(x_col), F.col(y_col)
+    g = per_unit.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    fit = g.select(
+        (num / dx).alias("__theta"),
+        (num * num / (dx * dy)).alias("__rho2"),
+        (sx / n).alias("__mx"),
+    )
+    arms = per_unit.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        (F.sum(x).cast("double") / F.count(F.lit(1))).alias("__mx_arm"),
+        (F.sum(y).cast("double") / F.count(F.lit(1))).alias("__my_arm"),
+    )
+    out = arms.crossJoin(F.broadcast(fit))
+    return out.select(
+        arm_col,
+        "n_units",
+        F.round(F.col("__my_arm"), ndigits).alias("mean_y"),
+        F.round(
+            F.col("__my_arm")
+            - F.col("__theta") * (F.col("__mx_arm") - F.col("__mx")),
+            ndigits,
+        ).alias("mean_y_adj"),
+        F.round(F.col("__theta"), ndigits).alias("theta"),
+        F.round(F.col("__rho2"), ndigits).alias("rho2"),
+    )

@@ -100,3 +100,74 @@ def quantile_bin_summary(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    event_col,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the classic credit-scoring / feature-screening transform for a
+    categorical predictor against a binary outcome.
+
+    ``event_col``: boolean Column marking the positive class.
+    Per category: woe = ln((ev_c/ev_tot)/(ne_c/ne_tot)), iv_term =
+    (ev_c/ev_tot - ne_c/ne_tot)·woe; ``iv_total`` (repeated on every
+    row) is the whole feature's screening score.
+
+    Parity shape: all the ratios reduce to integer-count arithmetic;
+    woe is ONE log of an integer-product ratio
+    (ln(ev_c·ne_tot / (ne_c·ev_tot))) and iv_total is folded over the
+    category-sorted term array (NOTES.md fold parity), so every value
+    is bit-identical across engines. Categories with a zero class
+    count are excluded (their WoE is ±inf; production applies
+    Laplace smoothing, which would put a tuning constant under the
+    oracle for no test value).
+
+    Scale shape: one partial+final hash aggregate to the category
+    dictionary; everything after runs on that tiny frame."""
+    cats = df.groupBy(cat_col).agg(
+        F.count(F.when(event_col, 1)).alias("n_event"),
+        F.count(F.when(~event_col, 1)).alias("n_nonevent"),
+    ).filter((F.col("n_event") > 0) & (F.col("n_nonevent") > 0))
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy()
+    withtot = cats.select(
+        F.col(cat_col),
+        "n_event",
+        "n_nonevent",
+        F.sum("n_event").over(wa).alias("__et"),
+        F.sum("n_nonevent").over(wa).alias("__nt"),
+    )
+    ev = F.col("n_event").cast("double")
+    ne = F.col("n_nonevent").cast("double")
+    et = F.col("__et").cast("double")
+    nt = F.col("__nt").cast("double")
+    woe = F.log((ev * nt) / (ne * et))
+    term = (ev / et - ne / nt) * woe
+    scored = withtot.select(
+        F.col(cat_col),
+        "n_event",
+        "n_nonevent",
+        F.round(woe, ndigits).alias("woe"),
+        F.round(term, ndigits).alias("iv_term"),
+        term.alias("__term"),
+    )
+    total = scored.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(cat_col), F.col("__term")))
+        ).alias("__terms")
+    ).select(
+        F.round(
+            F.aggregate(
+                F.col("__terms"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("__term"),
+            ),
+            ndigits,
+        ).alias("iv_total")
+    )
+    return scored.drop("__term").crossJoin(F.broadcast(total))

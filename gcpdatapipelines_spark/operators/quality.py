@@ -159,3 +159,76 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.round(expected, 6).alias("expected"),
         F.round(observed - expected, 6).alias("deviation"),
     )
+
+
+def snapshot_drift(
+    a: DataFrame,
+    b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """(column, metric, before, after): per-column profile drift
+    between two snapshots of one table — the schema-stability audit
+    run before promoting an ingest (null rates creeping up, a
+    categorical column's cardinality exploding, a numeric range
+    shifting are all upstream-breakage smells that row counts miss).
+
+    Metrics per column: null_rate (6 dp), n_distinct, min, max — min
+    and max carried as canonical strings so every column type shares
+    one report schema (numerics via the default cast — both engines
+    print DOUBLE shortest-roundtrip — and timestamps via an explicit
+    ISO format).
+
+    Scale shape: ONE aggregate pass per snapshot computing all
+    metrics for all columns (no per-column scans), then a constant
+    unpivot of the 1-row result — the fact tables are read exactly
+    twice regardless of how many columns are profiled."""
+    def _agg(df: DataFrame) -> DataFrame:
+        aggs = [F.count("*").alias("__n")]
+        for c in columns:
+            aggs += [
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+                F.countDistinct(c).alias(f"__nd_{c}"),
+                F.min(c).cast("string").alias(f"__min_{c}"),
+                F.max(c).cast("string").alias(f"__max_{c}"),
+            ]
+        return df.agg(*aggs)
+
+    ga, gb = _agg(a), _agg(b)
+    joined = ga.crossJoin(
+        gb.select([F.col(c).alias(c + "_b") for c in gb.columns])
+    )
+    rows = []
+    for c in columns:
+        rows += [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("null_rate").alias("metric"),
+                F.round(
+                    F.col(f"__null_{c}").cast("double") / F.col("__n"), 6
+                ).cast("string").alias("before"),
+                F.round(
+                    F.col(f"__null_{c}_b").cast("double") / F.col("__n_b"), 6
+                ).cast("string").alias("after"),
+            ),
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("n_distinct").alias("metric"),
+                F.col(f"__nd_{c}").cast("string").alias("before"),
+                F.col(f"__nd_{c}_b").cast("string").alias("after"),
+            ),
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("min").alias("metric"),
+                F.col(f"__min_{c}").alias("before"),
+                F.col(f"__min_{c}_b").alias("after"),
+            ),
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("max").alias("metric"),
+                F.col(f"__max_{c}").alias("before"),
+                F.col(f"__max_{c}_b").alias("after"),
+            ),
+        ]
+    return joined.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.column", "__r.metric", "__r.before", "__r.after")

@@ -430,3 +430,157 @@ def bloom_membership_sql(
     LEFT JOIN members m ON p.key = m.key
     GROUP BY 1, 2
     """
+
+
+def kmv_setops(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set operations from two KMV sketches (Dasgupta et
+    al., "Theta sketch framework"): estimate |A|, |B|, |A∪B| and
+    |A∩B| from two bottom-k hash samples — the sketch answer to
+    "overlap between two 100 TB key sets" that never joins the sets.
+
+    Recipe: theta = min over both sketches of their k-th smallest
+    normalized hash (1.0 if a set has < k distinct keys); every
+    sketch hash < theta is a uniform sample of its set at rate theta,
+    so |A∪B| ≈ |union sample|/theta and |A∩B| ≈ |both sample|/theta.
+    Exact counterparts ride along per estimate: rows
+    (op, estimate, exact, rel_err) for op in a/b/union/intersect.
+
+    Scale shape: each sketch is a distinct + TakeOrderedAndProject
+    (per-partition bottom-k, k-row merge); the set algebra runs on
+    two k-row frames. Only the exact ground-truth columns touch the
+    full data — at production scale those columns are dropped and the
+    whole query is sketch-sized."""
+    two60 = float(1 << HASH_BITS)
+
+    def _sketch(df: DataFrame, key: str) -> DataFrame:
+        u = (_h60(F.col(key)) / F.lit(two60)).alias("u")
+        return df.select(key).distinct().select(u).orderBy("u").limit(k)
+
+    sa = _sketch(a, a_key).cache()
+    sb = _sketch(b, b_key).cache()
+
+    def _theta(s: DataFrame):
+        return s.agg(
+            F.when(F.count("*") == k, F.max("u")).otherwise(F.lit(1.0)).alias("th")
+        )
+
+    theta = (
+        _theta(sa)
+        .crossJoin(_theta(sb).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    both = sa.join(sb, "u", "left_semi")
+    union_s = sa.select("u").union(sb.select("u")).distinct()
+
+    def _est(sample: DataFrame, name: str) -> DataFrame:
+        return (
+            sample.crossJoin(F.broadcast(theta))
+            .filter(F.col("u") < F.col("theta"))
+            .groupBy()
+            .agg(F.count("*").alias("__m"), F.max("theta").alias("__th"))
+            .select(
+                F.lit(name).alias("op"),
+                F.round(
+                    F.coalesce(F.col("__m") / F.col("__th"), F.lit(0.0)), 6
+                ).alias("estimate"),
+            )
+        )
+
+    ests = (
+        _est(sa, "a")
+        .unionByName(_est(sb, "b"))
+        .unionByName(_est(union_s, "union"))
+        .unionByName(_est(both, "intersect"))
+    )
+    # exact counts via one union'd aggregate (no driver-side counts)
+    da = a.select(F.col(a_key).alias("key")).distinct()
+    db = b.select(F.col(b_key).alias("key")).distinct()
+    ex = (
+        da.select(F.lit("a").alias("op"), "key")
+        .unionByName(db.select(F.lit("b").alias("op"), "key"))
+        .unionByName(
+            da.select("key").union(db.select("key")).distinct()
+            .select(F.lit("union").alias("op"), "key")
+        )
+        .unionByName(
+            da.join(db, "key", "left_semi")
+            .select(F.lit("intersect").alias("op"), "key")
+        )
+        .groupBy("op")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        ests.join(ex, "op", "left")
+        .select(
+            "op",
+            "estimate",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            F.round(
+                F.abs(F.col("estimate") - F.coalesce("exact", F.lit(0)))
+                / F.greatest(F.coalesce("exact", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def kmv_setops_sql(
+    a_table: str,
+    b_table: str,
+    a_key: str,
+    b_key: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_setops` (same hashes, same theta)."""
+    two60 = float(1 << HASH_BITS)
+
+    def _sk(table: str, key: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT u FROM (
+            SELECT {_h60_sql('key')} / {two60!r} AS u
+            FROM (SELECT DISTINCT {key} AS key FROM {table})
+        ) ORDER BY u LIMIT {k}
+    )"""
+
+    return f"""
+    WITH {_sk(a_table, a_key, 'sa')}, {_sk(b_table, b_key, 'sb')},
+    theta AS (
+        SELECT least(
+            (SELECT CASE WHEN count(*) = {k} THEN max(u) ELSE 1.0 END FROM sa),
+            (SELECT CASE WHEN count(*) = {k} THEN max(u) ELSE 1.0 END FROM sb)
+        ) AS theta
+    ),
+    samples AS (
+        SELECT 'a' AS op, u FROM sa
+        UNION ALL SELECT 'b', u FROM sb
+        UNION ALL SELECT 'union', u FROM (SELECT u FROM sa UNION SELECT u FROM sb)
+        UNION ALL SELECT 'intersect', u
+                  FROM sa WHERE u IN (SELECT u FROM sb)
+    ),
+    ests AS (
+        SELECT op,
+               round(coalesce(count(*) FILTER (u < theta) / max(theta), 0.0), 6)
+                   AS estimate
+        FROM samples CROSS JOIN theta GROUP BY op
+    ),
+    da AS (SELECT DISTINCT {a_key} AS key FROM {a_table}),
+    db AS (SELECT DISTINCT {b_key} AS key FROM {b_table}),
+    ex AS (
+        SELECT 'a' AS op, count(*) AS exact FROM da
+        UNION ALL SELECT 'b', count(*) FROM db
+        UNION ALL SELECT 'union', count(*)
+                  FROM (SELECT key FROM da UNION SELECT key FROM db)
+        UNION ALL SELECT 'intersect', count(*)
+                  FROM da WHERE key IN (SELECT key FROM db)
+    )
+    SELECT e.op, e.estimate, coalesce(x.exact, 0) AS exact,
+           round(abs(e.estimate - coalesce(x.exact, 0))
+                 / greatest(coalesce(x.exact, 0), 1), 6) AS rel_err
+    FROM ests e LEFT JOIN ex x ON e.op = x.op
+    """

@@ -30,6 +30,7 @@ from .operators.sketches import (
     countmin_estimates_sql,
     hll_distinct_sql,
     kmv_distinct_sql,
+    kmv_setops_sql,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -8242,6 +8243,321 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _sketch_mod().bloom_membership(
         customer, probe, "c_custkey", "pkey", k=7, m_bits=1 << 14
+    )
+
+
+@register(
+    "a38_mutual_info",
+    """
+    WITH obs AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ), cells AS (
+        SELECT r, c, o,
+               sum(o) OVER (PARTITION BY r) AS rt,
+               sum(o) OVER (PARTITION BY c) AS ct,
+               sum(o) OVER () AS nn
+        FROM obs
+    ), terms AS (
+        SELECT r, c, nn,
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                   AS chi,
+               (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) AS mi
+        FROM cells
+    ), g AS (
+        SELECT CAST(max(nn) AS BIGINT) AS n,
+               count(DISTINCT r) AS r_levels,
+               count(DISTINCT c) AS c_levels,
+               list(chi ORDER BY r, c) AS chis,
+               list(mi ORDER BY r, c) AS mis
+        FROM terms
+    )
+    SELECT n, r_levels, c_levels,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), mis),
+                             (a, x) -> a + x), 6) AS mi_nats,
+           round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), chis),
+                                  (a, x) -> a + x)
+                      / (CAST(n AS DOUBLE)
+                         * (least(r_levels, c_levels) - 1))), 6) AS cramers_v
+    FROM g
+    """,
+)
+def a38_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) + Cramér's V of order priority vs
+    status — the effect-size companions to a34_chi2_independence
+    (chi2 scales with n; these answer "how strong", the
+    feature-screening question). Same fold-parity machinery: integer
+    contingency table, (r,c)-sorted sequential fold of the double
+    cell terms, bit-identical across engines."""
+    from .operators.agg import mutual_info_cramers_v
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_info_cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "a39_cuped",
+    """
+    WITH per AS (
+        SELECT c.c_custkey, c.c_mktsegment AS arm,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      FILTER (o.o_orderdate < TIMESTAMP '1998-01-01'), 0)
+                    AS DECIMAL(18,2)) AS x,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      FILTER (o.o_orderdate >= TIMESTAMP '1998-01-01'), 0)
+                    AS DECIMAL(18,2)) AS y
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM per
+    ), fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2,
+               sx / n AS mx
+        FROM g
+    ), arms AS (
+        SELECT arm, count(*) AS n_units,
+               CAST(sum(x) AS DOUBLE) / count(*) AS mx_arm,
+               CAST(sum(y) AS DOUBLE) / count(*) AS my_arm
+        FROM per GROUP BY arm
+    )
+    SELECT arm, n_units,
+           round(my_arm, 6) AS mean_y,
+           round(my_arm - theta * (mx_arm - mx), 6) AS mean_y_adj,
+           round(theta, 6) AS theta,
+           round(rho2, 6) AS rho2
+    FROM arms CROSS JOIN fit
+    """,
+)
+def a39_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) over customer
+    spend: covariate x = pre-1998 spend, metric y = 1998+ spend, one
+    row per customer (absent periods count 0), arms = market segment.
+    theta = cov(x,y)/var(x) fitted globally from EXACT decimal
+    co-moments (a17's machinery — decimal(18,2) per-unit sums so
+    products stay inside decimal(38) in both engines), adjusted arm
+    means my - theta·(mx_arm - mx), rho² = variance fraction removed.
+    Scale: one join + two bounded aggregates; the 1-row fit
+    broadcasts."""
+    from .operators.agg import cuped_adjusted_means
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("arm"))
+        .agg(
+            F.coalesce(F.sum(F.when(pre, price)), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, price)), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    return cuped_adjusted_means(per, "x", "y", "arm")
+
+
+@register(
+    "feat_woe_iv",
+    """
+    WITH cats AS (
+        SELECT c.c_mktsegment AS segment,
+               count(*) FILTER (o.o_orderstatus = 'F') AS n_event,
+               count(*) FILTER (o.o_orderstatus <> 'F') AS n_nonevent
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        HAVING count(*) FILTER (o.o_orderstatus = 'F') > 0
+           AND count(*) FILTER (o.o_orderstatus <> 'F') > 0
+    ), tot AS (
+        SELECT sum(n_event) AS et, sum(n_nonevent) AS nt FROM cats
+    ), scored AS (
+        SELECT segment, n_event, n_nonevent,
+               ln((CAST(n_event AS DOUBLE) * nt)
+                  / (CAST(n_nonevent AS DOUBLE) * et)) AS woe_raw,
+               (CAST(n_event AS DOUBLE) / et
+                - CAST(n_nonevent AS DOUBLE) / nt)
+               * ln((CAST(n_event AS DOUBLE) * nt)
+                    / (CAST(n_nonevent AS DOUBLE) * et)) AS term
+        FROM cats CROSS JOIN tot
+    ), total AS (
+        SELECT round(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(term ORDER BY segment)),
+                   (a, x) -> a + x), 6) AS iv_total
+        FROM scored
+    )
+    SELECT segment, n_event, n_nonevent,
+           round(woe_raw, 6) AS woe, round(term, 6) AS iv_term, iv_total
+    FROM scored CROSS JOIN total
+    """,
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of market segment
+    against order finality (status = 'F') — the credit-scoring
+    feature-screening transform. WoE is one log of an integer-product
+    ratio; iv_total folds the category-sorted terms (fold parity), so
+    every value is bit-identical. One broadcast join + one
+    dictionary-sized aggregate."""
+    from .operators.features import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderstatus") == "F").alias("__event"),
+    )
+    return woe_iv(j, "segment", F.col("__event"))
+
+
+@register(
+    "sketch_theta_setops",
+    kmv_setops_sql(
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')",
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')",
+        "o_custkey",
+        "o_custkey",
+        k=256,
+    ),
+)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: |A|, |B|, |A∪B|, |A∩B| estimates for
+    open-order vs finished-order customer sets from two 256-value KMV
+    sketches — the "overlap of two 100 TB key sets" answer that never
+    joins the sets (theta = min kth hash; every sketch hash < theta
+    is a rate-theta uniform sample). Exact counts ride along per op;
+    at production scale the exact columns drop and the query is
+    sketch-sized."""
+    o = _t(spark, sf_dir, "orders")
+    return _sketch_mod().kmv_setops(
+        o.filter(F.col("o_orderstatus") == "O"),
+        o.filter(F.col("o_orderstatus") == "F"),
+        "o_custkey",
+        "o_custkey",
+        k=256,
+    )
+
+
+@register(
+    "quality_schema_drift",
+    """
+    WITH a AS (
+        SELECT o_orderstatus, o_orderpriority, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+    ), b AS (
+        SELECT o_orderstatus, o_orderpriority, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+    ), prof AS (
+        SELECT 'a' AS snap, 'o_orderstatus' AS col,
+               round(count(*) FILTER (o_orderstatus IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR AS null_rate,
+               count(DISTINCT o_orderstatus)::VARCHAR AS n_distinct,
+               min(o_orderstatus)::VARCHAR AS mn,
+               max(o_orderstatus)::VARCHAR AS mx
+        FROM a
+        UNION ALL
+        SELECT 'b', 'o_orderstatus',
+               round(count(*) FILTER (o_orderstatus IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_orderstatus)::VARCHAR,
+               min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR
+        FROM b
+        UNION ALL
+        SELECT 'a', 'o_orderpriority',
+               round(count(*) FILTER (o_orderpriority IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_orderpriority)::VARCHAR,
+               min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+        FROM a
+        UNION ALL
+        SELECT 'b', 'o_orderpriority',
+               round(count(*) FILTER (o_orderpriority IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_orderpriority)::VARCHAR,
+               min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+        FROM b
+        UNION ALL
+        SELECT 'a', 'o_custkey',
+               round(count(*) FILTER (o_custkey IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_custkey)::VARCHAR,
+               min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+        FROM a
+        UNION ALL
+        SELECT 'b', 'o_custkey',
+               round(count(*) FILTER (o_custkey IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_custkey)::VARCHAR,
+               min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+        FROM b
+        UNION ALL
+        SELECT 'a', 'o_totalprice',
+               round(count(*) FILTER (o_totalprice IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_totalprice)::VARCHAR,
+               min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
+        FROM a
+        UNION ALL
+        SELECT 'b', 'o_totalprice',
+               round(count(*) FILTER (o_totalprice IS NULL) * 1.0
+                     / count(*), 6)::VARCHAR,
+               count(DISTINCT o_totalprice)::VARCHAR,
+               min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
+        FROM b
+    ), long AS (
+        SELECT col AS "column", 'null_rate' AS metric, snap, null_rate AS v
+        FROM prof
+        UNION ALL
+        SELECT col, 'n_distinct', snap, n_distinct FROM prof
+        UNION ALL SELECT col, 'min', snap, mn FROM prof
+        UNION ALL SELECT col, 'max', snap, mx FROM prof
+    )
+    SELECT "column", metric,
+           max(CASE WHEN snap = 'a' THEN v END) AS before,
+           max(CASE WHEN snap = 'b' THEN v END) AS after
+    FROM long GROUP BY 1, 2
+    """,
+)
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between two snapshots of orders (split
+    at 1998-07-01): null_rate / n_distinct / min / max per column in
+    one long report — the promote-gate audit that catches creeping
+    nulls, cardinality explosions and range shifts that row counts
+    miss. Numeric min/max travel as decimal strings (double→string
+    formats differ across engines; decimal prints identically). ONE
+    aggregate pass per snapshot computes every metric for every
+    column."""
+    from .operators.quality import snapshot_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-07-01").cast("timestamp")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    return snapshot_drift(
+        o.filter(F.col("o_orderdate") < cut).select(cols),
+        o.filter(F.col("o_orderdate") >= cut).select(cols),
+        cols,
     )
 
 

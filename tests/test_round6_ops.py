@@ -1,0 +1,269 @@
+"""Round-6 operators: mutual information / Cramér's V, CUPED
+adjustment, WoE/IV encoding, theta-sketch set ops, snapshot drift —
+python-model parity and determinism contracts."""
+
+from __future__ import annotations
+
+import math
+import random
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# mutual_info_cramers_v
+# ---------------------------------------------------------------------------
+
+
+def _mi_fixture(spark):
+    rows = []
+    # deterministic dependent joint: r in {a,b,c}, c skewed per r
+    counts = {("a", "x"): 30, ("a", "y"): 10, ("b", "x"): 5,
+              ("b", "y"): 40, ("c", "x"): 20, ("c", "y"): 20}
+    for (r, c), n in counts.items():
+        rows += [(r, c)] * n
+    return spark.createDataFrame(rows, "r STRING, c STRING"), counts
+
+
+def test_mutual_info_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.agg import mutual_info_cramers_v
+
+    df, counts = _mi_fixture(spark)
+    got = mutual_info_cramers_v(df, "r", "c").collect()[0]
+
+    n = sum(counts.values())
+    rt = {}
+    ct = {}
+    for (r, c), o in counts.items():
+        rt[r] = rt.get(r, 0) + o
+        ct[c] = ct.get(c, 0) + o
+    mi = sum(
+        (o / n) * math.log(o * n / (rt[r] * ct[c]))
+        for (r, c), o in counts.items()
+    )
+    chi2 = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in counts.items()
+    )
+    v = math.sqrt(chi2 / (n * (min(len(rt), len(ct)) - 1)))
+    assert got["n"] == n
+    assert abs(got["mi_nats"] - mi) < 1e-5
+    assert abs(got["cramers_v"] - v) < 1e-5
+
+
+def test_mutual_info_zero_when_independent(spark):
+    from gcpdatapipelines_spark.operators.agg import mutual_info_cramers_v
+
+    # perfectly independent joint: every (r, c) cell count = rt*ct/n
+    rows = []
+    for r, nr in [("a", 2), ("b", 3)]:
+        for c, nc in [("x", 4), ("y", 6)]:
+            rows += [(r, c)] * (nr * nc)
+    df = spark.createDataFrame(rows, "r STRING, c STRING")
+    got = mutual_info_cramers_v(df, "r", "c").collect()[0]
+    assert abs(got["mi_nats"]) < 1e-9
+    assert abs(got["cramers_v"]) < 1e-9
+
+
+def test_mutual_info_deterministic_under_partitioning(spark):
+    from gcpdatapipelines_spark.operators.agg import mutual_info_cramers_v
+
+    df, _ = _mi_fixture(spark)
+    a = mutual_info_cramers_v(df, "r", "c").collect()[0]
+    b = mutual_info_cramers_v(df.repartition(13), "r", "c").collect()[0]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjusted_means
+# ---------------------------------------------------------------------------
+
+
+def _cuped_fixture(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        arm = "t" if i % 2 else "c"
+        x = Decimal(rng.randint(0, 10000)) / 100
+        noise = Decimal(rng.randint(-2000, 2000)) / 100
+        lift = Decimal("5.00") if arm == "t" else Decimal("0.00")
+        y = (x * 2 + noise + lift).quantize(Decimal("0.01"))
+        rows.append((i, arm, x, y))
+    return (
+        spark.createDataFrame(
+            rows, "unit BIGINT, arm STRING, x DECIMAL(18,2), y DECIMAL(18,2)"
+        ),
+        rows,
+    )
+
+
+def test_cuped_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.agg import cuped_adjusted_means
+
+    df, rows = _cuped_fixture(spark)
+    got = {r["arm"]: r for r in cuped_adjusted_means(df, "x", "y", "arm").collect()}
+
+    xs = [float(r[2]) for r in rows]
+    ys = [float(r[3]) for r in rows]
+    n = len(rows)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    var = sum(x * x for x in xs) / n - mx * mx
+    theta = cov / var
+    for arm in ("t", "c"):
+        sub = [(float(r[2]), float(r[3])) for r in rows if r[1] == arm]
+        mean_y = sum(y for _, y in sub) / len(sub)
+        mean_x = sum(x for x, _ in sub) / len(sub)
+        adj = mean_y - theta * (mean_x - mx)
+        assert abs(got[arm]["mean_y"] - mean_y) < 1e-4
+        assert abs(got[arm]["mean_y_adj"] - adj) < 1e-4
+        assert abs(got[arm]["theta"] - theta) < 1e-4
+    # rho2 in (0, 1]: x strongly predicts y by construction
+    assert 0.5 < got["t"]["rho2"] <= 1.0
+
+
+def test_cuped_preserves_weighted_mean(spark):
+    """CUPED shifts each arm by theta·(mx_arm - mx); the unit-weighted
+    average of adjusted means equals the raw overall mean (the
+    adjustment is mean-zero overall), so no aggregate lift is
+    invented."""
+    from gcpdatapipelines_spark.operators.agg import cuped_adjusted_means
+
+    df, rows = _cuped_fixture(spark)
+    got = cuped_adjusted_means(df, "x", "y", "arm").collect()
+    n = sum(r["n_units"] for r in got)
+    w_adj = sum(r["mean_y_adj"] * r["n_units"] for r in got) / n
+    my = sum(float(r[3]) for r in rows) / len(rows)
+    assert abs(w_adj - my) < 1e-4
+
+
+def test_cuped_reduces_arm_gap_noise(spark):
+    """With y ≈ 2x + lift, the adjusted treatment-control gap must be
+    closer to the planted lift (5.0) than the raw gap is (x imbalance
+    between arms is the noise CUPED removes)."""
+    from gcpdatapipelines_spark.operators.agg import cuped_adjusted_means
+
+    df, _ = _cuped_fixture(spark)
+    got = {r["arm"]: r for r in cuped_adjusted_means(df, "x", "y", "arm").collect()}
+    raw_gap = got["t"]["mean_y"] - got["c"]["mean_y"]
+    adj_gap = got["t"]["mean_y_adj"] - got["c"]["mean_y_adj"]
+    assert abs(adj_gap - 5.0) <= abs(raw_gap - 5.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# woe_iv
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.features import woe_iv
+
+    counts = {"A": (30, 70), "B": (60, 40), "C": (10, 90)}
+    rows = []
+    for cat, (ev, ne) in counts.items():
+        rows += [(cat, True)] * ev + [(cat, False)] * ne
+    df = spark.createDataFrame(rows, "cat STRING, ev BOOLEAN")
+    got = {r["cat"]: r for r in woe_iv(df, "cat", F.col("ev")).collect()}
+
+    et = sum(ev for ev, _ in counts.values())
+    nt = sum(ne for _, ne in counts.values())
+    iv = 0.0
+    for cat, (ev, ne) in counts.items():
+        woe = math.log((ev / et) / (ne / nt))
+        term = (ev / et - ne / nt) * woe
+        iv += term
+        assert abs(got[cat]["woe"] - woe) < 1e-5
+        assert abs(got[cat]["iv_term"] - term) < 1e-5
+    for r in got.values():
+        assert abs(r["iv_total"] - iv) < 1e-5
+
+
+def test_woe_iv_drops_zero_class_categories(spark):
+    from gcpdatapipelines_spark.operators.features import woe_iv
+
+    rows = [("A", True)] * 5 + [("A", False)] * 5 + [("Z", True)] * 4
+    df = spark.createDataFrame(rows, "cat STRING, ev BOOLEAN")
+    out = woe_iv(df, "cat", F.col("ev")).collect()
+    assert [r["cat"] for r in out] == ["A"]
+    # balanced A: woe == 0, iv == 0
+    assert out[0]["woe"] == 0.0 and out[0]["iv_total"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# kmv_setops
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_setops_exact_regime_and_accuracy(spark):
+    """Sets smaller than k: theta = 1.0, every estimate IS the exact
+    count. Overlap structure: A = 0..149, B = 100..249."""
+    from gcpdatapipelines_spark.operators.sketches import kmv_setops
+
+    a = spark.range(0, 150).select(F.col("id").alias("ka"))
+    b = spark.range(100, 250).select(F.col("id").alias("kb"))
+    got = {r["op"]: r for r in kmv_setops(a, b, "ka", "kb", k=256).collect()}
+    assert got["a"]["exact"] == 150 and got["b"]["exact"] == 150
+    assert got["union"]["exact"] == 250 and got["intersect"]["exact"] == 50
+    for r in got.values():
+        assert r["estimate"] == float(r["exact"])
+        assert r["rel_err"] == 0.0
+
+
+def test_kmv_setops_sketch_regime_bounds(spark):
+    """Sets much larger than k: estimates within ~5 sigma of truth
+    (sigma ≈ exact/sqrt(k-2)) and the inclusion-exclusion identity
+    holds approximately."""
+    from gcpdatapipelines_spark.operators.sketches import kmv_setops
+
+    a = spark.range(0, 6000).select(F.col("id").alias("ka"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("kb"))
+    got = {r["op"]: r for r in kmv_setops(a, b, "ka", "kb", k=256).collect()}
+    for op, exact in [("a", 6000), ("b", 6000), ("union", 9000),
+                      ("intersect", 3000)]:
+        assert got[op]["exact"] == exact
+        sigma = exact / math.sqrt(254)
+        assert abs(got[op]["estimate"] - exact) < 5 * sigma, (op, got[op])
+
+
+def test_kmv_setops_disjoint_intersection_zero(spark):
+    from gcpdatapipelines_spark.operators.sketches import kmv_setops
+
+    a = spark.range(0, 3000).select(F.col("id").alias("ka"))
+    b = spark.range(50000, 53000).select(F.col("id").alias("kb"))
+    got = {r["op"]: r for r in kmv_setops(a, b, "ka", "kb", k=128).collect()}
+    assert got["intersect"]["exact"] == 0
+    assert got["intersect"]["estimate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_drift
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_drift_identical_snapshots(spark):
+    from gcpdatapipelines_spark.operators.quality import snapshot_drift
+
+    df = spark.createDataFrame(
+        [(1, "x", Decimal("1.50")), (2, None, Decimal("2.50")), (3, "y", None)],
+        "id BIGINT, s STRING, v DECIMAL(18,2)",
+    )
+    out = snapshot_drift(df, df, ["id", "s", "v"]).collect()
+    assert len(out) == 12  # 3 columns x 4 metrics
+    for r in out:
+        assert r["before"] == r["after"], r
+
+
+def test_snapshot_drift_detects_shift(spark):
+    from gcpdatapipelines_spark.operators.quality import snapshot_drift
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id BIGINT, s STRING")
+    b = spark.createDataFrame([(5, "x"), (6, None)], "id BIGINT, s STRING")
+    rows = {(r["column"], r["metric"]): r for r in
+            snapshot_drift(a, b, ["id", "s"]).collect()}
+    assert rows[("id", "min")]["before"] == "1"
+    assert rows[("id", "min")]["after"] == "5"
+    assert rows[("id", "max")]["after"] == "6"
+    assert rows[("s", "null_rate")]["before"] == "0.0"
+    assert rows[("s", "null_rate")]["after"] == "0.5"
+    assert rows[("s", "n_distinct")]["after"] == "1"
