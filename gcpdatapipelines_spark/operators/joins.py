@@ -183,3 +183,39 @@ def range_join_bucketed(
         (F.col(right_ts) >= F.col("__start")) & (F.col(right_ts) <= F.col("__end"))
     )
     return joined.drop("__bucket", "__start", "__end")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    nsalts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated shuffle equi-join: the fact side gets a
+    DETERMINISTIC salt (xxhash64 of ``salt_from`` mod ``nsalts`` —
+    a column that VARIES WITHIN a join key, e.g. the fact's line
+    number; salting by the key itself would re-collapse every hot
+    key into one bucket) and the dimension side is replicated
+    ``nsalts``× via an exploded sequence, so each hot join key fans
+    out over ``nsalts`` reducers instead of landing on one. Join
+    condition (key, salt) — exactly the manual form of what AQE's
+    skew-join split does at runtime, for when the skew is known ahead
+    of time (profile_key_skew is the decision input) or AQE's
+    post-shuffle stats can't see it.
+
+    Result rows are identical to the plain join (salting only changes
+    WHERE rows meet, never which rows match) — the property the
+    oracle twin checks. Cost: dim side is shuffled ``nsalts``× larger;
+    worth it when the hot key's single-reducer time dominates. The
+    broadcast hint is deliberately absent — salting only applies to
+    shuffle joins (a broadcast join has no reducer to skew)."""
+    f = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(nsalts)).cast("int"),
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
+    )
+    return f.join(d.hint("shuffle_hash"), [key, "__salt"], how).drop("__salt")

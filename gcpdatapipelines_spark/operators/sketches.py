@@ -584,3 +584,169 @@ def kmv_setops_sql(
                  / greatest(coalesce(x.exact, 0), 1), 6) AS rel_err
     FROM ests e LEFT JOIN ex x ON e.op = x.op
     """
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
+    """(bucket, rho): the raw HyperLogLog register table of a key set —
+    the MERGEABLE state form of :func:`hll_distinct` (registers merge
+    by per-bucket max; the estimate is derived, state is the sketch).
+    Same hash/rho construction, integer-exact."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    keyed = df.select(_h60(F.col(key_col)).alias("h")).selectExpr(
+        f"h % {m} AS bucket", f"h div {m} AS w"
+    )
+    return keyed.groupBy("bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)"
+            f" ELSE {w_bits + 1} END)"
+        ).alias("rho")
+    )
+
+
+def _hll_estimate_expr(m: int):
+    """(s_scaled, v_occupied) -> corrected HLL estimate column chain
+    (shared by hll_distinct-style consumers)."""
+    alpha = _hll_alpha(m)
+    scale = float(1 << 52)
+    raw = F.round(
+        F.lit(alpha * m * m)
+        / (
+            (F.col("s_scaled") + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52))
+            / F.lit(scale)
+        ),
+        6,
+    )
+    v_empty = (F.lit(m) - F.col("v_occupied")).cast("long")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty), 6),
+    ).otherwise(raw)
+    return corrected
+
+
+def hll_merge_audit(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    p: int = 9,
+) -> DataFrame:
+    """The HLL mergeability proof as a query: registers built on two
+    disjoint-scan halves, max-merged, must equal the registers of one
+    full scan BUCKET-FOR-BUCKET — ``merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B)``, the identity that lets 100 TB cardinality roll
+    up from per-partition/per-day sketch state without ever rescanning
+    history (the sketch twin of merge_partial_aggregates).
+
+    Returns ONE row: (m, n_exact, merged_estimate, direct_estimate,
+    n_register_mismatch, registers_equal). n_register_mismatch counts
+    full-outer-join disagreements (must be 0; pinned in tests and in
+    the oracle twin)."""
+    m = 1 << p
+    ra = hll_registers(a, a_key, p)
+    rb = hll_registers(b, b_key, p)
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    direct = hll_registers(
+        a.select(F.col(a_key).alias("__k")).unionByName(
+            b.select(F.col(b_key).alias("__k"))
+        ),
+        "__k",
+        p,
+    )
+    mism = (
+        merged.withColumnRenamed("rho", "rho_m")
+        .join(direct.withColumnRenamed("rho", "rho_d"), "bucket", "full_outer")
+        .filter(
+            F.col("rho_m").isNull()
+            | F.col("rho_d").isNull()
+            | (F.col("rho_m") != F.col("rho_d"))
+        )
+        .agg(F.count("*").alias("n_register_mismatch"))
+    )
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        return regs.agg(
+            F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+            F.count("*").alias("v_occupied"),
+        ).select(_hll_estimate_expr(m).alias(name))
+
+    n_exact = (
+        a.select(F.col(a_key).alias("__k"))
+        .unionByName(b.select(F.col(b_key).alias("__k")))
+        .agg(F.countDistinct("__k").alias("n_exact"))
+    )
+    return (
+        n_exact.crossJoin(_est(merged, "merged_estimate"))
+        .crossJoin(_est(direct, "direct_estimate"))
+        .crossJoin(mism)
+        .select(
+            F.lit(m).alias("m"),
+            "n_exact",
+            "merged_estimate",
+            "direct_estimate",
+            "n_register_mismatch",
+            (F.col("n_register_mismatch") == 0).alias("registers_equal"),
+        )
+    )
+
+
+def hll_merge_audit_sql(
+    a_select: str,
+    b_select: str,
+    p: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hll_merge_audit`; ``a_select``/``b_select``
+    are full SELECTs producing one column ``key``."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    scale = float(1 << 52)
+    h = _h60_sql("key")
+
+    def _regs(src: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT h % {m} AS bucket,
+               max(CASE WHEN h // {m} > 0
+                        THEN {w_bits} - CAST(floor(log2(h // {m})) AS BIGINT)
+                        ELSE {w_bits + 1} END) AS rho
+        FROM (SELECT {h} AS h FROM ({src}))
+        GROUP BY 1
+    )"""
+
+    est = (
+        f"""(SELECT CASE
+            WHEN round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                 ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
+                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r}),
+                 6) <= 2.5 * {m} AND {m} - count(*) > 0
+            THEN round({m}.0 * ln({m}.0 / ({m} - count(*))), 6)
+            ELSE round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                 ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
+                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r}),
+                 6) END FROM {{src}})"""
+    )
+    return f"""
+    WITH {_regs(a_select, 'ra')}, {_regs(b_select, 'rb')},
+    merged AS (
+        SELECT bucket, max(rho) AS rho
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        GROUP BY bucket
+    ),
+    {_regs(f"{a_select} UNION ALL {b_select}", 'direct')},
+    mism AS (
+        SELECT count(*) AS n_register_mismatch
+        FROM merged m FULL OUTER JOIN direct d USING (bucket)
+        WHERE m.rho IS NULL OR d.rho IS NULL OR m.rho <> d.rho
+    )
+    SELECT CAST({m} AS INTEGER) AS m,
+           (SELECT count(DISTINCT key) FROM ({a_select} UNION ALL {b_select}))
+               AS n_exact,
+           {est.format(src='merged')} AS merged_estimate,
+           {est.format(src='direct')} AS direct_estimate,
+           n_register_mismatch,
+           n_register_mismatch = 0 AS registers_equal
+    FROM mism
+    """

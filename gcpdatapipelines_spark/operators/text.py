@@ -811,3 +811,101 @@ def bigram_nll(
         F.count("*").alias("n_bigrams"),
         F.round((-F.sum("c").cast("double")) / F.count("*"), 6).alias("nll"),
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "been", "for", "on", "with", "as", "by",
+    "at", "it", "its", "this", "that", "from", "but", "not", "we",
+    "you", "they",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top: int = 20,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, a word
+    scores deg(w)/freq(w) (deg = summed length of the phrases its
+    occurrences sit in), a phrase scores the sum of its word scores —
+    returns the ``top`` phrases by (score desc, phrase asc) with
+    corpus occurrence counts.
+
+    Parity shape: word scores are one integer-ratio double; the
+    phrase sum folds the scores in WORD-POSITION order (in-array
+    aggregate over the idx-sorted score list — double addition
+    reassociates, so the fold order is part of the contract, NOTES.md
+    fold parity). Identical phrase text ⇒ identical score, so the
+    final per-phrase max is deterministic.
+
+    Scale shape: phrase building is one doc-keyed window pass
+    (gaps-and-islands on token positions); word stats are a
+    partial+final aggregate over the vocabulary; the top-k compiles
+    to TakeOrderedAndProject — per-partition heads, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    from .dedup import doc_tokens
+
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    pos = toks.select(
+        id_col, F.posexplode("__toks").alias("__i", "__tok")
+    )
+    ns = pos.filter(~F.col("__tok").isin(*stopwords)).withColumn(
+        "__grp",
+        F.col("__i")
+        - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("__i")
+        ),
+    )
+    ph = ns.groupBy(id_col, "__grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__tok"))),
+            lambda s: s.getField("__tok"),
+        ).alias("__words"),
+        F.count("*").alias("__plen"),
+    )
+    pw = ph.select(
+        id_col,
+        "__grp",
+        "__plen",
+        F.posexplode("__words").alias("__idx", "__w"),
+    )
+    ws = pw.groupBy("__w").agg(
+        (
+            F.sum("__plen").cast("double") / F.count("*")
+        ).alias("__wscore")
+    )
+    scored = (
+        pw.join(ws, "__w")
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__idx", "__wscore"))
+                    ),
+                    lambda s: s.getField("__wscore"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__score"),
+        )
+    )
+    ph2 = ph.select(
+        id_col, "__grp", F.concat_ws(" ", "__words").alias("__phrase")
+    )
+    final = (
+        scored.join(ph2, [id_col, "__grp"])
+        .groupBy(F.col("__phrase").alias("phrase"))
+        .agg(
+            F.count("*").alias("n_occur"),
+            F.round(F.max("__score"), 6).alias("rake_score"),
+        )
+    )
+    return final.orderBy(F.col("rake_score").desc(), F.col("phrase")).limit(top)

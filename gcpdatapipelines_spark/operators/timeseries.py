@@ -574,3 +574,89 @@ def kaplan_meier(
         c.getField("n_censored").alias("n_censored"),
         F.round(F.col("__z").getField("__p"), ndigits).alias("survival"),
     )
+
+
+def holt_winters_state(
+    daily: DataFrame,
+    key: str,
+    grain_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """(key, n, level, trend, season_next, forecast_1): additive
+    Holt-Winters final smoothing state per key — level + trend +
+    rotating seasonal array, the seasonal rung above
+    sequences.holt_linear_state. ``daily`` must already be the
+    regular per-(key, grain) series (one row per grain point, grain
+    sortable, value double-exact, e.g. a decimal sum cast to double);
+    keys need >= 2·period points.
+
+    Init (Hyndman & Athanasopoulos §7.3 shape): level = mean of the
+    first period block, trend = (block-2 mean − block-1 mean)/period,
+    seasonals = block-1 deviations from its mean; the fold then
+    consumes observations period+1..n. State is an array<double>
+    [l, b, s_next, …]: each step rotates the seasonal tail so the
+    CURRENT step's seasonal is always element 3 — and the DuckDB twin
+    encodes the identical rotation with a list accumulator (struct
+    accumulators alias in place there, NOTES.md), so the final state
+    is bit-identical across engines.
+
+    Scale shape: one shuffle to build per-key ordered arrays (the
+    array is series-length, i.e. calendar-bounded, NOT data-bounded);
+    the init means and the fold are narrow in-array expressions."""
+    m = period
+    seqs = daily.groupBy(key).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(grain_col), F.col(value_col)))
+            ),
+            lambda s: s.getField(value_col).cast("double"),
+        ).alias("__arr")
+    )
+    arr = F.col("__arr")
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    g = F.lit(float(gamma))
+    mean1 = (
+        F.aggregate(F.slice(arr, 1, m), F.lit(0.0), lambda ac, x: ac + x)
+        / F.lit(float(m))
+    )
+    mean2 = (
+        F.aggregate(F.slice(arr, m + 1, m), F.lit(0.0), lambda ac, x: ac + x)
+        / F.lit(float(m))
+    )
+    init = F.concat(
+        F.array(mean1, (mean2 - mean1) / F.lit(float(m))),
+        F.transform(F.slice(arr, 1, m), lambda x: x - mean1),
+    )
+    tail = F.slice(arr, m + 1, F.greatest(F.size(arr) - m, F.lit(0)))
+
+    def step(acc, x):
+        l0 = F.element_at(acc, 1)
+        b0 = F.element_at(acc, 2)
+        s0 = F.element_at(acc, 3)
+        lp = a * (x - s0) + (F.lit(1.0) - a) * (l0 + b0)
+        bp = b * (lp - l0) + (F.lit(1.0) - b) * b0
+        sp = g * (x - lp) + (F.lit(1.0) - g) * s0
+        return F.concat(
+            F.array(lp, bp), F.slice(acc, 4, m - 1), F.array(sp)
+        )
+
+    st = F.aggregate(tail, init, step)
+    return (
+        seqs.where(F.size(arr) >= 2 * m)
+        .select(
+            F.col(key),
+            F.size(arr).cast("long").alias("n"),
+            F.round(F.element_at(st, 1), 6).alias("level"),
+            F.round(F.element_at(st, 2), 6).alias("trend"),
+            F.round(F.element_at(st, 3), 6).alias("season_next"),
+            F.round(
+                F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3),
+                6,
+            ).alias("forecast_1"),
+        )
+    )

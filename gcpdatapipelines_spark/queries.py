@@ -8561,6 +8561,221 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_holt_winters",
+    """
+    WITH per AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, list(v ORDER BY d) AS arr FROM per
+        GROUP BY event_type
+    ), mm AS (
+        SELECT event_type, arr,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), arr[1:7]),
+                           (a, x) -> a + x) / 7.0 AS mean1,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), arr[8:14]),
+                           (a, x) -> a + x) / 7.0 AS mean2
+        FROM s WHERE len(arr) >= 14
+    ), ini AS (
+        SELECT event_type, arr,
+               list_concat([mean1, (mean2 - mean1) / 7.0],
+                           [x - mean1 for x in arr[1:7]]) AS init
+        FROM mm
+    ), folded AS (
+        SELECT event_type, arr,
+               list_reduce(
+                   list_prepend(init,
+                       [[CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                         CAST(0 AS DOUBLE)] for x in arr[8:]]),
+                   (acc, x) -> [
+                       0.5 * (x[1] - acc[3])
+                           + (1.0 - 0.5) * (acc[1] + acc[2]),
+                       0.3 * ((0.5 * (x[1] - acc[3])
+                               + (1.0 - 0.5) * (acc[1] + acc[2])) - acc[1])
+                           + (1.0 - 0.3) * acc[2],
+                       acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                       0.2 * (x[1] - (0.5 * (x[1] - acc[3])
+                                      + (1.0 - 0.5) * (acc[1] + acc[2])))
+                           + (1.0 - 0.2) * acc[3]
+                   ]) AS st
+        FROM ini
+    )
+    SELECT event_type, CAST(len(arr) AS BIGINT) AS n,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[3], 6) AS season_next,
+           round(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM folded
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (alpha .5, beta .3, gamma .2, weekly
+    period 7) final state per event type over the daily value series —
+    level + trend + rotating seasonal, one-step forecast. The
+    holt-linear fold trick extended to ARRAY state: init from the
+    first two weekly blocks, then one in-array fold whose every
+    double operation (including the engine-computed 1.0-beta
+    complements) is textually mirrored in the DuckDB twin, so the
+    sequential state is bit-identical. One shuffle for the
+    calendar-bounded daily arrays; init and fold are narrow."""
+    from .operators.timeseries import holt_winters_state
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("__d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("__v")
+    )
+    return holt_winters_state(
+        daily, "event_type", "__d", "__v", period=7,
+        alpha=0.5, beta=0.3, gamma=0.2,
+    )
+
+
+@register(
+    "j11_salted_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j11_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join of lineitem to orders (salt from the
+    line number — varies WITHIN an order key; the dim side replicates
+    4×), aggregated to revenue per order priority. The oracle is the
+    PLAIN join: a green hash is the proof that salting changes where
+    rows meet, never which rows match. The manual form of AQE's
+    skew-join split, for skew known before runtime
+    (profile_key_skew's output); plan contract (salted equi keys, no
+    broadcast, exploded dim) pinned in test_plans."""
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    j = salted_join(li, o, "l_orderkey", "l_linenumber", nsalts=4)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def _register_hll_merge():
+    from .operators.sketches import hll_merge_audit_sql
+
+    @register(
+        "sketch_hll_merge",
+        hll_merge_audit_sql(
+            "SELECT o_custkey AS key FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1998-07-01'",
+            "SELECT o_custkey AS key FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1998-07-01'",
+            p=9,
+        ),
+    )
+    def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HLL mergeability proof: registers of two disjoint order-date
+        halves, max-merged, must equal the full-scan registers
+        bucket-for-bucket (merge(sketch(A), sketch(B)) == sketch(A∪B))
+        — the identity that lets 100 TB cardinality roll up from
+        per-day sketch state without rescanning history. Output pins
+        n_register_mismatch = 0 plus both estimates under the
+        oracle."""
+        from .operators.sketches import hll_merge_audit
+
+        o = _t(spark, sf_dir, "orders")
+        cut = F.lit("1998-07-01").cast("timestamp")
+        return hll_merge_audit(
+            o.filter(F.col("o_orderdate") < cut),
+            o.filter(F.col("o_orderdate") >= cut),
+            "o_custkey",
+            "o_custkey",
+            p=9,
+        )
+
+
+_register_hll_merge()
+
+
+@register(
+    "text_rake_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t[i] AS tok, i
+        FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+    ), ns AS (
+        SELECT doc_id, tok, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM pos
+        WHERE tok NOT IN ('the','a','an','and','or','of','to','in','is',
+                          'are','was','were','be','been','for','on','with',
+                          'as','by','at','it','its','this','that','from',
+                          'but','not','we','you','they')
+    ), ph AS (
+        SELECT doc_id, grp, list(tok ORDER BY i) AS words,
+               count(*) AS plen
+        FROM ns GROUP BY 1, 2
+    ), pw AS (
+        SELECT doc_id, grp, plen, words[j] AS w, j
+        FROM (SELECT doc_id, grp, plen, words,
+                     generate_subscripts(words, 1) AS j FROM ph)
+    ), ws AS (
+        SELECT w, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+        FROM pw GROUP BY w
+    ), scored AS (
+        SELECT pw.doc_id, pw.grp,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(ws.wscore ORDER BY pw.j)),
+                   (a, x) -> a + x) AS score
+        FROM pw JOIN ws USING (w)
+        GROUP BY 1, 2
+    ), final AS (
+        SELECT array_to_string(ph.words, ' ') AS phrase,
+               count(*) AS n_occur,
+               round(max(s.score), 6) AS rake_score
+        FROM scored s JOIN ph USING (doc_id, grp)
+        GROUP BY 1
+    )
+    SELECT phrase, n_occur, rake_score
+    FROM final ORDER BY rake_score DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: maximal stopword-free token runs as
+    candidate phrases, word score deg/freq, phrase score = position-
+    ordered fold of word scores (double addition reassociates — fold
+    order is part of the contract), top 20 by (score, phrase). Phrase
+    building is one doc-keyed window pass; word stats one vocabulary
+    aggregate; the top-k is TakeOrderedAndProject."""
+    from .operators.text import rake_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(
+        d, "doc_id", "text", top=20, tokens_df=_doc_tokens_cached(spark, sf_dir)
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -402,3 +402,17 @@ def test_semdedup_catalog_entry_has_no_flat_fallback(spark):
     bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
     assert len(bnlj_ids) <= 1, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_salted_join_plan_no_broadcast_and_exploded_dim(spark):
+    """j11's salted path must be a SHUFFLE join keyed on (key, salt)
+    with the dim side exploded — a broadcast join would make salting
+    meaningless (no reducer to skew), and the salt must reach the
+    join keys or hot keys re-collapse."""
+    df = _q(spark, "j11_salted_join")
+    plan = P.formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert "__salt" in plan, plan
+    joins = P.join_strategies(df)
+    assert "ShuffledHashJoin" in joins or "SortMergeJoin" in joins, joins
+    assert "CartesianProduct" not in plan

@@ -267,3 +267,185 @@ def test_snapshot_drift_detects_shift(spark):
     assert rows[("s", "null_rate")]["before"] == "0.0"
     assert rows[("s", "null_rate")]["after"] == "0.5"
     assert rows[("s", "n_distinct")]["after"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# holt_winters_state
+# ---------------------------------------------------------------------------
+
+
+def _hw_python(xs, m=7, alpha=0.5, beta=0.3, gamma=0.2):
+    mean1 = sum(xs[:m]) / m
+    mean2 = sum(xs[m:2 * m]) / m
+    l, b = mean1, (mean2 - mean1) / m
+    s = [x - mean1 for x in xs[:m]]
+    for x in xs[m:]:
+        s0 = s[0]
+        lp = alpha * (x - s0) + (1 - alpha) * (l + b)
+        bp = beta * (lp - l) + (1 - beta) * b
+        sp = gamma * (x - lp) + (1 - gamma) * s0
+        l, b = lp, bp
+        s = s[1:] + [sp]
+    return l, b, s[0]
+
+
+def test_holt_winters_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.timeseries import holt_winters_state
+
+    xs = [10.0 + (i % 7) * 2.0 + i * 0.1 for i in range(30)]
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k STRING, d BIGINT, v DOUBLE")
+    got = holt_winters_state(df, "k", "d", "v", period=7).collect()[0]
+    l, b, s = _hw_python(xs)
+    assert got["n"] == 30
+    assert abs(got["level"] - l) < 1e-6
+    assert abs(got["trend"] - b) < 1e-6
+    assert abs(got["season_next"] - s) < 1e-6
+    assert abs(got["forecast_1"] - (l + b + s)) < 1e-6
+
+
+def test_holt_winters_requires_two_periods(spark):
+    from gcpdatapipelines_spark.operators.timeseries import holt_winters_state
+
+    rows = [("short", i, float(i)) for i in range(13)]
+    df = spark.createDataFrame(rows, "k STRING, d BIGINT, v DOUBLE")
+    assert holt_winters_state(df, "k", "d", "v", period=7).count() == 0
+
+
+def test_holt_winters_tracks_planted_seasonality(spark):
+    """On a pure weekly pattern with zero trend, the one-step forecast
+    must be close to the next planted value."""
+    from gcpdatapipelines_spark.operators.timeseries import holt_winters_state
+
+    pattern = [5.0, 8.0, 2.0, 9.0, 4.0, 7.0, 3.0]
+    xs = pattern * 8  # 56 days
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k STRING, d BIGINT, v DOUBLE")
+    got = holt_winters_state(df, "k", "d", "v", period=7).collect()[0]
+    assert abs(got["forecast_1"] - pattern[0]) < 0.5
+
+
+def test_holt_winters_deterministic_under_partitioning(spark):
+    from gcpdatapipelines_spark.operators.timeseries import holt_winters_state
+
+    xs = [10.0 + (i % 7) + i * 0.05 for i in range(40)]
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k STRING, d BIGINT, v DOUBLE")
+    a = holt_winters_state(df, "k", "d", "v", period=7).collect()
+    b = holt_winters_state(
+        df.repartition(11), "k", "d", "v", period=7
+    ).collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    from gcpdatapipelines_spark.operators.joins import salted_join
+
+    # hot key 0 carries half the fact rows
+    fact = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else i % 50) for i in range(2000)],
+        "row_id BIGINT, k BIGINT",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k BIGINT, attr STRING"
+    )
+    got = sorted(
+        (r["row_id"], r["attr"])
+        for r in salted_join(fact, dim, "k", "row_id", nsalts=8).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["attr"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    """Rows of ONE hot key must land in several salt buckets — the
+    whole point; salting by the key itself would collapse to one."""
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, 0) for i in range(1000)], "row_id BIGINT, k BIGINT"
+    )
+    salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).cast("int")
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8
+
+
+# ---------------------------------------------------------------------------
+# hll_merge_audit
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_registers_equal_and_estimate_sane(spark):
+    from gcpdatapipelines_spark.operators.sketches import hll_merge_audit
+
+    a = spark.range(0, 4000).selectExpr("id AS ka")
+    b = spark.range(3000, 8000).selectExpr("id AS kb")
+    got = hll_merge_audit(a, b, "ka", "kb", p=9).collect()[0]
+    assert got["registers_equal"] is True
+    assert got["n_register_mismatch"] == 0
+    assert got["merged_estimate"] == got["direct_estimate"]
+    assert got["n_exact"] == 8000
+    # p=9 -> ~4.6% stderr; 5 sigma bound
+    assert abs(got["merged_estimate"] - 8000) < 8000 * 0.23
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "deep learning of the deep neural network"),
+        (2, "neural network training and deep learning"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        r["phrase"]: (r["n_occur"], r["rake_score"])
+        for r in rake_keywords(df, "doc_id", "text", top=10).collect()
+    }
+
+    # phrases: doc1 -> [deep learning], [deep neural network]
+    #          doc2 -> [neural network training], [deep learning]
+    phrases = [
+        ["deep", "learning"],
+        ["deep", "neural", "network"],
+        ["neural", "network", "training"],
+        ["deep", "learning"],
+    ]
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    score = {w: deg[w] / freq[w] for w in freq}
+    want = {}
+    for p in phrases:
+        text = " ".join(p)
+        s = round(sum(score[w] for w in p), 6)
+        n, _ = want.get(text, (0, s))
+        want[text] = (n + 1, s)
+    assert got == want
+
+
+def test_rake_top_k_ordering(spark):
+    from gcpdatapipelines_spark.operators.text import rake_keywords
+
+    docs = [(i, "alpha beta gamma of delta") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = rake_keywords(df, "doc_id", "text", top=1).collect()
+    assert len(out) == 1
+    # "alpha beta gamma" (len 3, score 9) beats "delta" (score 1)
+    assert out[0]["phrase"] == "alpha beta gamma"
+    assert out[0]["n_occur"] == 5
