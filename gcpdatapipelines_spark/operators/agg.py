@@ -947,3 +947,52 @@ def cuped_adjusted_means(
         F.round(F.col("__theta"), ndigits).alias("theta"),
         F.round(F.col("__rho2"), ndigits).alias("rho2"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col,
+    success_col,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(n_a, n_b, x_a, x_b, p_a, p_b, z): pooled two-proportion
+    z-test between two arms — the conversion-rate A/B gate next to
+    a25_ab_ttest (means) and a28_srm_check (assignment). ``arm_col``
+    must be a boolean Column (True = arm A), ``success_col`` a boolean
+    Column. z = (p_a − p_b)/sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the
+    pooled rate.
+
+    Parity: four integer counts in one aggregate, then a single fixed
+    double chain — bit-identical everywhere. One partial+final
+    aggregate; nothing data-sized leaves the maps."""
+    g = df.agg(
+        F.count(F.when(arm_col, 1)).alias("n_a"),
+        F.count(F.when(~arm_col, 1)).alias("n_b"),
+        F.count(F.when(arm_col & success_col, 1)).alias("x_a"),
+        F.count(F.when(~arm_col & success_col, 1)).alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    # degenerate pooled rate (0 or 1) ⇒ zero variance ⇒ z undefined:
+    # NULL, not a divide-by-zero (ANSI mode errors on the latter)
+    z = F.when(
+        (F.col("x_a") + F.col("x_b") == 0)
+        | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (pa - pb)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        )
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, ndigits).alias("z"),
+    )

@@ -219,3 +219,52 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
     )
     return f.join(d.hint("shuffle_hash"), [key, "__salt"], how).drop("__salt")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    grain: str = "day",
+    how: str = "inner",
+) -> DataFrame:
+    """Bucketed point-in-interval join: each interval EXPLODES into the
+    grain buckets it covers and points join EQUI on their own bucket,
+    with the exact range predicate left as a residual filter. The
+    naive form (``p.ts BETWEEN i.start AND i.end``) is a pure
+    inequality join — a nested-loop / broadcast-NL plan that reads
+    |points|·|intervals| pairs and is the canonical time-join
+    scale-killer; bucketing turns it into ONE hash shuffle keyed on
+    the grain, with fan-out bounded by each interval's span in grain
+    units (callers pick the grain to match typical span: day-grain
+    for day-scale intervals).
+
+    Interval columns must be grain-aligned or coarser than the points
+    they should catch at the residual filter; end is INCLUSIVE at
+    grain resolution (the residual keeps ts < end + 1 grain)."""
+    ival = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('{grain}', {start_col}),"
+                f" date_trunc('{grain}', {end_col}),"
+                f" interval 1 {grain})"
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "__bucket", F.date_trunc(grain, F.col(ts_col))
+    )
+    return (
+        pts.join(ival, "__bucket", how)
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (
+                F.col(ts_col)
+                < F.col(end_col) + F.expr(f"interval 1 {grain}")
+            )
+        )
+        .drop("__bucket")
+    )

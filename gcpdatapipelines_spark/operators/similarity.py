@@ -1668,3 +1668,58 @@ def binary_hamming_topk(
         .filter(F.col("rnk") <= k)
         .select(q_id_col, id_col, "hamming", "sim", "rnk")
     )
+
+
+def matryoshka_prefix_audit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: per group, the mean fraction
+    of each vector's norm captured by its first d dimensions, for each
+    candidate prefix width — the go/no-go table for serving truncated
+    embeddings (Kusupati et al. 2205.13147: prefix-heavy norm ⇒
+    prefix cosine approximates full cosine).
+
+    Rows (group, dims, n_vecs, mean_norm_frac): norm_frac =
+    ||v[:d]|| / ||v||. Parity shape: the per-vector fraction is one
+    double chain rounded to 9 dp into DECIMAL(18,9) before the group
+    sum (associative — the bigram_nll trick), so the mean is
+    bit-identical across engines. Narrow per-vector arithmetic + one
+    hash aggregate per prefix width; widths unioned (constant
+    fan-out)."""
+    group = (
+        F.col(label_col).cast("string") if label_col else F.lit("all")
+    ).alias("group")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    out = None
+    for d in prefix_dims:
+        pre = F.sqrt(
+            F.aggregate(
+                F.slice(v, 1, d), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        frac = F.round(pre / full, 9).cast("decimal(18,9)")
+        g = (
+            vectors.select(group, frac.alias("__f"))
+            .groupBy("group")
+            .agg(
+                F.count("*").alias("n_vecs"),
+                F.round(
+                    F.sum("__f").cast("double") / F.count("*"), 6
+                ).alias("mean_norm_frac"),
+            )
+            .select(
+                "group",
+                F.lit(d).alias("dims"),
+                "n_vecs",
+                "mean_norm_frac",
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

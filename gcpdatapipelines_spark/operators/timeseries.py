@@ -660,3 +660,54 @@ def holt_winters_state(
             ).alias("forecast_1"),
         )
     )
+
+
+def seasonal_decompose_weekday(
+    daily: DataFrame,
+    grain_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """(slot, n_obs, seasonal): classical additive seasonal components
+    by cycle slot (weekday for period 7) from a single daily series —
+    trend = centered ``period``-point moving sum, detrended = value −
+    trend/period, seasonal(slot) = mean of detrended over that slot.
+
+    Parity shape: ``value_col`` must be decimal-typed (exact). The
+    centered moving SUM stays decimal (no division), and the slot mean
+    averages ``period·x − movsum`` — still exact decimal — so the ONLY
+    double operation is the final division by (period · n_obs):
+    engine-bit-identical without any fold.
+
+    Scale shape: one ordered window pass for the moving sum (the
+    series is calendar-bounded — one row per grain point, so the
+    single-partition window is a dictionary-sized frame, not a data
+    scan) and one ``period``-row aggregate."""
+    from pyspark.sql import Window
+
+    half = period // 2
+    w = (
+        Window.orderBy(grain_col)
+        .rowsBetween(-half, half)
+    )
+    x = F.col(value_col)
+    withtrend = daily.select(
+        F.col(grain_col),
+        x.alias("__x"),
+        F.sum(x).over(w).alias("__movsum"),
+        F.count(x).over(w).alias("__wn"),
+    ).filter(F.col("__wn") == period)
+    slot = F.dayofweek(F.col(grain_col)).cast("int")
+    per = withtrend.groupBy(slot.alias("slot")).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.lit(period) * F.col("__x") - F.col("__movsum")).alias("__dev"),
+    )
+    return per.select(
+        "slot",
+        "n_obs",
+        F.round(
+            F.col("__dev").cast("double")
+            / (F.lit(float(period)) * F.col("n_obs").cast("double")),
+            6,
+        ).alias("seasonal"),
+    )

@@ -8776,6 +8776,218 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j12_point_in_interval",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS n
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT sum(n) AS s, count(*) AS k FROM daily
+    ), busy AS (
+        SELECT d, n FROM daily CROSS JOIN tot WHERE n * k > s
+    ), isl AS (
+        SELECT d,
+               CAST(date_diff('day', TIMESTAMP '2020-01-01', d) AS BIGINT)
+                   - row_number() OVER (ORDER BY d) AS grp
+        FROM busy
+    ), iv AS (
+        SELECT min(d) AS interval_start, max(d) AS interval_end,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM isl GROUP BY grp
+    )
+    SELECT iv.interval_start, iv.interval_end, iv.n_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS total_value
+    FROM iv JOIN events e
+      ON e.ts >= iv.interval_start
+     AND e.ts < iv.interval_end + INTERVAL 1 DAY
+    GROUP BY 1, 2, 3
+    """,
+)
+def j12_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval rollup via the BUCKETED time join: busy-day
+    campaigns (above-mean daily volume, consecutive days merged by
+    gaps-and-islands — the busy test is integer math n·days > total,
+    no float threshold) exploded into their covered days, events
+    joined EQUI on day with the exact range left as residual. The
+    oracle runs the naive INEQUALITY join — a green hash proves the
+    bucketed plan computes identical semantics while staying a hash
+    join (the inequality form is a nested-loop scale-killer; plan
+    contract in test_plans). Island window runs over the
+    calendar-bounded daily table, never the events."""
+    from .operators.joins import point_in_interval_join
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("__d")).agg(
+        F.count("*").alias("__n")
+    )
+    tot = daily.agg(
+        F.sum("__n").alias("__s"), F.count("*").alias("__k")
+    )
+    busy = daily.crossJoin(F.broadcast(tot)).filter(
+        F.col("__n") * F.col("__k") > F.col("__s")
+    )
+    isl = busy.withColumn(
+        "__grp",
+        F.datediff(F.col("__d"), F.lit("2020-01-01").cast("date")).cast(
+            "bigint"
+        )
+        - F.row_number().over(Window.orderBy("__d")),
+    )
+    iv = isl.groupBy("__grp").agg(
+        F.min("__d").alias("interval_start"),
+        F.max("__d").alias("interval_end"),
+        F.count("*").cast("bigint").alias("n_days"),
+    ).drop("__grp")
+    joined = point_in_interval_join(
+        ev, "ts", iv, "interval_start", "interval_end", grain="day"
+    )
+    return joined.groupBy("interval_start", "interval_end", "n_days").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT d, v,
+               sum(v) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ms,
+               count(v) OVER (ORDER BY d
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        FROM daily
+    )
+    SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS slot,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(7 * v - ms) AS DOUBLE) / (7.0 * count(*)), 6)
+               AS seasonal
+    FROM w WHERE wn = 7
+    GROUP BY 1
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive weekday seasonal components of the daily
+    value series: centered 7-point moving SUM as the trend carrier
+    (division deferred — `7x − movsum` stays exact decimal), slot
+    means with ONE final double division. The moving window runs over
+    the calendar-bounded daily aggregate, not events. Complements
+    ts_holt_winters (smoother state) and ts_seasonal_index
+    (multiplicative hourly index)."""
+    from .operators.timeseries import seasonal_decompose_weekday
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("__d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__v")
+    )
+    return seasonal_decompose_weekday(daily, "__d", "__v", period=7).withColumn(
+        "n_obs", F.col("n_obs").cast("bigint")
+    )
+
+
+@register(
+    "a40_two_prop_ztest",
+    """
+    WITH pc AS (
+        SELECT user_id,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+        FROM events GROUP BY user_id
+    ), t AS (
+        SELECT sum(np) AS total, count(*) AS k FROM pc
+    ), per AS (
+        SELECT user_id, np * k > total AS conv FROM pc CROSS JOIN t
+    ), g AS (
+        SELECT count(*) FILTER (user_id % 2 = 0) AS n_a,
+               count(*) FILTER (user_id % 2 <> 0) AS n_b,
+               count(*) FILTER (user_id % 2 = 0 AND conv) AS x_a,
+               count(*) FILTER (user_id % 2 <> 0 AND conv) AS x_b
+        FROM per
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a AS DOUBLE) + x_b) / (CAST(n_a AS DOUBLE) + n_b)
+                        * (1.0 - (CAST(x_a AS DOUBLE) + x_b)
+                                 / (CAST(n_a AS DOUBLE) + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+    FROM g
+    """,
+)
+def a40_two_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of the "above-average purchaser"
+    rate between the even/odd user-id arms — the conversion-rate A/B
+    gate beside a25_ab_ttest (means) and a28_srm_check (assignment).
+    The success criterion is integer math (np·users > total — no
+    float threshold, scale-factor-proof: a has-any-purchase flag is
+    100% for every fixture user, which degenerates the pooled
+    variance). Four integer counts + one fixed double chain; one
+    per-user aggregate then one 1-row reduce."""
+    from .operators.agg import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("__np")
+    )
+    t = pc.agg(F.sum("__np").alias("__tot"), F.count("*").alias("__k"))
+    per = pc.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        (F.col("__np") * F.col("__k") > F.col("__tot")).alias("conv"),
+    )
+    return two_proportion_ztest(
+        per, F.col("user_id") % 2 == 0, F.col("conv")
+    )
+
+
+@register(
+    "sim_matryoshka_prefix",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(label AS VARCHAR) AS label_group,
+               embedding::DOUBLE[] AS vec
+        FROM embeddings
+    ), fr AS (
+        SELECT label_group, d.dims,
+               CAST(round(
+                   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        [x * x for x in vec[1:d.dims]]), (a, b) -> a + b))
+                   / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        [x * x for x in vec]), (a, b) -> a + b)),
+                   9) AS DECIMAL(18,9)) AS f
+        FROM v CROSS JOIN (SELECT unnest([8, 16, 32]) AS dims) d
+    )
+    SELECT label_group, CAST(dims AS INTEGER) AS dims,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS mean_norm_frac
+    FROM fr GROUP BY 1, 2
+    """,
+)
+def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit per label: mean fraction of vector
+    norm captured by the first 8/16/32 dims — the go/no-go table for
+    serving truncated (MRL) embeddings. Per-vector fraction is one
+    double chain rounded to 9 dp into DECIMAL before the associative
+    group sum (bigram_nll parity trick). Narrow arithmetic + one hash
+    aggregate per width."""
+    from .operators.similarity import matryoshka_prefix_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = matryoshka_prefix_audit(
+        emb, "vec_id", "embedding", label_col="label", prefix_dims=(8, 16, 32)
+    )
+    return out.withColumnRenamed("group", "label_group")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

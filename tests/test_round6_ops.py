@@ -449,3 +449,178 @@ def test_rake_top_k_ordering(spark):
     # "alpha beta gamma" (len 3, score 9) beats "delta" (score 1)
     assert out[0]["phrase"] == "alpha beta gamma"
     assert out[0]["n_occur"] == 5
+
+
+# ---------------------------------------------------------------------------
+# point_in_interval_join
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_interval_equals_naive_inequality(spark):
+    from gcpdatapipelines_spark.operators.joins import point_in_interval_join
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=7 * i)) for i in range(60)],
+        "pid BIGINT, ts TIMESTAMP",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4)),
+            (2, dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 8)),
+            (3, dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 15)),
+        ],
+        "iid BIGINT, s TIMESTAMP, e TIMESTAMP",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(pts, "ts", ivs, "s", "e").collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .filter(
+            (F.col("ts") >= F.col("s"))
+            & (F.col("ts") < F.col("e") + F.expr("interval 1 day"))
+        )
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_point_in_interval_plan_is_hash_join(spark):
+    """The bucketed form must compile to a hash/merge EQUI join — the
+    naive inequality form is nested-loop."""
+    from gcpdatapipelines_spark import plans as P
+    from gcpdatapipelines_spark.operators.joins import point_in_interval_join
+
+    import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 5))], "pid BIGINT, ts TIMESTAMP"
+    )
+    ivs = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 9))],
+        "iid BIGINT, s TIMESTAMP, e TIMESTAMP",
+    )
+    plan = P.formatted_plan(point_in_interval_join(pts, "ts", ivs, "s", "e"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose_weekday
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """Planted weekday offsets on a flat base: the recovered seasonal
+    components equal the (centered) planted offsets where the moving
+    window is full."""
+    from gcpdatapipelines_spark.operators.timeseries import (
+        seasonal_decompose_weekday,
+    )
+
+    import datetime as dt
+    from decimal import Decimal
+
+    offsets = [3, -2, 5, 0, -4, 1, -3]  # sums to 0
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), Decimal(100 + offsets[i % 7]))
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "d TIMESTAMP, v DECIMAL(18,6)")
+    got = {
+        r["slot"]: r["seasonal"]
+        for r in seasonal_decompose_weekday(df, "d", "v", period=7).collect()
+    }
+    for i, off in enumerate(offsets):
+        day = base + dt.timedelta(days=i)
+        slot = day.isoweekday() % 7 + 1  # Spark dayofweek: Sunday=1
+        assert abs(got[slot] - off) < 1e-6, (slot, off, got)
+
+
+def test_seasonal_components_sum_to_zero_on_balanced_series(spark):
+    from gcpdatapipelines_spark.operators.timeseries import (
+        seasonal_decompose_weekday,
+    )
+
+    import datetime as dt
+    from decimal import Decimal
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), Decimal(50 + (i * 13) % 9))
+        for i in range(42)
+    ]
+    df = spark.createDataFrame(rows, "d TIMESTAMP, v DECIMAL(18,6)")
+    out = seasonal_decompose_weekday(df, "d", "v", period=7).collect()
+    # each slot observed equally often over full weeks of a detrended
+    # series -> components nearly cancel
+    assert abs(sum(r["seasonal"] for r in out)) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_ztest
+# ---------------------------------------------------------------------------
+
+
+def test_two_prop_ztest_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.agg import two_proportion_ztest
+
+    rows = (
+        [("a", True)] * 40 + [("a", False)] * 60
+        + [("b", True)] * 25 + [("b", False)] * 75
+    )
+    df = spark.createDataFrame(rows, "arm STRING, s BOOLEAN")
+    got = two_proportion_ztest(
+        df, F.col("arm") == "a", F.col("s")
+    ).collect()[0]
+    pa, pb = 0.4, 0.25
+    pool = 65 / 200
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert got["n_a"] == 100 and got["x_b"] == 25
+    assert abs(got["z"] - z) < 1e-3
+
+
+def test_two_prop_ztest_degenerate_rates_null_z(spark):
+    from gcpdatapipelines_spark.operators.agg import two_proportion_ztest
+
+    rows = [("a", True)] * 10 + [("b", True)] * 10
+    df = spark.createDataFrame(rows, "arm STRING, s BOOLEAN")
+    got = two_proportion_ztest(df, F.col("arm") == "a", F.col("s")).collect()[0]
+    assert got["p_a"] == 1.0 and got["p_b"] == 1.0 and got["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_prefix_audit
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_norm_fractions(spark):
+    from gcpdatapipelines_spark.operators.similarity import (
+        matryoshka_prefix_audit,
+    )
+
+    # vector with all mass in first 8 dims vs spread evenly over 32
+    front = [1.0] * 8 + [0.0] * 24
+    flat = [1.0] * 32
+    df = spark.createDataFrame(
+        [(1, front, 0), (2, flat, 1)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    got = {
+        (r["group"], r["dims"]): r["mean_norm_frac"]
+        for r in matryoshka_prefix_audit(
+            df, label_col="label", prefix_dims=(8, 16, 32)
+        ).collect()
+    }
+    assert got[("0", 8)] == 1.0
+    assert abs(got[("1", 8)] - math.sqrt(8 / 32)) < 1e-6
+    assert abs(got[("1", 16)] - math.sqrt(16 / 32)) < 1e-6
+    assert got[("1", 32)] == 1.0
+    # fractions are monotone in dims
+    assert got[("1", 8)] <= got[("1", 16)] <= got[("1", 32)]
