@@ -576,3 +576,84 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    edge list: per community c, term_c = e_c/m − (d_c/(2m))², Q = Σ
+    term_c — the standard "is this clustering better than random"
+    score for label-propagation / CC output.
+
+    ``edges``: (u, v) canonical u < v, one row per undirected edge.
+    ``labels``: (node, label).
+
+    Parity shape: e_c (intra edges), d_c (community degree sums) and
+    m are exact integers; the per-community double terms fold over
+    the label-sorted term array (NOTES.md fold parity), so Q is
+    bit-identical across engines.
+
+    Scale shape: two label-broadcast (or hash) joins to tag edge
+    endpoints, one degree aggregate, one |communities|-sized frame
+    for everything after; the 1-row m total broadcasts."""
+    m = edges.agg(F.count("*").alias("__m"))
+    lu = labels.select(
+        F.col("node").alias("u"), F.col("label").alias("__lu")
+    )
+    lv = labels.select(
+        F.col("node").alias("v"), F.col("label").alias("__lv")
+    )
+    tagged = edges.join(lu, "u").join(lv, "v")
+    intra = (
+        tagged.filter(F.col("__lu") == F.col("__lv"))
+        .groupBy(F.col("__lu").alias("label"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("__d"))
+    )
+    comm = (
+        labels.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.coalesce(F.sum("__d"), F.lit(0)).alias("deg_sum"),
+        )
+    )
+    cells = (
+        comm.join(intra, "label", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+    )
+    half = F.col("deg_sum").cast("double") / (
+        F.lit(2.0) * F.col("__m").cast("double")
+    )
+    # explicit product, not pow(x, 2): libm pow is not guaranteed to be
+    # bit-equal to x*x, and the oracle twin writes the product
+    term = (
+        F.col("intra_edges").cast("double") / F.col("__m").cast("double")
+        - half * half
+    )
+    scored = cells.select(
+        "label",
+        "n_nodes",
+        "intra_edges",
+        "deg_sum",
+        F.round(term, 6).alias("term"),
+        term.alias("__t"),
+    )
+    q = scored.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label"), F.col("__t")))
+        ).alias("__ts")
+    ).select(
+        F.round(
+            F.aggregate(
+                F.col("__ts"), F.lit(0.0), lambda a, x: a + x.getField("__t")
+            ),
+            6,
+        ).alias("q_total")
+    )
+    return scored.drop("__t").crossJoin(F.broadcast(q))

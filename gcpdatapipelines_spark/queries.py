@@ -8988,6 +8988,88 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("group", "label_group")
 
 
+@register(
+    "graph_modularity",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+    v1 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2
+    ), l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v1
+        ) WHERE rn = 1
+    ), v2 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2
+    ), l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v2
+        ) WHERE rn = 1
+    ), v3 AS (
+        SELECT s.u AS node, l.label, count(*) AS c
+        FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2
+    ), l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn FROM v3
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT count(*) AS m FROM e),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+    ),
+    intra AS (
+        SELECT lu.label, count(*) AS intra_edges
+        FROM e JOIN l3 lu ON e.u = lu.node JOIN l3 lv ON e.v = lv.node
+        WHERE lu.label = lv.label GROUP BY 1
+    ),
+    comm AS (
+        SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(coalesce(sum(d.d), 0) AS BIGINT) AS deg_sum
+        FROM l3 l LEFT JOIN deg d ON l.node = d.node GROUP BY 1
+    ),
+    scored AS (
+        SELECT c.label, c.n_nodes,
+               CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               c.deg_sum,
+               CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m.m
+               - (CAST(c.deg_sum AS DOUBLE) / (2.0 * m.m))
+                 * (CAST(c.deg_sum AS DOUBLE) / (2.0 * m.m)) AS t
+        FROM comm c LEFT JOIN intra i USING (label) CROSS JOIN m
+    ),
+    q AS (
+        SELECT round(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY label)),
+                   (a, x) -> a + x), 6) AS q_total
+        FROM scored
+    )
+    SELECT label, n_nodes, intra_edges, deg_sum,
+           round(t, 6) AS term, q_total
+    FROM scored CROSS JOIN q
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round label-propagation communities
+    on the co-purchase graph: per community e_c/m − (d_c/2m)², folded
+    label-sorted into the repeated q_total — "did label prop find
+    real structure" in one oracle-checked table. Integer counts
+    everywhere; the only doubles are the per-community terms and the
+    fold. Joins tag edge endpoints with labels; everything after runs
+    on the |communities| frame."""
+    from .operators.graph import label_propagation, modularity
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    labels = label_propagation(edges, iterations=3)
+    return modularity(edges, labels)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -684,3 +684,57 @@ def drift_monitor_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def hll_sketch_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    target_path: str,
+    checkpoint: str,
+    p: int = 9,
+) -> None:
+    """Streaming HLL register maintenance via foreachBatch: each
+    micro-batch's keys become a register table
+    (sketches.hll_registers) that is max-MERGED into the parquet
+    register state — the streaming form of the
+    sketch_hll_merge identity ``merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B)``, keeping a running distinct-count sketch over an
+    unbounded stream in 2^p rows of state with no key history.
+
+    Delivery: replayed batches are absorbed — max-merge is idempotent
+    (max(x, x) == x), so the register state converges exactly-once
+    without any dedup bookkeeping; this is precisely why sketch state
+    is the right streaming-aggregation state at 100 TB. The staging-
+    swap write protocol follows upsert_sink_stream: state is never
+    overwritten in place, failures propagate."""
+    from .operators.sketches import hll_registers
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key_col, p)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        tgt = hpath(target_path)
+        fs = tgt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tgt):
+            state = spark.read.parquet(target_path)
+            merged = (
+                state.unionByName(regs)
+                .groupBy("bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        else:
+            merged = regs
+        staging = target_path.rstrip("/") + f".__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(tgt, True)
+        if not fs.rename(hpath(staging), tgt):
+            raise IOError(f"staging swap failed: {staging} -> {target_path}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

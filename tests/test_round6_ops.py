@@ -624,3 +624,66 @@ def test_matryoshka_norm_fractions(spark):
     assert got[("1", 32)] == 1.0
     # fractions are monotone in dims
     assert got[("1", 8)] <= got[("1", 16)] <= got[("1", 32)]
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles with perfect labels: Q = 2·(3/6 − (6/12)²)
+    = 0.5 — the textbook value."""
+    from gcpdatapipelines_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)],
+        "u BIGINT, v BIGINT",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node BIGINT, label BIGINT",
+    )
+    out = modularity(edges, labels).collect()
+    assert all(abs(r["q_total"] - 0.5) < 1e-9 for r in out)
+    for r in out:
+        assert r["n_nodes"] == 3 and r["intra_edges"] == 3
+        assert r["deg_sum"] == 6
+        assert abs(r["term"] - 0.25) < 1e-9
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: e_c = m and d_c = 2m ⇒ Q = 0."""
+    from gcpdatapipelines_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u BIGINT, v BIGINT"
+    )
+    labels = spark.createDataFrame(
+        [(n, 0) for n in range(1, 5)], "node BIGINT, label BIGINT"
+    )
+    out = modularity(edges, labels).collect()
+    assert len(out) == 1
+    assert abs(out[0]["q_total"]) < 1e-9
+
+
+def test_modularity_penalizes_split_communities(spark):
+    """Splitting a clique across labels must lower Q vs keeping it
+    whole."""
+    from gcpdatapipelines_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)],
+        "u BIGINT, v BIGINT",
+    )
+    good = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node BIGINT, label BIGINT",
+    )
+    bad = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2), (5, 2), (6, 1)],
+        "node BIGINT, label BIGINT",
+    )
+    q_good = modularity(edges, good).collect()[0]["q_total"]
+    q_bad = modularity(edges, bad).collect()[0]["q_total"]
+    assert q_good > q_bad

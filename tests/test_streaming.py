@@ -585,3 +585,54 @@ def test_incremental_neardup_pipeline_matches_sequential_batches(spark, tmp_path
     st = spark.read.parquet(state)
     assert set(st.columns) == {"doc_id", "band", "bucket"}
     assert st.select("doc_id").distinct().count() == 3
+
+
+def test_hll_sketch_stream_matches_full_scan(spark, tmp_path):
+    """Streaming HLL maintenance: registers max-merged across
+    micro-batches must equal the registers of one full scan
+    bucket-for-bucket (the sketch_hll_merge identity under
+    foreachBatch), and therefore yield the identical estimate. Batches
+    overlap in keys to exercise the idempotent-merge path."""
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k BIGINT"
+
+    def write_batch(name, lo, hi, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], schema
+        ).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    write_batch("a", 0, 1200, mtime=1_700_000_000)
+    write_batch("b", 800, 2500, mtime=1_700_000_100)  # overlaps a
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    target = str(tmp_path / "hll_state")
+    S.hll_sketch_stream(
+        stream, "k", target, str(tmp_path / "ckpt"), p=7
+    )
+
+    from gcpdatapipelines_spark.operators.sketches import hll_registers
+
+    got = {
+        (r["bucket"], r["rho"])
+        for r in spark.read.parquet(target).collect()
+    }
+    full = spark.createDataFrame([(i,) for i in range(0, 2500)], schema)
+    want = {
+        (r["bucket"], r["rho"]) for r in hll_registers(full, "k", p=7).collect()
+    }
+    assert got == want and len(want) > 0
