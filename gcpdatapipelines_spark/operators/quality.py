@@ -232,3 +232,38 @@ def snapshot_drift(
     return joined.select(
         F.explode(F.array(*rows)).alias("__r")
     ).select("__r.column", "__r.metric", "__r.before", "__r.after")
+
+
+def partition_digest(
+    df: DataFrame,
+    partition_expr,
+    cols: list,
+    partition_name: str = "part",
+) -> DataFrame:
+    """(part, n_rows, digest): order-free per-partition content
+    fingerprint — each row hashes to a portable 60-bit value
+    (md5-prefix of the '|'-joined canonical column strings) and the
+    partition digest is the XOR-fold of its row hashes. XOR is
+    commutative/associative, so the digest is partitioning- and
+    order-independent, mergeable (digest of a union = XOR of
+    digests), and ONE partial+final aggregate computes every
+    partition's fingerprint in a single scan — the cheap
+    change-detection primitive for incremental sync (same digest ⇒
+    skip the partition; compare against yesterday's digest table
+    instead of diffing rows).
+
+    Callers pass canonical STRING forms in ``cols`` (decimal strings
+    for money, explicit date_format for timestamps — raw double/ts
+    casts format differently across engines)."""
+    joined = F.concat_ws("|", *cols)
+    h = F.conv(F.substring(F.md5(joined.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.select(partition_expr.alias(partition_name), h.alias("__h"))
+        .groupBy(partition_name)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("digest"),
+        )
+    )

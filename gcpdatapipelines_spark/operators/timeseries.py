@@ -711,3 +711,73 @@ def seasonal_decompose_weekday(
             6,
         ).alias("seasonal"),
     )
+
+
+def forecast_backtest_holt(
+    seqs: DataFrame,
+    key: str,
+    arr_col: str,
+    n_backtests: int = 5,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """(key, n_backtests, mae, mape): rolling-origin backtest of the
+    Holt linear forecaster over an ordered per-key series — for each
+    of the last ``n_backtests`` cutoffs c, fit on points 1..c,
+    forecast point c+1, score against the actual. The
+    evaluate-before-you-trust step between a smoother and a
+    production forecast (split_time_cv's fold logic fused with
+    holt_linear_state's fold).
+
+    ``seqs`` carries one row per key with ``arr_col`` the
+    chronologically-ordered array<double> series (decimal-summed
+    upstream).
+
+    Parity shape: each cutoff's forecast is the SAME sequential fold
+    as seq_holt_linear (engine-bit-identical); absolute/relative
+    errors round 9 dp into DECIMAL before the per-key mean
+    (associative — bigram_nll trick), so mae/mape match bit-for-bit.
+
+    Scale shape: cutoffs explode to a constant ≤ n_backtests rows per
+    key; every fold is a narrow in-array expression over the
+    calendar-bounded series — no shuffle beyond the upstream array
+    build."""
+    arr = F.col(arr_col)
+    a, b1 = F.lit(float(alpha)), F.lit(float(beta))
+    cuts = seqs.filter(F.size(arr) >= 3).select(
+        F.col(key),
+        arr.alias("__arr"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(2), F.size(arr) - n_backtests),
+                F.size(arr) - 1,
+            )
+        ).alias("__c"),
+    )
+    arr2 = F.col("__arr")
+    seed = F.struct(
+        F.element_at(arr2, 1).alias("l"),
+        (F.element_at(arr2, 2) - F.element_at(arr2, 1)).alias("b"),
+    )
+    tail = F.slice(arr2, 3, F.col("__c") - 2)
+
+    def step(acc, x):
+        nl = a * x + (F.lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+        nb = b1 * (nl - acc.getField("l")) + (F.lit(1.0) - b1) * acc.getField("b")
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    st = F.aggregate(tail, seed, step)
+    fc = st.getField("l") + st.getField("b")
+    actual = F.element_at(arr2, F.col("__c") + 1)
+    scored = cuts.select(
+        F.col(key),
+        F.round(F.abs(fc - actual), 9).cast("decimal(18,9)").alias("__ae"),
+        F.round(F.abs(fc - actual) / F.abs(actual), 9)
+        .cast("decimal(18,9)")
+        .alias("__ape"),
+    )
+    return scored.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("n_backtests"),
+        F.round(F.sum("__ae").cast("double") / F.count("*"), 6).alias("mae"),
+        F.round(F.sum("__ape").cast("double") / F.count("*"), 6).alias("mape"),
+    )

@@ -2544,9 +2544,8 @@ _register_sql_twin(
     "must not fold into a WHERE).",
 )
 
-_register_sql_twin(
+@register(
     "q15_top_supplier",
-    ["lineitem", "supplier"],
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
@@ -2562,11 +2561,31 @@ _register_sql_twin(
     JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
-    "TPC-H q15 shape: supplier(s) achieving the maximum quarterly "
-    "revenue — a CTE aggregated once and consumed twice (join input + "
-    "scalar-max subquery); equality on the ROUNDED total keeps the "
-    "max-match engine-stable.",
 )
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. SQL's revenue-CTE-consumed-twice plan inlines into TWO
+    lineitem scans; here the scalar max is instead a global window
+    over the (supplier-sized, tiny) aggregate, so lineitem is scanned
+    and aggregated exactly ONCE — at 100 TB that halves the query.
+    Revenue equality compares ROUNDED decimal-exact doubles, so the
+    max-match is engine-stable (oracle keeps the two-scan SQL form)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1995-04-01 00:00:00")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _decimal_revenue().alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
 
 _register_sql_twin(
     "q17_small_qty_revenue",
@@ -9068,6 +9087,116 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges_cached(spark, sf_dir)
     labels = label_propagation(edges, iterations=3)
     return modularity(edges, labels)
+
+
+@register(
+    "ts_forecast_backtest",
+    """
+    WITH per AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, list(v ORDER BY d) AS arr FROM per
+        GROUP BY event_type
+    ), c AS (
+        SELECT event_type, arr,
+               unnest(generate_series(greatest(2, len(arr) - 5),
+                                      len(arr) - 1)) AS c
+        FROM s WHERE len(arr) >= 3
+    ), f AS (
+        SELECT event_type, c, arr[c + 1] AS actual,
+               list_reduce(
+                   list_prepend(
+                       [CAST(arr[1] AS DOUBLE),
+                        CAST(arr[2] - arr[1] AS DOUBLE)],
+                       [[CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]
+                        for x in arr[3:c]]),
+                   (acc, x) -> [
+                       0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                       0.3 * ((0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                              - acc[1])
+                           + (1.0 - 0.3) * acc[2]]) AS st
+        FROM c
+    ), e AS (
+        SELECT event_type,
+               CAST(round(abs(st[1] + st[2] - actual), 9)
+                    AS DECIMAL(18,9)) AS ae,
+               CAST(round(abs(st[1] + st[2] - actual) / abs(actual), 9)
+                    AS DECIMAL(18,9)) AS ape
+        FROM f
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtests,
+           round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape
+    FROM e GROUP BY event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt linear forecaster on daily
+    value series per event type: the last 5 cutoffs each fit on their
+    prefix (the seq_holt_linear fold, bit-identical) and forecast one
+    step; MAE/MAPE aggregate 9-dp-rounded decimal errors. The
+    evaluate-before-you-trust step for any smoother; cutoff fan-out
+    is constant, folds are narrow."""
+    from .operators.timeseries import forecast_backtest_holt
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("__d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("__v")
+    )
+    seqs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__d", "__v"))),
+            lambda s: s.getField("__v"),
+        ).alias("__arr")
+    )
+    return forecast_backtest_holt(
+        seqs, "event_type", "__arr", n_backtests=5, alpha=0.5, beta=0.3
+    )
+
+
+@register(
+    "quality_partition_digest",
+    """
+    SELECT date_trunc('month', o_orderdate) AS part,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(
+               concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))),
+               1, 15)) AS BIGINT)) AS digest
+    FROM orders GROUP BY 1
+    """,
+)
+def quality_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content fingerprints of orders: row hash = portable
+    md5-60-bit of the '|'-joined canonical strings (decimal money,
+    explicit timestamp format), partition digest = XOR-fold —
+    order-free, mergeable, ONE scan. The incremental-sync primitive:
+    compare digests against yesterday's table and reprocess only
+    changed partitions."""
+    from .operators.quality import partition_digest
+
+    o = _t(spark, sf_dir, "orders")
+    return partition_digest(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")),
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        ],
+    )
 
 
 def _recorded_query_names() -> set[str]:

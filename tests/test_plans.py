@@ -416,3 +416,113 @@ def test_salted_join_plan_no_broadcast_and_exploded_dim(spark):
     joins = P.join_strategies(df)
     assert "ShuffledHashJoin" in joins or "SortMergeJoin" in joins, joins
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite (q2/q7-q22 shapes): pin the plan properties that keep
+# each query's distinguishing pattern scale-safe — decorrelation of
+# correlated subqueries (never a per-row re-aggregation), semi/anti
+# planning of IN / [NOT] EXISTS, no cartesian products, selective
+# filters reaching the scans.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem_scans(plan: str) -> int:
+    # each scan node prints its Location line exactly once
+    return plan.count("lineitem.parquet]")
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """The per-part scalar-min subquery must become an aggregate +
+    equi-join (2 lineitem scans), never a per-outer-row re-scan or a
+    cartesian."""
+    df = _q(spark, "q2_min_cost_supplier")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert _lineitem_scans(plan) <= 2, plan
+
+
+def test_q7_dual_nation_broadcast_no_cartesian(spark):
+    """nation joins twice under different aliases; both must be
+    broadcast and the pair disjunction must not degrade the join
+    graph into a cartesian."""
+    df = _q(spark, "q7_volume_shipping")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("nation.parquet]") == 2, plan
+    assert P.join_strategies(df).count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q8_type_filter_reaches_part_scan(spark):
+    """The selective p_type filter must prune the part scan before
+    any join shuffles the fact side."""
+    df = _q(spark, "q8_market_share")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_type" in pushed, pushed
+    assert "CartesianProduct" not in P.formatted_plan(df)
+
+
+def test_q13_join_side_filter_pushes_without_breaking_outer(spark):
+    """The priority predicate lives in the left join's ON clause: it
+    must prune the orders scan (safe for outer semantics) while the
+    plan keeps the LEFT join (zero-order customers survive)."""
+    df = _q(spark, "q13_order_count_dist")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "o_orderpriority" in pushed, pushed
+    assert "LeftOuter" in P.formatted_plan(df)
+
+
+def test_q15_single_lineitem_scan(spark):
+    """The window rewrite of the max-revenue subquery must reuse ONE
+    lineitem aggregate — the SQL form's CTE inlining would scan
+    lineitem twice."""
+    df = _q(spark, "q15_top_supplier")
+    plan = P.formatted_plan(df)
+    assert _lineitem_scans(plan) == 1, plan
+
+
+def test_q16_not_in_is_null_aware_anti(spark):
+    """The NOT IN supplier exclusion must plan as a null-aware
+    left-anti join, not a per-row subquery."""
+    df = _q(spark, "q16_supplier_cnt")
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """The per-part average threshold must become ONE aggregate
+    joined back equi on l_partkey (2 lineitem scans max), with no
+    cartesian and no per-row nested loop."""
+    df = _q(spark, "q17_small_qty_revenue")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert _lineitem_scans(plan) <= 2, plan
+
+
+def test_q20_in_subquery_is_semi_join(spark):
+    """IN-subquery over the qualifying-supplier aggregate must plan
+    as a LEFT SEMI join."""
+    df = _q(spark, "q20_excess_shippers")
+    assert "LeftSemi" in P.formatted_plan(df)
+
+
+def test_q21_exists_pair_plans_as_semi_plus_anti(spark):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti, both correlated
+    on l_orderkey; lineitem appears at most three times (outer + one
+    per subquery), never once per outer row."""
+    df = _q(spark, "q21_waiting_supplier")
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert _lineitem_scans(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    """The no-urgent-orders predicate must plan as a LEFT ANTI join
+    with the priority filter pushed to the orders scan."""
+    df = _q(spark, "q22_idle_customers")
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    pushed = " ".join(P.pushed_filters(df))
+    assert "o_orderpriority" in pushed, pushed

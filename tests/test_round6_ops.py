@@ -687,3 +687,116 @@ def test_modularity_penalizes_split_communities(spark):
     q_good = modularity(edges, good).collect()[0]["q_total"]
     q_bad = modularity(edges, bad).collect()[0]["q_total"]
     assert q_good > q_bad
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest_holt
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.timeseries import (
+        forecast_backtest_holt,
+    )
+
+    xs = [10.0, 12.0, 11.0, 14.0, 13.5, 15.0, 16.2, 15.8, 17.0, 18.1]
+    df = spark.createDataFrame([("k", xs)], "k STRING, arr ARRAY<DOUBLE>")
+    got = forecast_backtest_holt(df, "k", "arr", n_backtests=5).collect()[0]
+
+    def holt_fc(prefix, a=0.5, b=0.3):
+        l, tr = prefix[0], prefix[1] - prefix[0]
+        for x in prefix[2:]:
+            nl = a * x + (1 - a) * (l + tr)
+            tr = b * (nl - l) + (1 - b) * tr
+            l = nl
+        return l + tr
+
+    n = len(xs)
+    aes, apes = [], []
+    for c in range(max(2, n - 5), n):
+        fc = holt_fc(xs[:c])
+        aes.append(round(abs(fc - xs[c]), 9))
+        apes.append(round(abs(fc - xs[c]) / abs(xs[c]), 9))
+    assert got["n_backtests"] == 5
+    assert abs(got["mae"] - sum(aes) / len(aes)) < 1e-6
+    assert abs(got["mape"] - sum(apes) / len(apes)) < 1e-6
+
+
+def test_forecast_backtest_converges_on_linear_series(spark):
+    """The seed convention (level=x0, trend=x1-x0) lags a linear
+    series by one step, so the backtest error decays geometrically
+    with the training-prefix length rather than being exactly zero:
+    a longer-prefix cutoff must beat a shorter one, and the overall
+    MAPE must be sub-percent by 10+ points of history."""
+    from gcpdatapipelines_spark.operators.timeseries import (
+        forecast_backtest_holt,
+    )
+
+    xs = [float(3 + 2 * i) for i in range(15)]
+    short = spark.createDataFrame([("k", xs[:10])], "k STRING, arr ARRAY<DOUBLE>")
+    full = spark.createDataFrame([("k", xs)], "k STRING, arr ARRAY<DOUBLE>")
+    mae_short = forecast_backtest_holt(
+        short, "k", "arr", n_backtests=1
+    ).collect()[0]["mae"]
+    got = forecast_backtest_holt(
+        full, "k", "arr", n_backtests=1
+    ).collect()[0]
+    assert got["mae"] < mae_short
+    assert got["mape"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# partition_digest
+# ---------------------------------------------------------------------------
+
+
+def test_partition_digest_order_and_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.operators.quality import partition_digest
+
+    rows = [(i % 4, i, f"s{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "part_key INT, id BIGINT, s STRING")
+    cols = [F.col("id").cast("string"), F.col("s")]
+    a = {
+        (r["part"], r["n_rows"], r["digest"])
+        for r in partition_digest(df, F.col("part_key"), cols).collect()
+    }
+    b = {
+        (r["part"], r["n_rows"], r["digest"])
+        for r in partition_digest(
+            df.repartition(13).sort(F.col("s").desc()), F.col("part_key"), cols
+        ).collect()
+    }
+    assert a == b and len(a) == 4
+
+
+def test_partition_digest_detects_single_row_change(spark):
+    from gcpdatapipelines_spark.operators.quality import partition_digest
+
+    rows = [(1, i, f"s{i}") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "p INT, id BIGINT, s STRING")
+    rows2 = list(rows)
+    rows2[17] = (1, 17, "CHANGED")
+    df2 = spark.createDataFrame(rows2, "p INT, id BIGINT, s STRING")
+    cols = [F.col("id").cast("string"), F.col("s")]
+    d1 = partition_digest(df1, F.col("p"), cols).collect()[0]["digest"]
+    d2 = partition_digest(df2, F.col("p"), cols).collect()[0]["digest"]
+    assert d1 != d2
+
+
+def test_partition_digest_merge_property(spark):
+    """digest(A ∪ B) == digest(A) XOR digest(B) for disjoint halves —
+    the mergeability that makes the digest table incrementally
+    maintainable."""
+    from gcpdatapipelines_spark.operators.quality import partition_digest
+
+    rows = [(1, i, f"s{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "p INT, id BIGINT, s STRING")
+    cols = [F.col("id").cast("string"), F.col("s")]
+    full = partition_digest(df, F.col("p"), cols).collect()[0]["digest"]
+    da = partition_digest(
+        df.filter(F.col("id") < 50), F.col("p"), cols
+    ).collect()[0]["digest"]
+    db = partition_digest(
+        df.filter(F.col("id") >= 50), F.col("p"), cols
+    ).collect()[0]["digest"]
+    assert full == da ^ db
