@@ -750,3 +750,115 @@ def hll_merge_audit_sql(
            n_register_mismatch = 0 AS registers_equal
     FROM mism
     """
+
+
+def quantile_sketch_bottomk(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_expr,
+    k: int = 512,
+    ps: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates from a deterministic hash-uniform
+    bottom-k row sample, audited against the exact quantiles.
+
+    The KMV trick pointed at order statistics: rank every row by
+    u = h60(row id)/2^60 (uniform, deterministic, engine-portable) and
+    keep each group's k smallest-u rows — a uniform random sample whose
+    interpolated quantiles estimate the group's with O(1/sqrt(k)) rank
+    error. The sample is MERGEABLE (bottom-k of a union = bottom-k of
+    the parts' bottom-k's), so shards sketch independently and the
+    coordinator merges k rows per group — the scale story Spark's own
+    approx_percentile (GK) shares, but with a sample you can also
+    re-ask for ANY quantile, join back to full rows, or stack with
+    other sketches.
+
+    Scale shape: a naive per-group row_number window would
+    shuffle-sort the whole fact. Instead: one aggregate computes group
+    counts; rows are prefiltered to u <= min(1, 4k/n) (every true
+    bottom-k row passes whenever >= k rows pass — guaranteed up to an
+    astronomically small Chernoff tail, and deterministically caught by
+    the oracle if it ever bit); the window then ranks only ~4k
+    survivors per group. Two fact scans, no full-fact sort.
+
+    Output: (group, n_rows, n_sample, and per p: q{p}_est, q{p}_exact)
+    — the exact side is the AUDIT (drop it in production; it is the
+    only full-data pass beyond the count)."""
+    from pyspark.sql import Window
+
+    two60 = float(1 << HASH_BITS)
+    u = (_h60(id_expr) / F.lit(two60)).alias("__u")
+    rows = df.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__v"), u
+    )
+    counts = rows.groupBy(group_col).agg(F.count("*").alias("__n"))
+    thresh = F.least(F.lit(1.0), F.lit(4.0 * k) / F.col("__n"))
+    survivors = rows.join(F.broadcast(counts), group_col).filter(
+        F.col("__u") <= thresh
+    )
+    w = Window.partitionBy(group_col).orderBy("__u")
+    sample = survivors.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    parr = "array({})".format(", ".join(repr(p) for p in ps))
+    est = sample.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.expr(f"percentile(__v, {parr})").alias("__qe"),
+    )
+    exact = rows.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(f"percentile(__v, {parr})").alias("__qx"),
+    )
+    out = exact.join(est, group_col)
+    cols = [F.col(group_col), F.col("n_rows"), F.col("n_sample")]
+    for i, p in enumerate(ps):
+        tag = str(p).replace("0.", "p")
+        cols.append(
+            F.round(F.element_at("__qe", i + 1), 6).alias(f"{tag}_est")
+        )
+        cols.append(
+            F.round(F.element_at("__qx", i + 1), 6).alias(f"{tag}_exact")
+        )
+    return out.select(*cols)
+
+
+def quantile_sketch_bottomk_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    id_expr: str,
+    k: int = 512,
+    ps: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch_bottomk` (plain
+    row_number bottom-k — the prefilter is a lossless physical
+    optimization, so the simple form is the semantic spec)."""
+    two60 = float(1 << HASH_BITS)
+    est_cols, ex_cols, out_cols = [], [], []
+    for p in ps:
+        tag = str(p).replace("0.", "p")
+        est_cols.append(f"quantile_cont(v, {p!r}) AS {tag}_est")
+        ex_cols.append(f"quantile_cont(v, {p!r}) AS {tag}_exact")
+        out_cols.append(f"round({tag}_est, 6) AS {tag}_est")
+        out_cols.append(f"round({tag}_exact, 6) AS {tag}_exact")
+    return f"""
+    WITH rows_u AS (
+        SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS v,
+               {_h60_sql(id_expr)} / {two60!r} AS u
+        FROM {table}
+    ), ranked AS (
+        SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn
+        FROM rows_u
+    ), est AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_sample,
+               {", ".join(est_cols)}
+        FROM ranked WHERE rn <= {k} GROUP BY grp
+    ), ex AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+               {", ".join(ex_cols)}
+        FROM rows_u GROUP BY grp
+    )
+    SELECT ex.grp, n_rows, n_sample, {", ".join(out_cols)}
+    FROM ex JOIN est ON ex.grp = est.grp
+    """

@@ -9199,6 +9199,41 @@ def quality_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_quantile_bottomk",
+    __import__("gcpdatapipelines_spark.operators.sketches", fromlist=["x"])
+    .quantile_sketch_bottomk_sql(
+        "lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        "concat(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))",
+        k=512,
+    ),
+)
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-group quantile sketch: each return-flag class
+    estimates its price quartiles/p95 from its 512 smallest-hash rows
+    (a deterministic uniform sample), audited against the exact
+    quantiles in the same output row. Scale shape: count-agg ->
+    threshold prefilter -> tiny window; the full fact is never
+    shuffle-sorted (see operators/sketches.quantile_sketch_bottomk)."""
+    from .operators.sketches import quantile_sketch_bottomk
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return quantile_sketch_bottomk(
+        li,
+        "grp",
+        "l_extendedprice",
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")),
+        k=512,
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -738,3 +738,69 @@ def hll_sketch_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def quantile_sketch_stream(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    target_path: str,
+    checkpoint: str,
+    k: int = 256,
+) -> None:
+    """Streaming bottom-k quantile-sample maintenance via
+    foreachBatch: each micro-batch's rows are hash-ranked
+    (u = h60(id)/2^60), unioned with the parquet sample state, and cut
+    back to each group's k smallest-u rows — the streaming form of the
+    bottom-k merge identity ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪
+    bottomk(B))`` (pinned in tests/test_round6_ops.py), keeping a
+    uniform k-row sample per group over an unbounded stream; any
+    quantile of the stream-so-far is one in-memory percentile over the
+    state.
+
+    Delivery: replayed batches are absorbed — re-unioning rows already
+    in the state changes nothing (dedup on (grp, u) before the cut),
+    so the sample converges exactly-once without batch bookkeeping.
+    State is bounded at k rows per group regardless of stream length.
+    Staging-swap write protocol as upsert_sink_stream."""
+    from pyspark.sql import Window
+
+    from .operators.sketches import HASH_BITS, _h60
+
+    two60 = float(1 << HASH_BITS)
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+            (_h60(F.col(id_col)) / F.lit(two60)).alias("u"),
+        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        tgt = hpath(target_path)
+        fs = tgt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tgt):
+            state = spark.read.parquet(target_path)
+            fresh = state.unionByName(fresh)
+        w = Window.partitionBy("grp").orderBy("u")
+        merged = (
+            fresh.dropDuplicates(["grp", "u"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        staging = target_path.rstrip("/") + f".__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(tgt, True)
+        if not fs.rename(hpath(staging), tgt):
+            raise IOError(f"staging swap failed: {staging} -> {target_path}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

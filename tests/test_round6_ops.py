@@ -800,3 +800,96 @@ def test_partition_digest_merge_property(spark):
         df.filter(F.col("id") >= 50), F.col("p"), cols
     ).collect()[0]["digest"]
     assert full == da ^ db
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_bottomk
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_error_bound(spark):
+    """k=512 sample quantiles of a 20k-row group must land within a
+    few sample-rank standard errors of the exact quantiles: for
+    U(0,1000) data the p50 estimate stays within ~3*1000/(2*sqrt(k))
+    ~= 66 of the truth."""
+    from gcpdatapipelines_spark.operators.sketches import (
+        quantile_sketch_bottomk,
+    )
+
+    rows = [("g", i, (i * 37) % 20000 / 20.0) for i in range(20000)]
+    df = spark.createDataFrame(rows, "grp STRING, id BIGINT, v DOUBLE")
+    got = quantile_sketch_bottomk(
+        df, "grp", "v", F.col("id"), k=512
+    ).collect()[0]
+    assert got["n_rows"] == 20000 and got["n_sample"] == 512
+    for tag in ("p25", "p5", "p75", "p95"):
+        assert abs(got[f"{tag}_est"] - got[f"{tag}_exact"]) < 70.0, (
+            tag,
+            got,
+        )
+
+
+def test_quantile_sketch_mergeability(spark):
+    """bottom-k(A union B) == bottom-k(bottom-k(A) union bottom-k(B)):
+    sketching shards independently then merging gives the identical
+    sample, hence identical estimates."""
+    from gcpdatapipelines_spark.operators.sketches import (
+        quantile_sketch_bottomk,
+    )
+
+    rows = [("g", i, float((i * 131) % 9973)) for i in range(8000)]
+    df = spark.createDataFrame(rows, "grp STRING, id BIGINT, v DOUBLE")
+    a = df.filter(F.col("id") < 4000)
+    b = df.filter(F.col("id") >= 4000)
+
+    def with_u(frame):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("id").cast("string").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 60))
+        ).alias("__u")
+        return frame.select("grp", "v", u)
+
+    def rank_k(frame, k=256):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("grp").orderBy("__u")
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    direct = {
+        (r["grp"], r["v"], round(r["__u"], 15))
+        for r in rank_k(with_u(df)).collect()
+    }
+    merged = {
+        (r["grp"], r["v"], round(r["__u"], 15))
+        for r in rank_k(
+            rank_k(with_u(a)).unionByName(rank_k(with_u(b)))
+        ).collect()
+    }
+    assert direct == merged and len(direct) == 256
+
+
+def test_quantile_sketch_small_group_is_exact(spark):
+    """A group smaller than k samples every row: estimates equal the
+    exact quantiles bit-for-bit."""
+    from gcpdatapipelines_spark.operators.sketches import (
+        quantile_sketch_bottomk,
+    )
+
+    rows = [("g", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp STRING, id BIGINT, v DOUBLE")
+    got = quantile_sketch_bottomk(
+        df, "grp", "v", F.col("id"), k=512
+    ).collect()[0]
+    assert got["n_sample"] == 100
+    for tag in ("p25", "p5", "p75", "p95"):
+        assert got[f"{tag}_est"] == got[f"{tag}_exact"], got

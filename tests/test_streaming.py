@@ -636,3 +636,70 @@ def test_hll_sketch_stream_matches_full_scan(spark, tmp_path):
         (r["bucket"], r["rho"]) for r in hll_registers(full, "k", p=7).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_quantile_sketch_stream_matches_full_scan(spark, tmp_path):
+    """Streaming bottom-k sample maintenance: the state after
+    micro-batched ingestion must equal the bottom-k sample of one
+    full scan row-for-row (the bottom-k merge identity under
+    foreachBatch). Batches overlap in ids to exercise the
+    idempotent (grp, u) dedup path."""
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "grp STRING, id BIGINT, v DOUBLE"
+
+    def rows(lo, hi):
+        return [("g" + str(i % 2), i, float(i * 7 % 997)) for i in range(lo, hi)]
+
+    def write_batch(name, lo, hi, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(lo, hi), schema).coalesce(1).write.parquet(
+            staging
+        )
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    write_batch("a", 0, 1500, mtime=1_700_000_000)
+    write_batch("b", 1000, 3000, mtime=1_700_000_100)  # overlaps a
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    target = str(tmp_path / "q_state")
+    S.quantile_sketch_stream(
+        stream, "grp", "v", "id", target, str(tmp_path / "qckpt"), k=64
+    )
+
+    from pyspark.sql import Window
+
+    from gcpdatapipelines_spark.operators.sketches import HASH_BITS, _h60
+
+    full = spark.createDataFrame(rows(0, 3000), schema)
+    w = Window.partitionBy("grp").orderBy("u")
+    want = {
+        (r["grp"], r["v"], round(r["u"], 15))
+        for r in (
+            full.select(
+                "grp",
+                "v",
+                (_h60(F.col("id")) / F.lit(float(1 << HASH_BITS))).alias("u"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 64)
+            .collect()
+        )
+    }
+    got = {
+        (r["grp"], r["v"], round(r["u"], 15))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == want and len(want) == 128
