@@ -238,3 +238,72 @@ def key_skew_audit(
             4,
         ).alias("max_over_avg"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    rate: float = 0.05,
+) -> DataFrame:
+    """Estimate |left JOIN right| on an equi-key WITHOUT running the
+    join — the pre-flight sizing input for join-strategy / salting
+    decisions (pairs with key_skew_audit).
+
+    Universe sampling (end-biased sampling's uniform core): a key k
+    enters the sample iff u(k) = h60(k)/2^60 <= rate — the SAME
+    deterministic coin on both sides, so sampled per-key count pairs
+    line up exactly. The true join size is sum_k cL(k)*cR(k); the
+    estimator sums the product over sampled keys and scales by
+    1/rate. Unbiased; relative error concentrates as the sampled
+    mass grows (heavy join keys are the mass — and any key with
+    u <= rate is observed with its EXACT counts, so unlike row-level
+    Bernoulli sampling the cL*cR products carry no quadratic
+    inflation).
+
+    Scale shape: each side reduces to its sampled-key count histogram
+    (one partial-agg scan over a hash-pruned fraction of rows — the
+    u-filter is computable per row pre-shuffle); the histograms join
+    tiny-to-tiny. The full fact never shuffles; the audit column
+    n_exact (the true product-sum over FULL histograms) is the only
+    full-width aggregation and drops out in production.
+
+    Returns ONE row: (rate, n_keys_sampled, est_join_rows,
+    exact_join_rows, rel_err)."""
+    from .sketches import HASH_BITS, _h60
+
+    two60 = float(1 << HASH_BITS)
+
+    def hist(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("__k")).agg(
+            F.count("*").alias(out)
+        )
+
+    hl = hist(left, left_key, "__cl")
+    hr = hist(right, right_key, "__cr")
+    full = hl.join(hr, "__k").select(
+        F.sum(F.col("__cl") * F.col("__cr")).alias("exact_join_rows")
+    )
+    u = _h60(F.col("__k")) / F.lit(two60)
+    sl = hl.filter(u <= rate)
+    sr = hr.filter(u <= rate)
+    est = sl.join(sr, "__k").agg(
+        F.count("*").cast("bigint").alias("n_keys_sampled"),
+        F.round(
+            F.coalesce(F.sum(F.col("__cl") * F.col("__cr")), F.lit(0))
+            / rate,
+            1,
+        ).alias("est_join_rows"),
+    )
+    return est.crossJoin(full).select(
+        F.lit(rate).alias("rate"),
+        "n_keys_sampled",
+        "est_join_rows",
+        F.col("exact_join_rows").cast("bigint").alias("exact_join_rows"),
+        F.round(
+            F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+            / F.col("exact_join_rows"),
+            6,
+        ).alias("rel_err"),
+    )

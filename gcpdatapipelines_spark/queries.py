@@ -9234,6 +9234,46 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_join_size",
+    """
+    WITH hl AS (
+        SELECT user_id AS k, count(*) AS cl FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), hr AS (
+        SELECT user_id AS k, count(*) AS cr FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), full_sum AS (
+        SELECT sum(cl * cr) AS exact_join_rows FROM hl JOIN hr USING (k)
+    ), sampled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys_sampled,
+               round(coalesce(sum(cl * cr), 0) / 0.05, 1) AS est_join_rows
+        FROM hl JOIN hr USING (k)
+        WHERE CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 <= 0.05
+    )
+    SELECT 0.05 AS rate, n_keys_sampled, est_join_rows,
+           CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+           round(abs(est_join_rows - exact_join_rows) / exact_join_rows, 6)
+               AS rel_err
+    FROM sampled, full_sum
+    """,
+)
+def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: estimate |clicks JOIN purchases| on
+    user_id from a 5% deterministic key-universe sample (same md5
+    coin on both sides, exact per-key counts for every sampled key),
+    audited against the true product-sum. The sizing input that
+    decides broadcast vs shuffle vs salt BEFORE paying for the join
+    (pairs with profile_key_skew)."""
+    from .operators.profile import join_size_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return join_size_estimate(clicks, "user_id", purchases, "user_id", rate=0.05)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

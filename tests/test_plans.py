@@ -526,3 +526,17 @@ def test_q22_not_exists_is_anti_join(spark):
     assert "LeftAnti" in plan, plan
     pushed = " ".join(P.pushed_filters(df))
     assert "o_orderpriority" in pushed, pushed
+
+
+def test_quantile_sketch_window_input_is_prefiltered(spark):
+    """The bottom-k window must rank only the hash-threshold
+    survivors (u <= 4k/n), never shuffle-sort the full fact; the
+    per-group counts join in as a broadcast."""
+    df = _q(spark, "sketch_quantile_bottomk")
+    plan = P.formatted_plan(df)
+    assert "__u" in plan and "least(1.0" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # production shape = count scan + prefiltered sample scan; the
+    # exact-quantile audit adds one more. Anything beyond 3 means the
+    # prefilter stopped cutting the window input.
+    assert plan.count("lineitem.parquet]") <= 3, plan

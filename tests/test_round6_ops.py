@@ -893,3 +893,58 @@ def test_quantile_sketch_small_group_is_exact(spark):
     assert got["n_sample"] == 100
     for tag in ("p25", "p5", "p75", "p95"):
         assert got[f"{tag}_est"] == got[f"{tag}_exact"], got
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_estimate_exact_at_full_rate(spark):
+    """rate=1.0 samples every key: the estimate IS the exact
+    product-sum and rel_err == 0."""
+    from gcpdatapipelines_spark.operators.profile import join_size_estimate
+
+    l = spark.createDataFrame(
+        [(i % 10, i) for i in range(300)], "k INT, x BIGINT"
+    )
+    r = spark.createDataFrame(
+        [(i % 7, i) for i in range(200)], "k INT, y BIGINT"
+    )
+    got = join_size_estimate(l, "k", r, "k", rate=1.0).collect()[0]
+    exact = l.join(r, "k").count()
+    assert got["exact_join_rows"] == exact
+    assert got["est_join_rows"] == float(exact)
+    assert got["rel_err"] == 0.0
+
+
+def test_join_size_estimate_concentrates(spark):
+    """With many keys of similar weight, a 20% key sample lands
+    within ~35% of the truth (unbiased; error ~ 1/sqrt(sampled
+    keys))."""
+    from gcpdatapipelines_spark.operators.profile import join_size_estimate
+
+    l = spark.createDataFrame(
+        [(i % 500, i) for i in range(5000)], "k INT, x BIGINT"
+    )
+    r = spark.createDataFrame(
+        [(i % 500, i) for i in range(3000)], "k INT, y BIGINT"
+    )
+    got = join_size_estimate(l, "k", r, "k", rate=0.2).collect()[0]
+    assert got["exact_join_rows"] == l.join(r, "k").count()
+    assert got["n_keys_sampled"] > 50
+    assert got["rel_err"] < 0.35, got
+
+
+def test_join_size_estimate_disjoint_keys_is_zero(spark):
+    """No overlapping keys: estimate 0, exact 0 guarded against
+    divide-by-zero is not required (exact>0 in catalog); here assert
+    the estimator returns 0 sampled product mass."""
+    from gcpdatapipelines_spark.operators.profile import join_size_estimate
+
+    l = spark.createDataFrame([(i, i) for i in range(100)], "k INT, x BIGINT")
+    r = spark.createDataFrame(
+        [(i + 1000, i) for i in range(100)], "k INT, y BIGINT"
+    )
+    got = join_size_estimate(l, "k", r, "k", rate=1.0).collect()[0]
+    assert got["est_join_rows"] == 0.0
