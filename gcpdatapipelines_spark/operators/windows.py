@@ -191,3 +191,43 @@ def running_total_scan(
         cum_col,
         F.when(off_expr.isNull(), run).otherwise(run + off_expr),
     ).drop("__pid")
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    days: int = 7,
+    out_sum: str = "trailing_sum",
+    out_n: str = "trailing_n",
+) -> DataFrame:
+    """Per-row trailing time-INTERVAL aggregate: for every row, the
+    decimal-exact sum and count of the same key's rows with
+    ts in [row.ts - days, row.ts] — the row-frame rolling ops above
+    cannot express this over IRREGULARLY-spaced events (k preceding
+    ROWS is k events, not k days).
+
+    Uses a RANGE frame over epoch seconds
+    (rangeBetween(-days*86400, 0)), which is also the
+    deterministic choice under timestamp ties: a range frame includes
+    ALL peer rows of the current timestamp regardless of their
+    arbitrary sort position, where a rows frame would include an
+    engine-dependent subset.
+
+    Scale shape: one hash exchange on the key + per-partition ordered
+    frame scan — identical cost to any ordered window; no self-join,
+    no fan-out by day."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return df.withColumn(
+        out_sum,
+        F.round(F.sum(F.col(value_col).cast("decimal(18,6)")).over(w), 2).cast(
+            "double"
+        ),
+    ).withColumn(out_n, F.count("*").over(w).cast("bigint"))

@@ -9274,6 +9274,38 @@ def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_estimate(clicks, "user_id", purchases, "user_id", rate=0.05)
 
 
+@register(
+    "w28_trailing_7d_spend",
+    """
+    SELECT event_id, user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+               AS spend_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def w28_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase trailing-7-day spend and purchase count for the
+    same user — the time-INTERVAL window (RANGE frame over epoch
+    seconds) that row frames cannot express over irregular event
+    times, and that stays deterministic under timestamp ties (range
+    frames include ALL peers). One user-keyed exchange, no
+    self-join."""
+    from .operators.windows import trailing_range_agg
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    out = trailing_range_agg(
+        ev, "user_id", "ts", "value", days=7,
+        out_sum="spend_7d", out_n="n_7d",
+    )
+    return out.select("event_id", "user_id", "spend_7d", "n_7d")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

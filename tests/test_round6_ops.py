@@ -948,3 +948,60 @@ def test_join_size_estimate_disjoint_keys_is_zero(spark):
     )
     got = join_size_estimate(l, "k", r, "k", rate=1.0).collect()[0]
     assert got["est_join_rows"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# trailing_range_agg
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_range_agg_matches_python_model(spark):
+    from datetime import datetime, timedelta
+
+    from gcpdatapipelines_spark.operators.windows import trailing_range_agg
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("u1", base + timedelta(days=d, hours=h), float(v))
+        for d, h, v in [
+            (0, 0, 10),
+            (3, 5, 20),
+            (7, 0, 5),   # exactly 7 days after row 1 -> includes it
+            (8, 1, 7),   # row 1 now outside the window
+            (20, 0, 2),
+        ]
+    ] + [("u2", base, 100.0)]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["user_id"], r["ts"], r["trailing_sum"], r["trailing_n"])
+        for r in trailing_range_agg(df, "user_id", "ts", "value").collect()
+    }
+
+    def model(u, t):
+        win = [
+            v
+            for (uu, tt, v) in rows
+            if uu == u and t - timedelta(days=7) <= tt <= t
+        ]
+        return (round(sum(win), 2), len(win))
+
+    want = {(u, t, *model(u, t)) for (u, t, v) in rows}
+    assert got == want
+
+
+def test_trailing_range_agg_includes_all_ts_peers(spark):
+    """Two rows with the IDENTICAL timestamp must see each other in
+    both their frames (range-frame peer semantics) — a rows frame
+    would give one of them a partial, order-dependent view."""
+    from datetime import datetime
+
+    from gcpdatapipelines_spark.operators.windows import trailing_range_agg
+
+    t = datetime(2024, 5, 5, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("u", t, 1.0), ("u", t, 2.0)],
+        "user_id STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    out = trailing_range_agg(df, "user_id", "ts", "value").collect()
+    assert [r["trailing_sum"] for r in out] == [3.0, 3.0]
+    assert [r["trailing_n"] for r in out] == [2, 2]
