@@ -862,3 +862,177 @@ def quantile_sketch_bottomk_sql(
     SELECT ex.grp, n_rows, n_sample, {", ".join(out_cols)}
     FROM ex JOIN est ON ex.grp = est.grp
     """
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    p: int = 9,
+) -> DataFrame:
+    """Rolling window_days-day distinct-key count per day via HLL
+    register merge — the 100 TB plan for WAU-style metrics.
+
+    w18_rolling_distinct_users fans every distinct (user, day) pair
+    across the window (state ~ users x days). Here each day first
+    collapses to its 2^p-row register table, and only REGISTERS fan
+    across the window — per-day state is fixed at 2^p rows no matter
+    how many users, the merge is the max-fold (sketch_hll_merge
+    identity), and the estimate is the same dyadic-exact fold as
+    hll_distinct, so the whole query is deterministic and
+    oracle-hashable. n_exact rides along per day as the audit.
+
+    Returns (day, n_exact, v_empty, wau_hll, rel_err) per active
+    day."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    keyed = df.select(
+        day.alias("day"), _h60(F.col(key_col)).alias("h")
+    ).selectExpr("day", f"h % {m} AS bucket", f"h div {m} AS w")
+    regs = keyed.groupBy("day", "bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)"
+            f" ELSE {w_bits + 1} END)"
+        ).alias("rho")
+    )
+    fan = regs.select(
+        F.expr(
+            f"explode(sequence(0, {window_days - 1}))"
+        ).alias("__i"),
+        "day",
+        "bucket",
+        "rho",
+    ).select(
+        F.date_add(F.col("day"), F.col("__i")).alias("day"), "bucket", "rho"
+    )
+    merged = fan.groupBy("day", "bucket").agg(F.max("rho").alias("rho"))
+    days = df.select(day.alias("day")).distinct()
+    folded = (
+        merged.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias(
+                "s_scaled"
+            ),
+            F.count("*").alias("v_occupied"),
+        )
+    )
+    # exact audit: distinct (key, day) fanned across the window (the
+    # w18 plan — the thing the sketch replaces; drop in production)
+    kd = df.select(day.alias("day"), F.col(key_col).alias("__k")).distinct()
+    exact = (
+        kd.select(
+            F.expr(f"explode(sequence(0, {window_days - 1}))").alias("__i"),
+            "day",
+            "__k",
+        )
+        .select(F.date_add(F.col("day"), F.col("__i")).alias("day"), "__k")
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("__k").alias("n_exact"))
+    )
+    scale = float(1 << 52)
+    raw = F.round(
+        F.lit(alpha * m * m)
+        / (
+            (
+                F.col("s_scaled")
+                + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+            )
+            / F.lit(scale)
+        ),
+        6,
+    )
+    out = folded.join(exact, "day").select(
+        "day",
+        "n_exact",
+        (F.lit(m) - F.col("v_occupied")).cast("long").alias("v_empty"),
+        raw.alias("__raw"),
+    )
+    corrected = F.when(
+        (F.col("__raw") <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.round(
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6
+        ),
+    ).otherwise(F.col("__raw"))
+    return out.select(
+        "day",
+        "n_exact",
+        "v_empty",
+        corrected.alias("wau_hll"),
+        F.round(
+            F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+def hll_sliding_distinct_sql(
+    table: str,
+    key_expr: str,
+    ts_expr: str,
+    window_days: int = 7,
+    p: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hll_sliding_distinct` (same constants,
+    same register fan + max-merge + dyadic fold)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    h = _h60_sql(key_expr)
+    scale = float(1 << 52)
+    return f"""
+    WITH keyed AS (
+        SELECT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day,
+               h % {m} AS bucket, h // {m} AS w
+        FROM (SELECT {ts_expr}, {h} AS h FROM {table})
+    ), regs AS (
+        SELECT day, bucket,
+               max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)
+                        ELSE {w_bits + 1} END) AS rho
+        FROM keyed GROUP BY day, bucket
+    ), fan AS (
+        SELECT day + CAST(i AS INTEGER) AS day, bucket, rho
+        FROM regs, unnest(generate_series(0, {window_days - 1})) AS t(i)
+    ), days AS (
+        SELECT DISTINCT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day
+        FROM {table}
+    ), merged AS (
+        SELECT f.day, bucket, max(rho) AS rho
+        FROM fan f JOIN days USING (day) GROUP BY f.day, bucket
+    ), folded AS (
+        SELECT day,
+               sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+               count(*) AS v_occupied
+        FROM merged GROUP BY day
+    ), kd AS (
+        SELECT DISTINCT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day,
+               {key_expr} AS k
+        FROM {table}
+    ), exact AS (
+        SELECT f.day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+        FROM (
+            SELECT day + CAST(i AS INTEGER) AS day, k
+            FROM kd, unnest(generate_series(0, {window_days - 1})) AS t(i)
+        ) f JOIN days USING (day)
+        GROUP BY f.day
+    ), raws AS (
+        SELECT folded.day, n_exact,
+               CAST({m} - v_occupied AS BIGINT) AS v_empty,
+               round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                      / {scale!r}),
+                     6) AS raw
+        FROM folded JOIN exact ON folded.day = exact.day
+    )
+    SELECT day, n_exact, v_empty,
+           CASE WHEN raw <= 2.5 * {m} AND v_empty > 0
+                THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                ELSE raw END AS wau_hll,
+           round(abs(CASE WHEN raw <= 2.5 * {m} AND v_empty > 0
+                          THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                          ELSE raw END - n_exact) / n_exact, 6) AS rel_err
+    FROM raws
+    """

@@ -9306,6 +9306,25 @@ def w28_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "spend_7d", "n_7d")
 
 
+@register(
+    "sketch_hll_sliding_wau",
+    __import__("gcpdatapipelines_spark.operators.sketches", fromlist=["x"])
+    .hll_sliding_distinct_sql("events", "user_id", "ts", window_days=7, p=9),
+)
+def sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day via HLL register merge —
+    the scale path for w18_rolling_distinct_users: each day collapses
+    to 2^9 registers BEFORE the window fan-out, so state per day is
+    fixed at 512 rows no matter how many users (w18 fans every
+    distinct user-day). Deterministic md5 registers + dyadic-exact
+    fold make the estimate itself oracle-hashable; per-day exact WAU
+    rides along as the audit."""
+    from .operators.sketches import hll_sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_sliding_distinct(ev, "user_id", "ts", window_days=7, p=9)
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

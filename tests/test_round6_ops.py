@@ -1005,3 +1005,80 @@ def test_trailing_range_agg_includes_all_ts_peers(spark):
     out = trailing_range_agg(df, "user_id", "ts", "value").collect()
     assert [r["trailing_sum"] for r in out] == [3.0, 3.0]
     assert [r["trailing_n"] for r in out] == [2, 2]
+
+
+# ---------------------------------------------------------------------------
+# hll_sliding_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sliding_wau_accuracy_and_exact_parity(spark):
+    """Per-day 7-day HLL estimates track the exact rolling distinct
+    count within the p=9 error envelope (1.04/sqrt(512) ~ 4.6% rsd;
+    assert a generous 4-sigma band), and the audit column equals an
+    independently-computed exact WAU."""
+    from datetime import datetime, timedelta
+
+    from gcpdatapipelines_spark.operators.sketches import (
+        hll_sliding_distinct,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (base + timedelta(days=d, hours=u % 24), (d * 131 + u * 7) % 900)
+        for d in range(20)
+        for u in range(250)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, user_id BIGINT")
+    got = {
+        r["day"]: r for r in hll_sliding_distinct(df, "user_id", "ts").collect()
+    }
+    assert len(got) == 20
+    # independent exact model
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for ts, u in rows:
+        by_day[ts.date()].add(u)
+    for day, r in got.items():
+        exact = len(
+            set().union(
+                *(
+                    by_day.get(day - timedelta(days=i), set())
+                    for i in range(7)
+                )
+            )
+        )
+        assert r["n_exact"] == exact, (day, r, exact)
+        assert r["rel_err"] < 0.19, r
+
+
+def test_hll_sliding_wau_partitioning_invariant(spark):
+    """md5 registers + max-merge + dyadic fold: the estimate is
+    bit-identical under any repartitioning/ordering."""
+    from datetime import datetime, timedelta
+
+    from gcpdatapipelines_spark.operators.sketches import (
+        hll_sliding_distinct,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (base + timedelta(days=d), (d * 17 + u) % 400)
+        for d in range(10)
+        for u in range(120)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, user_id BIGINT")
+    a = {
+        (r["day"], r["wau_hll"], r["n_exact"])
+        for r in hll_sliding_distinct(df, "user_id", "ts").collect()
+    }
+    b = {
+        (r["day"], r["wau_hll"], r["n_exact"])
+        for r in hll_sliding_distinct(
+            df.repartition(17).sortWithinPartitions("user_id"),
+            "user_id",
+            "ts",
+        ).collect()
+    }
+    assert a == b
