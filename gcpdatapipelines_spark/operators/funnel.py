@@ -366,3 +366,132 @@ def growth_accounting(
             "n_churned",
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Markov removal-effect channel attribution (first-order
+    absorbing chain): each user's journey = channel sequence up to
+    the FIRST conversion event (absorbing CONV) or journey end
+    (absorbing NULL); a channel's credit is its removal effect — the
+    relative drop in START→CONV probability when the channel is
+    deleted (its outgoing mass redirected to NULL) — normalized into
+    shares of total conversions.
+
+    Scale split: transition counting is the ONLY data-sized work (one
+    user-keyed window pass + a hash agg over ≤ (k+2)² state pairs);
+    the chain solve runs on the driver over that bounded matrix
+    (channels are a catalog-sized domain — same bounded-metadata
+    invariant as IVF centroids). numpy.linalg solves the absorbing
+    system exactly, so the result is deterministic.
+
+    Returns (channel, removal_effect, attribution_share,
+    attributed_conversions) ordered by channel."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *( [F.col(order_col)] if order_col else [] )
+    )
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        *( [F.col(order_col).alias("__o")] if order_col else [] ),
+        F.when(F.col(channel_col) == conversion, F.lit("CONV"))
+        .otherwise(F.col(channel_col))
+        .alias("__st"),
+    )
+    w = Window.partitionBy("__u").orderBy(
+        "__ts", *(["__o"] if order_col else [])
+    )
+    # keep everything up to and including the first CONV
+    flagged = ev.withColumn(
+        "__nconv_before",
+        F.count(F.when(F.col("__st") == "CONV", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).filter(F.col("__nconv_before") == 0)
+    stepped = flagged.select(
+        "__u",
+        F.coalesce(F.lag("__st").over(w), F.lit("START")).alias("src"),
+        F.col("__st").alias("dst"),
+        F.when(
+            F.lead("__st").over(w).isNull() & (F.col("__st") != "CONV"),
+            F.lit("NULL"),
+        ).alias("__tail"),
+    )
+    trans = stepped.select("src", "dst").unionByName(
+        stepped.filter(F.col("__tail").isNotNull()).select(
+            F.col("dst").alias("src"), F.col("__tail").alias("dst")
+        )
+    )
+    counts = {
+        (r["src"], r["dst"]): r["n"]
+        for r in trans.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: <= (k+2)^2 rows, k = channel-domain size
+    }
+    channels = sorted(
+        {s for s, _ in counts if s not in ("START",)}
+        | {d for _, d in counts if d not in ("CONV", "NULL")}
+        - {"START"}
+    )
+    states = ["START"] + channels  # transient
+    absorbing = ["CONV", "NULL"]
+
+    def p_conv(removed=None):
+        trans_states = [s for s in states if s != removed]
+        idx = {s: i for i, s in enumerate(trans_states)}
+        n = len(trans_states)
+        q = np.zeros((n, n))
+        r = np.zeros((n, 2))
+        for i, s in enumerate(trans_states):
+            out = {
+                d: c for (src, d), c in counts.items() if src == s
+            }
+            tot = sum(out.values())
+            if tot == 0:
+                r[i, 1] = 1.0  # dangling -> NULL
+                continue
+            for d, c in out.items():
+                pr = c / tot
+                if d == removed:
+                    r[i, 1] += pr  # removed channel's mass -> NULL
+                elif d == "CONV":
+                    r[i, 0] += pr
+                elif d == "NULL":
+                    r[i, 1] += pr
+                else:
+                    q[i, idx[d]] += pr
+        b = np.linalg.solve(np.eye(n) - q, r)  # absorption probs
+        return float(b[idx["START"], 0])
+
+    base = p_conv()
+    total_conv = sum(c for (s, d), c in counts.items() if d == "CONV")
+    effects = {
+        c: max(0.0, 1.0 - (p_conv(removed=c) / base if base > 0 else 0.0))
+        for c in channels
+    }
+    tot_eff = sum(effects.values())
+    rows = [
+        (
+            c,
+            round(effects[c], 6),
+            round(effects[c] / tot_eff, 6) if tot_eff > 0 else 0.0,
+            round(total_conv * effects[c] / tot_eff, 2)
+            if tot_eff > 0
+            else 0.0,
+        )
+        for c in channels
+    ]
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel STRING, removal_effect DOUBLE, attribution_share DOUBLE,"
+        " attributed_conversions DOUBLE",
+    ).orderBy("channel")

@@ -9325,6 +9325,25 @@ def sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sliding_distinct(ev, "user_id", "ts", window_days=7, p=9)
 
 
+@register("w29_markov_attribution")  # rows-only: the absorbing-chain
+# solve (numpy over the bounded transition matrix) has no SQL twin;
+# hand-solved-chain + first-conversion-cut parity pinned in
+# tests/test_round6_ops.py
+def w29_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user event journeys:
+    click/view/signup/error earn credit for purchases by how much
+    START->CONV probability drops when each channel is deleted from
+    the first-order chain. Transition counting is the only data-sized
+    work (one user-keyed window pass + a <= (k+2)^2 hash agg); the
+    exact linear solve runs driver-side on that bounded matrix."""
+    from .operators.funnel import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", "event_id"
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -1082,3 +1082,63 @@ def test_hll_sliding_wau_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution
+# ---------------------------------------------------------------------------
+
+
+def _mk_journeys(spark, journeys):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 6, 1)
+    rows = []
+    for u, steps in enumerate(journeys):
+        for i, st in enumerate(steps):
+            rows.append((u, base + timedelta(minutes=i), st, i))
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT"
+    )
+
+
+def test_markov_attribution_hand_chain(spark):
+    """Hand-solved absorbing chain: journeys A->CONV, A->B->CONV,
+    B->null, C->null give removal effects A=0.75, B=0.5, C=0 (base
+    P(conv)=0.5; removing A leaves only START->B->CONV=0.125;
+    removing B kills A's second path: 0.25)."""
+    from gcpdatapipelines_spark.operators.funnel import markov_attribution
+
+    df = _mk_journeys(
+        spark,
+        [["A", "purchase"], ["A", "B", "purchase"], ["B"], ["C"]],
+    )
+    got = {
+        r["channel"]: r
+        for r in markov_attribution(
+            df, "user_id", "ts", "event_type", "purchase", "event_id"
+        ).collect()
+    }
+    assert abs(got["A"]["removal_effect"] - 0.75) < 1e-9
+    assert abs(got["B"]["removal_effect"] - 0.5) < 1e-9
+    assert got["C"]["removal_effect"] == 0.0
+    assert abs(got["A"]["attribution_share"] - 0.6) < 1e-9
+    assert abs(got["B"]["attribution_share"] - 0.4) < 1e-9
+    assert abs(got["A"]["attributed_conversions"] - 1.2) < 1e-6
+    assert abs(got["B"]["attributed_conversions"] - 0.8) < 1e-6
+
+
+def test_markov_attribution_cuts_at_first_conversion(spark):
+    """Post-conversion events must not contribute transitions: a
+    journey A->CONV->Z->Z equals A->CONV (Z earns no credit and no
+    Z state appears)."""
+    from gcpdatapipelines_spark.operators.funnel import markov_attribution
+
+    df = _mk_journeys(
+        spark, [["A", "purchase", "Z", "Z"], ["A", "purchase"]]
+    )
+    got = markov_attribution(
+        df, "user_id", "ts", "event_type", "purchase", "event_id"
+    ).collect()
+    assert {r["channel"] for r in got} == {"A"}
+    assert got[0]["removal_effect"] == 1.0
