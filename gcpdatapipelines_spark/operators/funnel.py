@@ -396,9 +396,6 @@ def markov_attribution(
     import numpy as np
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col), *( [F.col(order_col)] if order_col else [] )
-    )
     ev = events.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
@@ -493,5 +490,109 @@ def markov_attribution(
     return events.sparkSession.createDataFrame(
         rows,
         "channel STRING, removal_effect DOUBLE, attribution_share DOUBLE,"
+        " attributed_conversions DOUBLE",
+    ).orderBy("channel")
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Shapley-value channel attribution (order-free companion to
+    markov_attribution): each user contributes their journey's
+    DISTINCT pre-conversion channel set and a converted flag; the
+    coalition value v(S) is the observed conversion rate of users
+    whose set is exactly S (unobserved coalitions contribute 0, the
+    standard simplified-Shapley convention, Zhao et al. 2018); each
+    channel's credit is its exact Shapley value over those
+    coalitions, normalized into shares of total conversions.
+
+    Scale split: the distributed work is one distinct + two hash aggs
+    ending in <= 2^k coalition rows (k = channel-domain size, a
+    catalog-sized constant); the factorial-weighted Shapley sum runs
+    driver-side over that bounded table.
+
+    Returns (channel, shapley_value, attribution_share,
+    attributed_conversions) ordered by channel."""
+    from itertools import combinations
+    from math import factorial
+
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(channel_col).alias("__c"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts")
+    flagged = ev.withColumn(
+        "__nconv_before",
+        F.count(F.when(F.col("__c") == conversion, 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).filter(F.col("__nconv_before") == 0)
+    per_user = flagged.groupBy("__u").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("__c") != conversion, F.col("__c"))
+                )
+            )
+        ).alias("__set"),
+        F.max(
+            F.when(F.col("__c") == conversion, 1).otherwise(0)
+        ).alias("__conv"),
+    )
+    coalitions = {
+        tuple(r["__set"]): (r["n"], r["nc"])
+        for r in per_user.groupBy("__set")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__conv").alias("nc"),
+        )
+        .collect()  # bounded: <= 2^k rows
+        if r["__set"]
+    }
+    channels = sorted({c for s in coalitions for c in s})
+    k = len(channels)
+    v = {
+        s: (nc / n if n else 0.0) for s, (n, nc) in coalitions.items()
+    }
+
+    def val(subset):
+        return v.get(tuple(sorted(subset)), 0.0)
+
+    shap = {}
+    for c in channels:
+        others = [x for x in channels if x != c]
+        total = 0.0
+        for r in range(len(others) + 1):
+            for s in combinations(others, r):
+                wgt = (
+                    factorial(len(s))
+                    * factorial(k - len(s) - 1)
+                    / factorial(k)
+                )
+                total += wgt * (val(set(s) | {c}) - val(s))
+        shap[c] = total
+    total_conv = sum(nc for (_, nc) in coalitions.values())
+    tot = sum(x for x in shap.values() if x > 0)
+    rows = [
+        (
+            c,
+            round(shap[c], 6),
+            round(max(0.0, shap[c]) / tot, 6) if tot > 0 else 0.0,
+            round(total_conv * max(0.0, shap[c]) / tot, 2)
+            if tot > 0
+            else 0.0,
+        )
+        for c in channels
+    ]
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel STRING, shapley_value DOUBLE, attribution_share DOUBLE,"
         " attributed_conversions DOUBLE",
     ).orderBy("channel")

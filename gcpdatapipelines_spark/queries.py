@@ -9344,6 +9344,22 @@ def w29_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("w30_shapley_attribution")  # rows-only: the factorial-
+# weighted coalition sum runs driver-side over the bounded 2^k
+# coalition table; hand-solved Shapley + post-conversion-cut parity
+# pinned in tests/test_round6_ops.py
+def w30_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (order-free companion to
+    w29_markov_attribution): coalition values = observed conversion
+    rates per distinct pre-purchase channel set; exact Shapley over
+    the <= 2^k observed coalitions, normalized into conversion
+    shares. Distributed work ends at a 2^k-row aggregate."""
+    from .operators.funnel import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(ev, "user_id", "ts", "event_type", "purchase")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -1142,3 +1142,39 @@ def test_markov_attribution_cuts_at_first_conversion(spark):
     ).collect()
     assert {r["channel"] for r in got} == {"A"}
     assert got[0]["removal_effect"] == 1.0
+
+
+def test_shapley_attribution_hand_case(spark):
+    """Two channels, hand-solved: v(A)=1/3, v(B)=1/2, v(AB)=1 gives
+    phi_A=5/12, phi_B=7/12 (efficiency: they sum to v(AB) since
+    v(empty)=0); 4 conversions split 1.67/2.33."""
+    from gcpdatapipelines_spark.operators.funnel import shapley_attribution
+
+    journeys = (
+        [["A", "purchase"]] + [["A"]] * 2           # v(A)=1/3
+        + [["B", "purchase"]] + [["B"]]             # v(B)=1/2
+        + [["A", "B", "purchase"]] * 2              # v(AB)=1
+    )
+    df = _mk_journeys(spark, journeys)
+    got = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert abs(got["A"]["shapley_value"] - 5 / 12) < 1e-6
+    assert abs(got["B"]["shapley_value"] - 7 / 12) < 1e-6
+    assert abs(got["A"]["attribution_share"] - 5 / 12) < 1e-6
+    assert abs(got["A"]["attributed_conversions"] - 4 * 5 / 12) < 1e-2
+
+
+def test_shapley_ignores_post_conversion_channels(spark):
+    """Channels seen only after the first conversion earn nothing and
+    do not appear."""
+    from gcpdatapipelines_spark.operators.funnel import shapley_attribution
+
+    df = _mk_journeys(spark, [["A", "purchase", "Z"], ["A"]])
+    got = shapley_attribution(
+        df, "user_id", "ts", "event_type", "purchase"
+    ).collect()
+    assert {r["channel"] for r in got} == {"A"}
