@@ -381,3 +381,62 @@ def holt_linear_state(
             F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_1"),
         )
     )
+
+
+def pattern_match_negation(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    start: str,
+    goal: str,
+    blocker: str,
+    horizon_s: int = 3600,
+    order_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style negative pattern: per user, count START
+    events that reach a GOAL within horizon_s seconds with NO BLOCKER
+    strictly between — the CEP shape (A then B within T, no C
+    between) that naive implementations write as a triple self-join.
+
+    One ordered window pass instead: every event looks up the next
+    GOAL ts and next BLOCKER ts among its FOLLOWING rows (conditional
+    min over an unbounded-following frame); a START matches iff
+    next_goal <= ts + horizon AND (no next_blocker OR next_blocker >=
+    next_goal — a blocker at or after the goal is outside the
+    pattern). No join, no per-pattern fan-out; cost = one user-keyed
+    sort, same as any sessionization.
+
+    Returns (user, n_start, n_matched)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), *([F.col(order_col)] if order_col else []))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_goal = F.min(
+        F.when(F.col(type_col) == goal, F.col(ts_col))
+    ).over(w)
+    next_block = F.min(
+        F.when(F.col(type_col) == blocker, F.col(ts_col))
+    ).over(w)
+    flagged = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+        next_goal.alias("__ng"),
+        next_block.alias("__nb"),
+    ).filter(F.col("__t") == start)
+    matched = (
+        F.col("__ng").isNotNull()
+        & (
+            F.col("__ng").cast("long")
+            <= F.col("__ts").cast("long") + horizon_s
+        )
+        & (F.col("__nb").isNull() | (F.col("__nb") >= F.col("__ng")))
+    )
+    return flagged.groupBy("user").agg(
+        F.count("*").cast("bigint").alias("n_start"),
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+    )

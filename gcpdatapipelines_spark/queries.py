@@ -9360,6 +9360,44 @@ def w30_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapley_attribution(ev, "user_id", "ts", "event_type", "purchase")
 
 
+@register(
+    "seq_pattern_negation",
+    """
+    WITH flagged AS (
+        SELECT user_id AS user, event_type AS t, ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+                   AS ng,
+               min(CASE WHEN event_type = 'error' THEN ts END) OVER w
+                   AS nb
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user, CAST(count(*) AS BIGINT) AS n_start,
+           CAST(sum(CASE WHEN ng IS NOT NULL
+                          AND ng <= ts + INTERVAL 1 HOUR
+                          AND (nb IS NULL OR nb >= ng)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM flagged WHERE t = 'click'
+    GROUP BY user
+    """,
+)
+def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negative pattern over event streams: clicks that reach a
+    purchase within 1 hour with NO error strictly between — computed
+    in ONE ordered window pass (conditional next-goal / next-blocker
+    mins over the following frame), never the naive triple
+    self-join."""
+    from .operators.sequences import pattern_match_negation
+
+    ev = _t(spark, sf_dir, "events")
+    return pattern_match_negation(
+        ev, "user_id", "ts", "event_type",
+        start="click", goal="purchase", blocker="error",
+        horizon_s=3600, order_col="event_id",
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -1178,3 +1178,72 @@ def test_shapley_ignores_post_conversion_channels(spark):
         df, "user_id", "ts", "event_type", "purchase"
     ).collect()
     assert {r["channel"] for r in got} == {"A"}
+
+
+# ---------------------------------------------------------------------------
+# pattern_match_negation
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_negation_cases(spark):
+    """Four journeys pin the semantics: clean match; blocker between
+    -> no match; blocker AFTER the goal -> still a match; goal beyond
+    horizon -> no match."""
+    from datetime import datetime, timedelta
+
+    from gcpdatapipelines_spark.operators.sequences import (
+        pattern_match_negation,
+    )
+
+    base = datetime(2024, 7, 1)
+
+    def j(u, steps):
+        return [
+            (u, base + timedelta(minutes=m), t, i)
+            for i, (m, t) in enumerate(steps)
+        ]
+
+    rows = (
+        j(1, [(0, "click"), (10, "purchase")])                       # match
+        + j(2, [(0, "click"), (5, "error"), (10, "purchase")])       # blocked
+        + j(3, [(0, "click"), (10, "purchase"), (20, "error")])      # match
+        + j(4, [(0, "click"), (90, "purchase")])                     # too late
+    )
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT"
+    )
+    got = {
+        r["user"]: (r["n_start"], r["n_matched"])
+        for r in pattern_match_negation(
+            df, "user_id", "ts", "event_type",
+            "click", "purchase", "error", 3600, "event_id",
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 1), 4: (1, 0)}
+
+
+def test_pattern_negation_uses_next_goal_only(spark):
+    """The pattern binds to the NEXT goal: click -> error -> purchase
+    -> purchase is blocked (the error precedes the first purchase),
+    even though a later purchase also exists."""
+    from datetime import datetime, timedelta
+
+    from gcpdatapipelines_spark.operators.sequences import (
+        pattern_match_negation,
+    )
+
+    base = datetime(2024, 7, 1)
+    rows = [
+        (1, base + timedelta(minutes=m), t, i)
+        for i, (m, t) in enumerate(
+            [(0, "click"), (5, "error"), (10, "purchase"), (20, "purchase")]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT"
+    )
+    got = pattern_match_negation(
+        df, "user_id", "ts", "event_type",
+        "click", "purchase", "error", 3600, "event_id",
+    ).collect()[0]
+    assert (got["n_start"], got["n_matched"]) == (1, 0)
