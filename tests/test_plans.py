@@ -540,3 +540,12 @@ def test_quantile_sketch_window_input_is_prefiltered(spark):
     # exact-quantile audit adds one more. Anything beyond 3 means the
     # prefilter stopped cutting the window input.
     assert plan.count("lineitem.parquet]") <= 3, plan
+
+
+def test_pattern_negation_has_no_join(spark):
+    """The CEP negative pattern must stay a single window pass — any
+    Join node means the triple-self-join shape crept back."""
+    df = _q(spark, "seq_pattern_negation")
+    plan = P.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
