@@ -384,6 +384,13 @@ def test_semdedup_catalog_entry_has_no_flat_fallback(spark):
     from gcpdatapipelines_spark.operators import similarity as S
     from gcpdatapipelines_spark.io import read_table
 
+    # hermetic cache state: if an earlier test already MATERIALIZED
+    # the persisted assignment relation, explain prints the cached
+    # AQE plan twice ("Final Plan" + historical "Initial Plan"), and
+    # the ONE seed-fanout BNLJ appears under two node ids — a printer
+    # artifact, not a second nested loop. Clearing the cache restores
+    # the lazy single-copy plan this test pins.
+    spark.catalog.clearCache()
     emb = read_table(spark, SF_SMOKE, "embeddings")
     pairs = S.semdedup_pairs_seeded(emb, threshold=0.4, nlist=16)
     plan = P.formatted_plan(pairs)
