@@ -19,6 +19,29 @@ from gcpdatapipelines_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.01"
 
 HEADLINERS = {
+    "q15_top_supplier": (
+        "ONE lineitem scan: the max-revenue subquery is a window over "
+        "the supplier-sized aggregate, not a second CTE scan."
+    ),
+    "sketch_quantile_bottomk": (
+        "Bottom-k sample window ranks only the hash-threshold "
+        "survivors (u <= 4k/n broadcast-joined); the fact is never "
+        "shuffle-sorted."
+    ),
+    "sketch_hll_sliding_wau": (
+        "Per-day HLL registers collapse BEFORE the 7-day fan-out — "
+        "window state fixed at 2^9 rows/day regardless of user count."
+    ),
+    "seq_pattern_negation": (
+        "CEP negative pattern in ONE window pass (conditional "
+        "next-goal/next-blocker mins over the following frame); no "
+        "self-join anywhere."
+    ),
+    "profile_join_size": (
+        "Join cardinality from tiny sampled-key histograms; the full "
+        "fact reduces to per-key counts once, the histograms join "
+        "tiny-to-tiny."
+    ),
     "flagship_nation_rollup": (
         "3 dimension joins all broadcast; lineitem scan pruned to 4/11 "
         "columns; single exchange (the final groupBy)."
