@@ -804,3 +804,67 @@ def quantile_sketch_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def hll_daily_sketch_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    target_path: str,
+    checkpoint: str,
+    p: int = 9,
+) -> None:
+    """Streaming DAY-KEYED HLL register maintenance: each micro-batch
+    folds into per-(day, bucket) max registers in the parquet state —
+    the streaming feeder for sketches.hll_sliding_distinct-style
+    rolling distinct counts (read the state, fan registers across the
+    window, estimate). State is 2^p rows per ACTIVE day regardless of
+    key volume; max-merge makes batch replay idempotent, exactly as
+    hll_sketch_stream's global form. Staging-swap write protocol as
+    upsert_sink_stream."""
+    from .operators.sketches import HASH_BITS, _h60
+
+    m = 1 << p
+    w_bits = HASH_BITS - p
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        day = F.date_trunc("day", F.col(ts_col)).cast("date")
+        regs = (
+            batch_df.select(
+                day.alias("day"), _h60(F.col(key_col)).alias("h")
+            )
+            .selectExpr("day", f"h % {m} AS bucket", f"h div {m} AS w")
+            .groupBy("day", "bucket")
+            .agg(
+                F.expr(
+                    f"max(CASE WHEN w > 0 THEN {w_bits} -"
+                    f" CAST(floor(log2(w)) AS BIGINT)"
+                    f" ELSE {w_bits + 1} END)"
+                ).alias("rho")
+            )
+        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        tgt = hpath(target_path)
+        fs = tgt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tgt):
+            state = spark.read.parquet(target_path)
+            regs = (
+                state.unionByName(regs)
+                .groupBy("day", "bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        staging = target_path.rstrip("/") + f".__staging_{batch_id}"
+        regs.write.mode("overwrite").parquet(staging)
+        fs.delete(tgt, True)
+        if not fs.rename(hpath(staging), tgt):
+            raise IOError(f"staging swap failed: {staging} -> {target_path}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

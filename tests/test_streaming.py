@@ -703,3 +703,119 @@ def test_quantile_sketch_stream_matches_full_scan(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == want and len(want) == 128
+
+
+def test_hll_daily_sketch_stream_feeds_sliding_estimate(spark, tmp_path):
+    """Day-keyed register state from micro-batched ingestion must
+    equal the full scan's per-day registers row-for-row, and the
+    sliding estimate computed FROM THE STATE must equal
+    hll_sliding_distinct's wau_hll on the same data (the streaming
+    feeder contract). Batches overlap in days and keys."""
+    import glob
+    import os
+    import shutil
+
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "ts TIMESTAMP, user_id BIGINT"
+    base = datetime(2024, 3, 1)
+
+    def rows(lo, hi):
+        return [
+            (base + timedelta(days=i % 9, hours=i % 11), (i * 13) % 500)
+            for i in range(lo, hi)
+        ]
+
+    def write_batch(name, lo, hi, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(lo, hi), schema).coalesce(1).write.parquet(
+            staging
+        )
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    write_batch("a", 0, 1200, mtime=1_700_000_000)
+    write_batch("b", 900, 2600, mtime=1_700_000_100)  # overlaps a
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    target = str(tmp_path / "daily_regs")
+    S.hll_daily_sketch_stream(
+        stream, "user_id", "ts", target, str(tmp_path / "dckpt"), p=7
+    )
+
+    from gcpdatapipelines_spark.operators.sketches import (
+        HASH_BITS,
+        _h60,
+        hll_sliding_distinct,
+    )
+
+    full = spark.createDataFrame(rows(0, 2600), schema)
+    m, w_bits = 1 << 7, HASH_BITS - 7
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    want_regs = {
+        (r["day"], r["bucket"], r["rho"])
+        for r in full.select(day.alias("day"), _h60(F.col("user_id")).alias("h"))
+        .selectExpr("day", f"h % {m} AS bucket", f"h div {m} AS w")
+        .groupBy("day", "bucket")
+        .agg(
+            F.expr(
+                f"max(CASE WHEN w > 0 THEN {w_bits} -"
+                f" CAST(floor(log2(w)) AS BIGINT) ELSE {w_bits + 1} END)"
+            ).alias("rho")
+        )
+        .collect()
+    }
+    state = spark.read.parquet(target)
+    got_regs = {
+        (r["day"], r["bucket"], r["rho"]) for r in state.collect()
+    }
+    assert got_regs == want_regs and len(want_regs) > 0
+
+    # sliding estimate FROM THE STATE == batch operator's estimate
+    from gcpdatapipelines_spark.operators.sketches import _hll_alpha
+
+    alpha = _hll_alpha(m)
+    fan = state.select(
+        F.expr("explode(sequence(0, 6))").alias("__i"), "day", "bucket", "rho"
+    ).select(F.date_add(F.col("day"), F.col("__i")).alias("day"), "bucket", "rho")
+    days = state.select("day").distinct()
+    folded = (
+        fan.join(days, "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy("day")
+        .agg(
+            F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s"),
+            F.count("*").alias("v"),
+        )
+    )
+    scale = float(1 << 52)
+    raw = F.round(
+        F.lit(alpha * m * m)
+        / ((F.col("s") + (F.lit(m) - F.col("v")) * F.lit(1 << 52)) / F.lit(scale)),
+        6,
+    )
+    est = folded.select(
+        "day",
+        F.when(
+            (raw <= 2.5 * m) & (F.lit(m) - F.col("v") > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("v"))), 6),
+        )
+        .otherwise(raw)
+        .alias("est"),
+    )
+    got_est = {(r["day"], r["est"]) for r in est.collect()}
+    want_est = {
+        (r["day"], r["wau_hll"])
+        for r in hll_sliding_distinct(full, "user_id", "ts", 7, p=7).collect()
+    }
+    assert got_est == want_est
