@@ -699,3 +699,52 @@ def duplicated_spans(
             6,
         ).alias("dup_frac"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram CONTAINMENT — the
+    asymmetric companion to ngram_jaccard_pairs: containment =
+    |A ∩ B| / min(|A|, |B|), which fires when a small document is
+    quoted/embedded inside a much larger one (a pair Jaccard
+    structurally caps at min/max and misses). Same shingle self-join
+    and shared-scan/``max_df`` contract as the Jaccard form; only the
+    denominator differs.
+
+    Returns (id_1 < id_2, containment) rounded to 6 digits."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, n).cache()
+    )
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(sz1, "id_1")
+        .join(sz2, "id_2")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least(F.col("n_1"), F.col("n_2")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_1", "id_2", "containment")
+    )

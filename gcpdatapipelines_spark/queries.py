@@ -9398,6 +9398,54 @@ def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(l) - 4),
+                       i -> array_to_string(l[i:i+4], ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS shingle
+        FROM toks
+    ), sz AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(n_inter * 1.0 / least(s1.n_sh, s2.n_sh), 6) AS containment
+    FROM inter
+    JOIN sz s1 ON id_1 = s1.doc_id
+    JOIN sz s2 ON id_2 = s2.doc_id
+    WHERE n_inter * 1.0 / least(s1.n_sh, s2.n_sh) >= 0.6
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset detection: pairs whose 5-gram CONTAINMENT
+    (|intersection| / smaller set) >= 0.6 — fires when a short doc is
+    embedded in a longer one, which symmetric Jaccard structurally
+    caps at size-ratio and misses. Shares the cached shingle scan
+    with the Jaccard/MinHash family."""
+    from .operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.6,
+        shingles=_doc_shingles_cached(spark, sf_dir, 5),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -1247,3 +1247,28 @@ def test_pattern_negation_uses_next_goal_only(spark):
         "click", "purchase", "error", 3600, "event_id",
     ).collect()[0]
     assert (got["n_start"], got["n_matched"]) == (1, 0)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    (fires) while Jaccard = |small|/|big| stays below any useful
+    threshold — the asymmetric detector's reason to exist."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, small), (2, small + " " + filler)],
+        "doc_id BIGINT, text STRING",
+    )
+    cont = ngram_containment_pairs(
+        df, "doc_id", "text", n=5, threshold=0.9
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=5, threshold=0.3
+    ).collect()
+    assert jac == []
