@@ -9446,6 +9446,61 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a41_winsorized_mean",
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(
+                     CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi
+                          ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def a41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean per event type: values clipped at the
+    exact p05/p95 cutpoints (one aggregate pass broadcast back — the
+    feat_quantile_bin contract), then a decimal-exact mean of the
+    clipped column next to the raw mean. The standard
+    metric-hardening step before alerting on mean shifts."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy(F.col("event_type").alias("__et")).agg(
+        F.expr("percentile(value, 0.05)").alias("__lo"),
+        F.expr("percentile(value, 0.95)").alias("__hi"),
+    )
+    clipped = ev.join(
+        F.broadcast(bounds), ev.event_type == F.col("__et")
+    ).withColumn(
+        "__w",
+        F.when(F.col("value") < F.col("__lo"), F.col("__lo"))
+        .when(F.col("value") > F.col("__hi"), F.col("__hi"))
+        .otherwise(F.col("value")),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.col("__w").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_winsorized"),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

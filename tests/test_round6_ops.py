@@ -1272,3 +1272,27 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
         df, "doc_id", "text", n=5, threshold=0.3
     ).collect()
     assert jac == []
+
+
+def test_winsorized_mean_clips_outliers(spark):
+    """A single extreme outlier moves the raw mean but barely the
+    winsorized one; with no outliers the two agree."""
+    from gcpdatapipelines_spark.queries import SPARK_QUERIES
+    import tempfile, os
+
+    vals = [float(v) for v in range(1, 100)] + [100000.0]
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING,"
+            " value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = SPARK_QUERIES["a41_winsorized_mean"](spark, d).collect()[0]
+    assert got["mean_raw"] > 1000
+    assert got["mean_winsorized"] < 60, got
