@@ -909,3 +909,126 @@ def rake_keywords(
         )
     )
     return final.orderBy(F.col("rake_score").desc(), F.col("phrase")).limit(top)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_tokens: int = 8,
+) -> DataFrame:
+    """C4-style cross-corpus line deduplication (Raffel et al. 2019,
+    arXiv:1910.10683 §2.2): segment every document into fixed-width
+    token "lines", keep exactly the FIRST occurrence of each distinct
+    line corpus-wide (ordered by (doc_id, position)), and reassemble
+    each document from its surviving lines.
+
+    Shape for 100 TB: line generation is fully narrow (one in-row
+    slice chain, no explode of token arrays through a shuffle); global
+    first-owner election is a hash aggregate ``min(struct(doc, pos))
+    GROUP BY md5(line)`` — map-side partial aggregation absorbs
+    hyper-duplicated lines (the skew case a row_number window cannot
+    combine away) — followed by one equi-join back on the line hash
+    (the agg output is already hash-partitioned on the join key, so
+    Catalyst reuses the exchange) and one per-document reassembly agg.
+    No pair joins, nothing driver-side.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    src = df.select(id_col, toks.alias("__t")).filter(F.size("__t") > 0)
+    n_lines = F.ceil(F.size("__t") / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__t"), i * line_tokens + 1, F.lit(line_tokens)),
+            " ",
+        ),
+    )
+    ln = src.select(id_col, F.posexplode(lines).alias("pos", "line"))
+    ln = ln.withColumn("__lh", F.md5(F.col("line")))
+    owners = ln.groupBy("__lh").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__o"
+        )
+    )
+    j = ln.join(owners, "__lh")
+    kept = (F.col(id_col) == F.col("__o.d")) & (F.col("pos") == F.col("__o.p"))
+    out = (
+        j.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum(kept.cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "line")))
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumn("n_dropped", (F.col("n_lines") - F.col("n_kept")).cast("int"))
+    )
+    return out.select(id_col, "n_lines", "n_kept", "n_dropped", "clean_text")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    Table A1) — the word-level subset that applies to single-line
+    documents: word-count bounds, mean word length in [3, 10], symbol
+    ratio (# / ellipsis per word) <= 0.1, >= 80% of words contain an
+    alphabetic character, and >= 2 distinct required stopwords. Emits
+    one row per document with each rule's flag plus the composite keep
+    bit, so downstream sampling can attribute every rejection.
+
+    Fully narrow: in-row splits and counts only, zero shuffles; every
+    ratio is one fixed double chain shared textually with the oracle.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda x: x != "")
+    src = df.select(id_col, t.alias("__txt"), words.alias("__w"))
+    n_words = F.size("__w")
+    denom = F.greatest(n_words, F.lit(1))
+    word_chars = F.length(F.replace(F.col("__txt"), F.lit(" "), F.lit("")))
+    mean_len = word_chars / denom
+    n_alpha = F.size(F.filter(F.col("__w"), lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha / denom
+    n_hash = F.length("__txt") - F.length(
+        F.replace(F.col("__txt"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length("__txt")
+        - F.length(F.replace(F.col("__txt"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / denom
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(F.col("__w"), F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = src.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        ((n_words >= 50) & (n_words <= 100000)).cast("int").alias("f_word_count"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).cast("int").alias("f_mean_len"),
+        (symbol_ratio <= 0.1).cast("int").alias("f_symbol"),
+        (alpha_ratio >= 0.8).cast("int").alias("f_alpha"),
+        (stop_hits >= 2).cast("int").alias("f_stopwords"),
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            F.col("f_word_count")
+            * F.col("f_mean_len")
+            * F.col("f_symbol")
+            * F.col("f_alpha")
+            * F.col("f_stopwords")
+        ).cast("int"),
+    )

@@ -9501,6 +9501,103 @@ def a41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_line_dedup",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents)
+    ), ln AS (
+        SELECT doc_id, CAST((ord - 1) // 8 AS INT) AS pos,
+               string_agg(w, ' ' ORDER BY ord) AS line
+        FROM tok GROUP BY 1, 2
+    ), k AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ln
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                               ' ' ORDER BY pos), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup (Raffel et al. 1910.10683 §2.2):
+    every distinct 8-token line survives exactly once corpus-wide
+    (first occurrence by (doc_id, position)); documents are
+    reassembled from their surviving lines. Narrow line generation,
+    first-owner election as min(struct) hash agg (combiner-safe under
+    hyper-duplicated lines, unlike a row_number window), one
+    exchange-reusing join back, one reassembly agg."""
+    from .operators.text import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return line_dedup(d, "doc_id", "text", line_tokens=8)
+
+
+@register(
+    "text_gopher_rules",
+    """
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               greatest(len(ws), 1) AS denom,
+               length(replace(text, ' ', '')) AS word_chars,
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3
+                   AS n_ellipsis,
+               len(list_intersect(
+                   list_distinct(list_transform(ws, x -> lower(x))),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS stop_hits
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           round(word_chars / denom, 4) AS mean_word_len,
+           round(n_alpha / denom, 4) AS alpha_ratio,
+           CAST(stop_hits AS INT) AS stop_hits,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+           CAST(word_chars / denom >= 3.0
+                AND word_chars / denom <= 10.0 AS INT) AS f_mean_len,
+           CAST((n_hash + n_ellipsis) / denom <= 0.1 AS INT) AS f_symbol,
+           CAST(n_alpha / denom >= 0.8 AS INT) AS f_alpha,
+           CAST(stop_hits >= 2 AS INT) AS f_stopwords,
+           CAST((n_words >= 50 AND n_words <= 100000)
+                AND (word_chars / denom >= 3.0 AND word_chars / denom <= 10.0)
+                AND ((n_hash + n_ellipsis) / denom <= 0.1)
+                AND (n_alpha / denom >= 0.8)
+                AND (stop_hits >= 2) AS INT) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter gate (Rae et al. 2112.11446 Table A1,
+    word-level subset): word-count bounds, mean word length, symbol
+    ratio, alphabetic-word ratio, required-stopword hits — one flag
+    per rule plus the composite keep bit so rejections are
+    attributable. Fully narrow, zero shuffles; every ratio is one
+    fixed double chain shared textually with the oracle."""
+    from .operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(d, "doc_id", "text")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

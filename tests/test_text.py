@@ -306,3 +306,92 @@ def test_bigram_nll_plan_no_window_no_cartesian(spark):
     plan = bigram_nll(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # bigrams come from the narrow transform
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    # 8-token lines; doc 1 repeats doc 0's first line verbatim, then
+    # has a unique line. The repeat must be dropped FROM DOC 1 (doc 0
+    # is the first owner by (doc_id, pos)).
+    line_a = "a b c d e f g h"
+    line_b = "p q r s t u v w"
+    line_c = "x y z x y z x y"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{line_a} {line_b}"),
+            Row(doc_id=1, text=f"{line_a} {line_c}"),
+        ]
+    )
+    rows = {
+        r["doc_id"]: r for r in T.line_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows[0]["n_lines"] == 2 and rows[0]["n_dropped"] == 0
+    assert rows[0]["clean_text"] == f"{line_a} {line_b}"
+    assert rows[1]["n_lines"] == 2 and rows[1]["n_dropped"] == 1
+    assert rows[1]["clean_text"] == line_c
+
+
+def test_line_dedup_intra_doc_and_gutted(spark):
+    # the same line twice WITHIN one doc dedups to one copy; a doc
+    # made entirely of already-seen lines is gutted to empty text
+    line_a = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{line_a} {line_a}"),
+            Row(doc_id=1, text=line_a),
+        ]
+    )
+    rows = {
+        r["doc_id"]: r for r in T.line_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows[0]["n_kept"] == 1 and rows[0]["clean_text"] == line_a
+    assert rows[1]["n_kept"] == 0 and rows[1]["clean_text"] == ""
+
+
+def test_line_dedup_partial_tail_line(spark):
+    # 10 tokens -> one full 8-token line + one 2-token tail line
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c d e f g h i j")])
+    out = T.line_dedup(df, "doc_id", "text").collect()[0]
+    assert out["n_lines"] == 2 and out["n_kept"] == 2
+    assert out["clean_text"] == "a b c d e f g h i j"
+
+
+# --------------------------------------------------------------- gopher gate
+
+
+def test_gopher_rules_flags(spark):
+    # 60 words incl. >=2 gopher stopwords, mean word length in range
+    good = " ".join(
+        ["the", "and", "that", "have"] + ["word"] * 56
+    )
+    short = "tiny doc with few words"  # fails word-count bound
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=good), Row(doc_id=1, text=short)]
+    )
+    rows = {
+        r["doc_id"]: r for r in T.gopher_rules(df, "doc_id", "text").collect()
+    }
+    g = rows[0]
+    assert g["n_words"] == 60 and g["f_word_count"] == 1
+    assert g["f_mean_len"] == 1 and g["f_alpha"] == 1
+    assert g["stop_hits"] == 4 and g["f_stopwords"] == 1
+    assert g["keep"] == 1
+    s = rows[1]
+    assert s["f_word_count"] == 0 and s["keep"] == 0
+    # "with" is a gopher stopword; only 1 distinct hit -> rule fails
+    assert s["stop_hits"] == 1 and s["f_stopwords"] == 0
+
+
+def test_gopher_symbol_and_mean_len_rules(spark):
+    hashy = " ".join(["#tag"] * 60)  # 60 hashes / 60 words = 1.0 > 0.1
+    longw = " ".join(["supercalifragilistic"] * 60)  # mean len 20 > 10
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=hashy), Row(doc_id=1, text=longw)]
+    )
+    rows = {
+        r["doc_id"]: r for r in T.gopher_rules(df, "doc_id", "text").collect()
+    }
+    assert rows[0]["f_symbol"] == 0
+    assert rows[1]["f_mean_len"] == 0 and rows[1]["keep"] == 0
