@@ -781,3 +781,86 @@ def forecast_backtest_holt(
         F.round(F.sum("__ae").cast("double") / F.count("*"), 6).alias("mae"),
         F.round(F.sum("__ape").cast("double") / F.count("*"), 6).alias("mape"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    min_obs: int = 30,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: divide each value by
+    its key's hour-of-day seasonal index (mean(value|key,hour) /
+    mean(value|key)), then z-score the deseasonalized residual against
+    the key's residual distribution and flag |z| > threshold. The
+    composition behind "alert on deviations the daily cycle does NOT
+    explain" — a raw z-score fires every rush hour; this one doesn't.
+
+    Parity shape (NOTES.md): hour/key means come from exact decimal
+    sums; the residual is ONE fixed double chain
+    ``value / ((s/c)/(S/C))`` shared textually with the oracle;
+    residual moments are decimal sums of the double residual (the
+    double->decimal cast is bit-deterministic in both engines); the
+    z chain and the |round(z,4)| > threshold cut are textually
+    identical on both sides.
+
+    Scale shape: one hash agg on (key, hour) with map-side combine;
+    per-key totals via a window over the |keys|x24-row AGGREGATE;
+    the seasonal index table is broadcast back to the fact (never a
+    shuffle of events); residual moments are a second combiner-
+    friendly agg; the |keys|-row moment table broadcasts back. The
+    fact is scanned, never shuffled."""
+    g = F.hour(F.col(ts_col)).cast("int")
+    per = df.groupBy(F.col(key).alias("__k"), g.alias("__grain")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+        F.count(value_col).alias("__c"),
+    )
+    w = Window.partitionBy("__k")
+    tot = per.select(
+        "__k",
+        "__grain",
+        "__s",
+        "__c",
+        F.sum("__s").over(w).alias("__st"),
+        F.sum("__c").over(w).alias("__ct"),
+    )
+    r = df.join(
+        F.broadcast(tot),
+        (F.col(key) == F.col("__k")) & (g == F.col("__grain")),
+    ).withColumn(
+        "resid",
+        F.col(value_col)
+        / (
+            (F.col("__s").cast("double") / F.col("__c"))
+            / (F.col("__st").cast("double") / F.col("__ct"))
+        ),
+    )
+    rd = F.col("resid").cast("decimal(18,6)")
+    m = r.groupBy(F.col(key).alias("__mk")).agg(
+        F.count("*").alias("__n"),
+        F.sum(rd).cast("double").alias("__sx"),
+        F.sum(rd * rd).cast("double").alias("__sxx"),
+    )
+    z = (F.col("resid") - F.col("__sx") / F.col("__n")) / F.sqrt(
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        / (F.col("__n") * (F.col("__n") - F.lit(1.0)))
+    )
+    return (
+        r.join(F.broadcast(m), F.col(key) == F.col("__mk"))
+        .filter(
+            (F.col("__n") >= min_obs)
+            & (F.col("__sxx") * F.col("__n") > F.col("__sx") * F.col("__sx"))
+            & (F.abs(F.round(z, 4)) > threshold)
+        )
+        .select(
+            key,
+            ts_col,
+            order_col,
+            value_col,
+            F.round("resid", 6).alias("resid"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

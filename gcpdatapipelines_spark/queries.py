@@ -9598,6 +9598,53 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(d, "doc_id", "text")
 
 
+@register(
+    "ts_seasonal_anomaly",
+    """
+    WITH per AS (
+        SELECT event_type AS k, CAST(hour(ts) AS INT) AS grain,
+               sum(CAST(value AS DECIMAL(18,6))) AS s, count(value) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT *, sum(s) OVER (PARTITION BY k) AS st,
+                  sum(c) OVER (PARTITION BY k) AS ct
+        FROM per
+    ), r AS (
+        SELECT e.event_type, e.ts, e.event_id, e.value,
+               e.value / ((CAST(s AS DOUBLE) / c)
+                          / (CAST(st AS DOUBLE) / ct)) AS resid
+        FROM events e JOIN tot t
+          ON e.event_type = t.k AND CAST(hour(e.ts) AS INT) = t.grain
+    ), m AS (
+        SELECT event_type AS mk, count(*) AS n,
+               CAST(sum(CAST(resid AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(resid AS DECIMAL(18,6))
+                        * CAST(resid AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM r GROUP BY 1
+    )
+    SELECT r.event_type, r.ts, r.event_id, r.value,
+           round(r.resid, 6) AS resid,
+           round((r.resid - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS zscore
+    FROM r JOIN m ON r.event_type = m.mk
+    WHERE n >= 30 AND sxx * n > sx * sx
+      AND abs(round((r.resid - sx / n)
+                    / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4)) > 3.0
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomalies (composition of ts_seasonal_index
+    and the z-score layer): values divided by their type's hour-of-day
+    index, residuals z-scored per type, |z| > 3 flagged — deviations
+    the daily cycle does NOT explain. Fact scanned twice, never
+    shuffled: hour-index and moment tables are tiny aggregates
+    broadcast back."""
+    from .operators.timeseries import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "event_type", "ts", "event_id", "value")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

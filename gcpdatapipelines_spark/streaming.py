@@ -868,3 +868,80 @@ def hll_daily_sketch_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def pattern_match_stream(
+    events: DataFrame,
+    start: str = "click",
+    goal: str = "purchase",
+    blocker: str = "error",
+    horizon_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Real-time CEP negative-pattern matching: per user, emit a match
+    row the moment a GOAL event lands within ``horizon_s`` of an open
+    START with no BLOCKER in between — the streaming twin of
+    sequences.pattern_match_negation (A then B within T, no C between)
+    via applyInPandasWithState lookahead buffering.
+
+    State per user is the list of OPEN start timestamps only — any
+    goal resolves (emits + clears) every open start, any blocker kills
+    them, and starts past their horizon are expired lazily on the next
+    event — so state is bounded by starts-per-horizon and drops to
+    empty (state removed) for quiet users. Batch parity holds exactly
+    for in-order streams with no same-(user, ts) ties (a tied
+    goal/blocker resolves by arrival order here but by event_id order
+    in the batch window); late events are the batch operator's job.
+
+    Output (append): user_id, start_ts, goal_ts, wait_s.
+    """
+    horizon_us = int(horizon_s) * 1_000_000
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        pending: list[int] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out_s: list[int] = []
+        out_g: list[int] = []
+        for _, r in rows.iterrows():
+            t_us = int(pd.Timestamp(r[ts_col]).value // 1000)
+            pending = [p for p in pending if t_us <= p + horizon_us]
+            et = r[type_col]
+            if et == goal:
+                out_s.extend(pending)
+                out_g.extend([t_us] * len(pending))
+                pending = []
+            elif et == blocker:
+                pending = []
+            if et == start:
+                pending.append(t_us)
+        if pending:
+            state.update(([int(p) for p in pending],))
+        elif state.exists:
+            state.remove()
+        if out_s:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out_s),
+                    "start_ts": [pd.Timestamp(p * 1000) for p in out_s],
+                    "goal_ts": [pd.Timestamp(g * 1000) for g in out_g],
+                    "wait_s": [(g - p) / 1e6 for p, g in zip(out_s, out_g)],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, start_ts TIMESTAMP, goal_ts TIMESTAMP, "
+            "wait_s DOUBLE"
+        ),
+        stateStructType="pending ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

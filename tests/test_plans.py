@@ -556,3 +556,38 @@ def test_pattern_negation_has_no_join(spark):
     plan = P.formatted_plan(df)
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_line_dedup_no_cartesian_and_partial_agg(spark):
+    """C4 line dedup: first-owner election must be an equi-join on the
+    line hash (combiner-friendly agg + join, never a pair/nested-loop
+    product), with partial aggregation absorbing hyper-duplicated
+    lines map-side."""
+    df = _q(spark, "text_line_dedup")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregation(df)
+    assert set(P.join_strategies(df)) <= {
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"
+    }
+
+
+def test_gopher_rules_fully_narrow(spark):
+    """The Gopher gate is per-row scoring: zero exchanges — at 100 TB
+    it must run as a single scan stage."""
+    df = _q(spark, "text_gopher_rules")
+    assert P.num_exchanges(df) == 0, P.formatted_plan(df)
+
+
+def test_seasonal_anomaly_broadcasts_index_tables(spark):
+    """Seasonal anomaly joins the fact against two BOUNDED aggregates
+    (|keys|x24 hour-index rows, |keys| moment rows): every join must
+    broadcast — the events fact is scanned, never shuffled for a
+    join."""
+    df = _q(spark, "ts_seasonal_anomaly")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert set(P.join_strategies(df)) == {"BroadcastHashJoin"}, (
+        P.join_strategies(df)
+    )

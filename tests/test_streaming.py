@@ -819,3 +819,89 @@ def test_hll_daily_sketch_stream_feeds_sliding_estimate(spark, tmp_path):
         for r in hll_sliding_distinct(full, "user_id", "ts", 7, p=7).collect()
     }
     assert got_est == want_est
+
+
+def test_pattern_match_stream_matches_batch(spark):
+    """Streaming CEP match count per user == the batch one-window-pass
+    operator (A then B within 1h, no C between) on the fixture."""
+    from gcpdatapipelines_spark.operators.sequences import pattern_match_negation
+
+    ev = S.stream_events(spark, SF_SMOKE)
+    got = S.run_available_now(
+        S.pattern_match_stream(
+            ev, start="click", goal="purchase", blocker="error", horizon_s=3600
+        ),
+        "t_cep",
+        output_mode="append",
+    )
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = pattern_match_negation(
+        read_table(spark, SF_SMOKE, "events"),
+        "user_id", "ts", "event_type",
+        start="click", goal="purchase", blocker="error",
+        horizon_s=3600, order_col="event_id",
+    )
+    batch_counts = {
+        r["user"]: r["n_matched"] for r in batch.collect() if r["n_matched"] > 0
+    }
+    assert stream_counts == batch_counts
+    assert batch_counts  # fixture must actually produce matches
+
+
+def test_pattern_match_stream_state_spans_batches(spark, tmp_path):
+    """A start in batch 1 must match a goal in batch 2 (open-start
+    state crosses micro-batches); a blocker between kills the start;
+    a goal past the horizon does not match."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # u1: start -> (next batch) goal within horizon -> match
+    # u2: start -> blocker -> goal: killed, no match
+    # u3: start -> goal 2h later (past 1h horizon): no match
+    write_batch(
+        "a",
+        [(1, mins(0), "S"), (2, mins(0), "S"), (2, mins(1), "X"), (3, mins(0), "S")],
+        1_700_000_000,
+    )
+    write_batch(
+        "b",
+        [(1, mins(30), "G"), (2, mins(30), "G"), (3, mins(120), "G")],
+        1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    got = S.run_available_now(
+        S.pattern_match_stream(
+            stream, start="S", goal="G", blocker="X", horizon_s=3600
+        ),
+        "t_cep_2b",
+        output_mode="append",
+    )
+    rows = {(r["user_id"], r["start_ts"], r["goal_ts"]) for r in got.collect()}
+    assert rows == {(1, mins(0), mins(30))}

@@ -263,3 +263,33 @@ def test_merge_intervals_agrees_with_session_window(spark, sf_dir):
     )
     theirs = {(r.user_id, r.started_at): r.n_events for r in sw.collect()}
     assert ours == theirs
+
+
+from gcpdatapipelines_spark.operators.timeseries import seasonal_anomaly  # noqa: E402
+
+
+def test_seasonal_anomaly_respects_the_daily_cycle(spark):
+    """A value that is normal FOR ITS HOUR must not flag even if it is
+    2x the global mean; the same raw value in a low hour must flag."""
+    rows = []
+    eid = 0
+    for i in range(30):
+        rows.append(("a", dt.datetime(2024, 1, 1 + i % 5, 1, i), eid, 200.0 + i % 3))
+        eid += 1
+        rows.append(("a", dt.datetime(2024, 1, 1 + i % 5, 2, i), eid, 100.0 + i % 3))
+        eid += 1
+    # spike: hour-2 observation at the hour-1 level (2x its hour mean)
+    rows.append(("a", dt.datetime(2024, 1, 6, 2, 30), 9001, 200.0))
+    # control: hour-1 observation at the hour-1 level (in-cycle, benign)
+    rows.append(("a", dt.datetime(2024, 1, 6, 1, 30), 9002, 200.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = seasonal_anomaly(
+        df, "event_type", "ts", "event_id", "value", min_obs=30
+    ).collect()
+    flagged = {r["event_id"] for r in out}
+    assert 9001 in flagged
+    assert 9002 not in flagged
+    spike = [r for r in out if r["event_id"] == 9001][0]
+    assert spike["zscore"] > 3.0
