@@ -748,3 +748,73 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_1", "id_2", "containment")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    threshold: float = 0.5,
+    block_tokens: int = 3,
+    order_tokens: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo
+    1995, the merge/purge method): records are keyed by a content-
+    derived sort key, ordered, and ONLY records within ``window``
+    positions of each other are compared — O(n·w) comparisons instead
+    of a pair join. Classic SNM sorts globally; the distributed form
+    here blocks on the first ``block_tokens`` of the sorted distinct
+    token set (near-dups share their smallest tokens, so they land in
+    the same block) and sorts within blocks — each block's window scan
+    is an independent partition, no global single-partition sort.
+    Cross-block neighbors are missed by design (SNM is a recall
+    heuristic; production runs multiple passes with different keys —
+    add passes, or widen ``block_tokens`` as corpus grows to keep
+    blocks bounded).
+
+    Emits (id_1, id_2, jaccard) for window pairs with exact token-set
+    Jaccard >= threshold; the similarity is exact, so precision is 1 —
+    only recall is heuristic."""
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("__set"),
+    ).filter(F.size("__set") > 0)
+    keyed = s.select(
+        id_col,
+        "__set",
+        F.size("__set").alias("__n"),
+        F.array_join(F.slice("__set", 1, block_tokens), " ").alias("__blk"),
+        F.array_join(F.slice("__set", 1, order_tokens), " ").alias("__ord"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__ord", id_col)
+    lead_cols = []
+    for j in range(1, window):
+        lead_cols.append(
+            F.struct(
+                F.lead(id_col, j).over(w).alias("id2"),
+                F.lead("__set", j).over(w).alias("set2"),
+                F.lead("__n", j).over(w).alias("n2"),
+            ).alias(f"__l{j}")
+        )
+    neigh = keyed.select(id_col, "__set", "__n", *lead_cols)
+    pairs = neigh.select(
+        id_col,
+        "__set",
+        "__n",
+        F.explode(F.array(*[F.col(f"__l{j}") for j in range(1, window)])).alias(
+            "__p"
+        ),
+    ).filter(F.col("__p.id2").isNotNull())
+    inter = F.size(F.array_intersect(F.col("__set"), F.col("__p.set2")))
+    jac = inter / (F.col("__n") + F.col("__p.n2") - inter)
+    out = pairs.select(
+        F.least(F.col(id_col), F.col("__p.id2")).alias("id_1"),
+        F.greatest(F.col(id_col), F.col("__p.id2")).alias("id_2"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    # pairs are unique by construction: each (record, +j offset) is
+    # generated exactly once in one direction — no dedup shuffle needed
+    return out

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .io import read_table
 from .operators import agg as A
+from .operators import text as _TEXT
 from .operators import joins as J
 from .operators import rows as P
 from .operators import windows as W
@@ -9643,6 +9644,242 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return seasonal_anomaly(ev, "event_type", "ts", "event_id", "value")
+
+
+@register(
+    "pipeline_c4_funnel",
+    """
+    WITH base AS (
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|a|in|is|for)\\b')) AS en_hits,
+               len(regexp_extract_all(lower(text),
+                   '\\b(der|die|das|und|ist|ein|nicht|mit)\\b')) AS de_hits,
+               len(regexp_extract_all(lower(text),
+                   '\\b(le|la|les|et|est|un|une|pour)\\b')) AS fr_hits,
+               len(regexp_extract_all(lower(text),
+                   '\\b(el|la|los|y|es|un|una|por)\\b')) AS es_hits,
+               len(regexp_extract_all(text, '[一-鿿]')) AS zh_hits,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), flg AS (
+        SELECT doc_id, source, text,
+               CAST(greatest(en_hits, de_hits, fr_hits, es_hits, zh_hits) > 0
+                    AND en_hits = greatest(en_hits, de_hits, fr_hits,
+                                           es_hits, zh_hits) AS INT)
+                   AS pass_lang,
+               CAST(len(ws) >= 10
+                    AND length(replace(text, ' ', ''))
+                        / greatest(len(ws), 1) >= 3.0
+                    AND length(replace(text, ' ', ''))
+                        / greatest(len(ws), 1) <= 10.0
+                    AND ((length(text) - length(replace(text, '#', '')))
+                         + (length(text)
+                            - length(replace(text, '...', ''))) / 3)
+                        / greatest(len(ws), 1) <= 0.1
+                    AND len(list_filter(ws,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                        / greatest(len(ws), 1) >= 0.8 AS INT) AS pass_quality
+        FROM base
+    ), surv AS (
+        SELECT doc_id, source, text FROM flg
+        WHERE pass_lang = 1 AND pass_quality = 1
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM surv)
+    ), ln AS (
+        SELECT doc_id, CAST((ord - 1) // 8 AS INT) AS pos,
+               string_agg(w, ' ' ORDER BY ord) AS line
+        FROM tok GROUP BY 1, 2
+    ), k AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ln
+    ), stage3 AS (
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                   ' ' ORDER BY pos), '') AS clean_text
+        FROM k GROUP BY doc_id
+    ), st AS (
+        SELECT doc_id, clean_text,
+               CASE WHEN clean_text = '' THEN 0
+                    ELSE len(string_split(clean_text, ' ')) END AS kt
+        FROM stage3
+    ), own2 AS (
+        SELECT md5(clean_text) AS h2, min(doc_id) AS keep_id
+        FROM st WHERE kt >= 8 GROUP BY 1
+    ), docs AS (
+        SELECT st.doc_id, st.kt,
+               CASE WHEN st.kt >= 8 AND st.doc_id = o.keep_id
+                    THEN 1 ELSE 0 END AS is_final
+        FROM st LEFT JOIN own2 o ON md5(st.clean_text) = o.h2
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(sum(f.pass_lang) AS BIGINT) AS n_lang,
+           CAST(sum(f.pass_lang * f.pass_quality) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN d.kt >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_linededup,
+           CAST(sum(coalesce(d.is_final, 0)) AS BIGINT) AS n_final,
+           CAST(sum(CASE WHEN d.is_final = 1 THEN d.kt ELSE 0 END) AS BIGINT)
+               AS tokens_final
+    FROM flg f LEFT JOIN docs d ON f.doc_id = d.doc_id
+    GROUP BY f.source
+    """,
+)
+def pipeline_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END C4-style cleaning funnel (Raffel et al. 1910.10683)
+    in ONE declarative plan: heuristic language ID (stopword-hit
+    argmax, not the stored label) → word-level quality gate (mean word
+    length, symbol ratio, alphabetic ratio, min length) → CROSS-CORPUS
+    line dedup (8-token lines, first occurrence survives; ownership
+    elected among gate survivors only, like C4 orders its stages) →
+    exact dedup of the reassembled texts (min-id canonical) →
+    per-source funnel accounting with doc/token counts at every stage,
+    so corpus loss is attributable stage by stage.
+
+    Scale shape: flags are narrow scan-side expressions; line
+    ownership is the combiner-safe min(struct) agg + hash join of
+    text_line_dedup; exact dedup is one more hash agg + join on the
+    clean-text digest; the funnel join is doc-keyed; the final rollup
+    is one hash agg on source. No pair joins, no windows over the
+    fact, nothing driver-side."""
+    from .operators.text import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    hits = {
+        lang: _TEXT._stopword_hits(F.col("text"), ws)
+        for lang, ws in _TEXT.STOPWORDS.items()
+    }
+    hits["zh"] = F.regexp_count(F.col("text"), F.lit(r"[一-鿿]"))
+    best = F.greatest(*hits.values())
+    pass_lang = ((best > 0) & (hits["en"] == best)).cast("int")
+    denom = F.greatest(F.size(words), F.lit(1))
+    mean_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / denom
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    alpha_ratio = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / denom
+    pass_quality = (
+        (F.size(words) >= 10)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & ((n_hash + n_ellipsis) / denom <= 0.1)
+        & (alpha_ratio >= 0.8)
+    ).cast("int")
+    flg = d.select(
+        "doc_id",
+        "source",
+        "text",
+        pass_lang.alias("pass_lang"),
+        pass_quality.alias("pass_quality"),
+    )
+    surv = flg.filter(
+        (F.col("pass_lang") == 1) & (F.col("pass_quality") == 1)
+    ).select("doc_id", "text")
+    st = line_dedup(surv, "doc_id", "text").withColumn(
+        "kt",
+        F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+            F.size(F.split("clean_text", " "))
+        ),
+    )
+    own2 = (
+        st.filter(F.col("kt") >= 8)
+        .groupBy(F.md5("clean_text").alias("__h2"))
+        .agg(F.min("doc_id").alias("__keep"))
+    )
+    docs = st.join(
+        own2, F.md5(st["clean_text"]) == own2["__h2"], "left"
+    ).select(
+        F.col("doc_id").alias("__d"),
+        "kt",
+        F.when(
+            (F.col("kt") >= 8) & (F.col("doc_id") == F.col("__keep")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_final"),
+    )
+    joined = flg.join(docs, flg["doc_id"] == docs["__d"], "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_in"),
+        F.sum("pass_lang").cast("bigint").alias("n_lang"),
+        F.sum(F.col("pass_lang") * F.col("pass_quality"))
+        .cast("bigint")
+        .alias("n_quality"),
+        F.sum(F.when(F.col("kt") >= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_linededup"),
+        F.sum(F.coalesce(F.col("is_final"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_final"),
+        F.sum(F.when(F.col("is_final") == 1, F.col("kt")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))) AS st
+        FROM documents
+    ), k AS (
+        SELECT doc_id, st, len(st) AS n,
+               array_to_string(st[1:3], ' ') AS blk,
+               array_to_string(st[1:8], ' ') AS ord_key
+        FROM s WHERE len(st) > 0
+    ), ld AS (
+        SELECT doc_id, st, n,
+               [struct_pack(id2 := lead(doc_id, 1) OVER w,
+                            set2 := lead(st, 1) OVER w,
+                            n2 := lead(n, 1) OVER w),
+                struct_pack(id2 := lead(doc_id, 2) OVER w,
+                            set2 := lead(st, 2) OVER w,
+                            n2 := lead(n, 2) OVER w),
+                struct_pack(id2 := lead(doc_id, 3) OVER w,
+                            set2 := lead(st, 3) OVER w,
+                            n2 := lead(n, 3) OVER w)] AS ls
+        FROM k WINDOW w AS (PARTITION BY blk ORDER BY ord_key, doc_id)
+    ), pr AS (
+        SELECT doc_id, st, n, unnest(ls) AS p FROM ld
+    )
+    SELECT least(doc_id, p.id2) AS id_1,
+           greatest(doc_id, p.id2) AS id_2,
+           round(len(list_intersect(st, p.set2))
+                 / (n + p.n2 - len(list_intersect(st, p.set2))), 6)
+               AS jaccard
+    FROM pr
+    WHERE p.id2 IS NOT NULL
+      AND round(len(list_intersect(st, p.set2))
+                / (n + p.n2 - len(list_intersect(st, p.set2))), 6) >= 0.9
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup candidates: block on
+    the 3 smallest distinct tokens, order within blocks by the 8-token
+    sorted prefix, compare only records within a 4-wide window — exact
+    Jaccard >= 0.9 on the survivors. O(n·w) comparisons per block,
+    never a pair join; recall is the documented SNM heuristic,
+    precision is exact."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=4, threshold=0.9
+    )
 
 
 def _recorded_query_names() -> set[str]:

@@ -224,3 +224,37 @@ def test_jaccard_prefix_join_is_smaller_than_full(spark):
     plen = F.col("__n_sh") - F.ceil(F.lit(0.5) * F.col("__n_sh")) + 1
     n_pref = ranked.filter(F.col("__rn") <= plen).count()
     assert n_pref < 0.6 * n_all
+
+
+def test_sorted_neighborhood_finds_adjacent_neardups(spark):
+    from gcpdatapipelines_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # a/b share 9 of 10 tokens -> same smallest-3 block, adjacent in
+    # the sorted order, jaccard 9/11 ~ 0.818; c is disjoint vocabulary
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    c = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=4, threshold=0.5
+    ).collect()
+    pairs = {(r["id_1"], r["id_2"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - 9 / 11) < 1e-6
+    assert all(3 not in p for p in pairs)
+
+
+def test_sorted_neighborhood_window_bound_is_honest(spark):
+    """Five identical-block docs with window=2: only adjacent ranks
+    pair — the O(n*w) bound is real, not a hidden all-pairs."""
+    from gcpdatapipelines_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [(i, base + f" word{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=2, threshold=0.1
+    ).collect()
+    # 5 docs, window 2 -> exactly 4 adjacent pairs, never 10
+    assert len(out) == 4

@@ -591,3 +591,26 @@ def test_seasonal_anomaly_broadcasts_index_tables(spark):
     assert set(P.join_strategies(df)) == {"BroadcastHashJoin"}, (
         P.join_strategies(df)
     )
+
+
+def test_sorted_neighborhood_has_no_join_at_all(spark):
+    """SNM's whole point is O(n*w) comparisons via an ordered window —
+    the plan must contain NO join operator of any kind (a pair join
+    appearing here means the heuristic degenerated to all-pairs)."""
+    df = _q(spark, "dedup_sorted_neighborhood")
+    assert P.join_strategies(df) == [], P.join_strategies(df)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_funnel_one_plan_no_cartesian(spark):
+    """The C4 funnel composes langid, quality gate, line dedup, exact
+    dedup, and accounting into ONE plan: every join equi-keyed (line
+    hash, clean-text digest, doc id), partial aggregation on, no
+    nested-loop anywhere."""
+    df = _q(spark, "pipeline_c4_funnel")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregation(df)
