@@ -67,3 +67,30 @@ def k_anonymity_audit(
     return df.groupBy(*[F.col(c) for c in qi_cols]).agg(
         F.count("*").alias("group_size")
     ).withColumn("violates", F.col("group_size") < F.lit(k))
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive,
+    l: int = 3,
+) -> DataFrame:
+    """(qi..., group_size, n_sensitive, violates): distinct-sensitive-
+    value counts per quasi-identifier group (Machanavajjhala et al.
+    2007). k-anonymity alone leaks when a QI group is homogeneous in
+    the sensitive attribute — every member is outed even though no row
+    is individually identifiable; l-diversity requires >= ``l``
+    distinct sensitive values per group.
+
+    One hash aggregate on the QI tuple; the exact distinct count costs
+    an Expand (double the map output) — at very wide scale swap in
+    approx_count_distinct, mirroring profile's approx mode. Output is
+    bounded by distinct QI combinations."""
+    return (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(sensitive).alias("n_sensitive"),
+        )
+        .withColumn("violates", F.col("n_sensitive") < F.lit(l))
+    )

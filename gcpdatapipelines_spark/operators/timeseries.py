@@ -864,3 +864,94 @@ def seasonal_anomaly(
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    period_days: int = 7,
+    k_mult: float = 0.5,
+    h_mult: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM drift alarms (Page 1954): per key, the running
+    statistic s_i = max(0, s_{i-1} + (x_i - mu - k)) against the key's
+    reference mean, alarm where s_i > h — the control-chart shape that
+    catches SMALL persistent shifts a pointwise z-score never trips.
+    k = k_mult*sigma (allowance), h = h_mult*sigma (decision limit),
+    with mu/sigma from the key's full reference window.
+
+    The recursion is inherently sequential, so the fold runs within
+    bounded monitoring periods (epoch-day arithmetic, default 7-day):
+    per-(key, period) event arrays stay bounded as the corpus grows —
+    the 100 TB guard — at the documented cost of a state reset on
+    period boundaries (continuous carryover is the streaming
+    operator's job).
+
+    Parity shape (NOTES.md): reference moments are decimal sums with
+    the fixed mu/sigma double chain; the fold seed is an explicit
+    0.0::DOUBLE prepend on both engines (Spark in-array fold ==
+    DuckDB list_reduce over the 0-prepended prefix, identical IEEE op
+    sequence); the alarm cut compares round(s,6) > round(h,6) on both
+    sides."""
+    dec = F.col(value_col).cast("decimal(18,6)")
+    m = df.groupBy(F.col(key).alias("__k2")).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(dec).cast("double").alias("__sx"),
+        F.sum(dec * dec).cast("double").alias("__sxx"),
+    )
+    sigma = F.sqrt(
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        / (F.col("__n") * (F.col("__n") - F.lit(1.0)))
+    )
+    mm = m.select(
+        "__k2",
+        (F.col("__sx") / F.col("__n")).alias("__mu"),
+        (F.lit(k_mult) * sigma).alias("__kk"),
+        (F.lit(h_mult) * sigma).alias("__h"),
+    )
+    period = F.floor(
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
+        / period_days
+    ).cast("long")
+    packed = F.struct(
+        F.col(ts_col),
+        F.col(tiebreak),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    g = df.groupBy(F.col(key), period.alias("__w")).agg(
+        F.array_sort(F.collect_list(packed)).alias("__evs")
+    )
+    j = g.join(F.broadcast(mm), F.col(key) == F.col("__k2"))
+    vals = F.transform(F.col("__evs"), lambda s: s.getField("__v"))
+    series = F.aggregate(
+        vals,
+        F.array(F.lit(0.0).cast("double")),
+        lambda acc, x: F.array_append(
+            acc,
+            F.greatest(
+                F.lit(0.0),
+                F.element_at(acc, -1)
+                + (x - F.col("__mu") - F.col("__kk")),
+            ),
+        ),
+    )
+    trimmed = F.slice(series, 2, F.size(vals))
+    z = j.select(
+        key,
+        "__h",
+        F.explode(F.arrays_zip(F.col("__evs"), trimmed.alias("__c"))).alias(
+            "__z"
+        ),
+    )
+    out = z.select(
+        key,
+        F.col("__z.__evs").getField(ts_col).alias(ts_col),
+        F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
+        F.col("__z.__evs").getField("__v").alias("value"),
+        F.round(F.col("__z.__c"), 6).alias("cusum"),
+        F.round(F.col("__h"), 6).alias("__hr"),
+    )
+    return out.filter(F.col("cusum") > F.col("__hr")).drop("__hr")

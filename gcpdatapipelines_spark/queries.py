@@ -9882,6 +9882,157 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_cusum_alarm",
+    """
+    WITH m AS (
+        SELECT event_type AS k2, count(value) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY 1
+    ), mm AS (
+        SELECT k2, sx / n AS mu,
+               0.5 * sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS kk,
+               4.0 * sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS h
+        FROM m
+    ), g AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts) / 86400.0) / 7) AS BIGINT) AS w,
+               list(struct_pack(ts := ts, event_id := event_id,
+                                v := CAST(value AS DOUBLE))
+                    ORDER BY ts, event_id) AS evs
+        FROM events GROUP BY 1, 2
+    ), x AS (
+        SELECT event_type, unnest(evs) AS e,
+               generate_subscripts(evs, 1) AS i, evs
+        FROM g
+    )
+    SELECT x.event_type, e.ts AS ts, e.event_id AS event_id,
+           e.v AS value,
+           round(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(evs[:i], t -> t.v)),
+               (acc, v) -> greatest(0.0::DOUBLE,
+                                    acc + (v - mu - kk))), 6) AS cusum
+    FROM x JOIN mm ON x.event_type = mm.k2
+    WHERE round(list_reduce(
+              list_prepend(0.0::DOUBLE, list_transform(evs[:i], t -> t.v)),
+              (acc, v) -> greatest(0.0::DOUBLE,
+                                   acc + (v - mu - kk))), 6) > round(h, 6)
+    """,
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarms per event type (Page 1954):
+    s_i = max(0, s_{i-1} + (x_i - mu - 0.5*sigma)), alarm when
+    s_i > 4*sigma — catches small persistent upward shifts a pointwise
+    z-score never trips. Fold runs within 7-day periods so per-group
+    state stays bounded at any corpus size; reference moments
+    broadcast back."""
+    from .operators.timeseries import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_alarms(ev, "event_type", "ts", "event_id", "value")
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS n_sensitive,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3
+               AS violates
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) over the
+    (nation, segment) quasi-identifier: a k-anonymous group still
+    leaks if everyone in it shares the sensitive value — each group
+    must contain >= l distinct sensitive values (account-balance
+    band, l=3). One hash agg with a distinct-count expand; output
+    bounded by QI combinations."""
+    from .operators.compliance import l_diversity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    return l_diversity_audit(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint"),
+        l=3,
+    )
+
+
+@register(
+    "w31_pareto_concentration",
+    """
+    WITH pc AS (
+        SELECT c_nationkey, o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c_nationkey, rev,
+               sum(rev) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS total,
+               count(*) OVER (PARTITION BY c_nationkey) AS n_customers
+        FROM pc
+    )
+    SELECT c_nationkey,
+           CAST(max(n_customers) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * total
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / max(n_customers), 6) AS top80_share
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def w31_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/80-20) per nation: the number and
+    share of customers that cover 80% of order revenue. The 80% cut
+    is the exact decimal comparison 5*cum_prev < 4*total — no float
+    thresholds, so the crossing customer is engine-identical. One
+    (nation, customer) hash agg; both windows run over the aggregate,
+    never the fact."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wo = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("c_nationkey")
+    ranked = pc.select(
+        "c_nationkey",
+        "rev",
+        F.sum("rev").over(wo).alias("cum"),
+        F.sum("rev").over(wp).alias("total"),
+        F.count("*").over(wp).alias("n_customers"),
+    )
+    crossed = F.when(
+        F.lit(5) * (F.col("cum") - F.col("rev")) < F.lit(4) * F.col("total"),
+        1,
+    ).otherwise(0)
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.sum(crossed).cast("bigint").alias("n_top80"),
+        F.round(
+            F.sum(crossed).cast("double") / F.max("n_customers"), 6
+        ).alias("top80_share"),
+    )
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

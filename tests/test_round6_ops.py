@@ -1296,3 +1296,69 @@ def test_winsorized_mean_clips_outliers(spark):
         got = SPARK_QUERIES["a41_winsorized_mean"](spark, d).collect()[0]
     assert got["mean_raw"] > 1000
     assert got["mean_winsorized"] < 60, got
+
+
+# ------------------------------------------------------- l-diversity
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    """A group can be k-anonymous (size 4) yet 1-diverse — everyone
+    shares the sensitive value, so membership alone leaks it."""
+    from gcpdatapipelines_spark.operators.compliance import l_diversity_audit
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a", "x", 100.0)] * 4          # homogeneous: 1 distinct band
+        + [("b", "x", float(v)) for v in (0, 1000, 2000, 3000)]  # 4 bands
+    )
+    df = spark.createDataFrame(rows, "g string, seg string, bal double")
+    out = {
+        (r["g"], r["seg"]): r
+        for r in l_diversity_audit(
+            df, ["g", "seg"], F.floor(F.col("bal") / 1000.0).cast("bigint"), l=3
+        ).collect()
+    }
+    assert out[("a", "x")]["violates"] is True
+    assert out[("a", "x")]["n_sensitive"] == 1
+    assert out[("b", "x")]["violates"] is False
+    assert out[("b", "x")]["n_sensitive"] == 4
+
+
+# ------------------------------------------------- pareto concentration
+
+
+def test_pareto_concentration_crossing_rule(spark, sf_dir):
+    """n_top80 is the minimal prefix of revenue-ranked customers whose
+    cumulative share reaches 80%: check against a python replay on one
+    nation."""
+    from gcpdatapipelines_spark.queries import SPARK_QUERIES
+    from gcpdatapipelines_spark.io import read_table
+    import collections
+
+    out = {r["c_nationkey"]: r for r in
+           SPARK_QUERIES["w31_pareto_concentration"](spark, sf_dir).collect()}
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_nationkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    rev = collections.defaultdict(float)
+    nation = {}
+    for r in rows:
+        rev[r["o_custkey"]] += r["o_totalprice"]
+        nation[r["o_custkey"]] = r["c_nationkey"]
+    nk = next(iter(out))
+    custs = sorted(
+        [(v, k) for k, v in rev.items() if nation[k] == nk],
+        key=lambda t: (-t[0], t[1]),
+    )
+    total = sum(v for v, _ in custs)
+    cum, n80 = 0.0, 0
+    for v, _ in custs:
+        if cum < 0.8 * total - 1e-6:
+            n80 += 1
+        cum += v
+    assert out[nk]["n_customers"] == len(custs)
+    assert abs(out[nk]["n_top80"] - n80) <= 0  # exact decimal crossing

@@ -293,3 +293,61 @@ def test_seasonal_anomaly_respects_the_daily_cycle(spark):
     assert 9002 not in flagged
     spike = [r for r in out if r["event_id"] == 9001][0]
     assert spike["zscore"] > 3.0
+
+
+from gcpdatapipelines_spark.operators.timeseries import cusum_alarms  # noqa: E402
+
+
+def test_cusum_catches_small_persistent_shift(spark):
+    """A +1-sigma sustained shift must alarm even though no single
+    point is a 3-sigma outlier (the case rolling z-score misses);
+    the pre-shift stretch must stay quiet."""
+    rows = []
+    # reference: 60 points alternating 99/101 (mu=100, sigma~1)
+    for i in range(60):
+        rows.append(("m", dt.datetime(2024, 1, 1, 0, i), i, 99.0 + 2 * (i % 2)))
+    # shift: 20 points alternating 100/102 (mu+1, ~1 sigma up, never extreme)
+    for i in range(20):
+        rows.append(("m", dt.datetime(2024, 1, 1, 1, i), 100 + i, 100.0 + 2 * (i % 2)))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = cusum_alarms(df, "event_type", "ts", "event_id", "value").collect()
+    assert out, "sustained small shift must trip the CUSUM limit"
+    # every alarm is inside the shifted stretch
+    assert all(r["event_id"] >= 100 for r in out)
+
+
+def test_cusum_quiet_on_stationary_data(spark):
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, 0, i), i, 99.0 + 2 * (i % 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    assert cusum_alarms(df, "event_type", "ts", "event_id", "value").count() == 0
+
+
+def test_cusum_period_reset_bounds_state(spark):
+    """The fold is scoped to the monitoring period: a shift split
+    across a period boundary restarts accumulation — alarms (if any)
+    must come from within one period's own fold, which is what keeps
+    per-group state bounded at scale."""
+    rows = []
+    # 40 reference points, all inside epoch-week floor(19726/7)=2818
+    for i in range(40):
+        rows.append(("m", dt.datetime(2024, 1, 4, 0, i), i, 99.0 + 2 * (i % 2)))
+    # epoch-week boundary: day 19732 (Jan 10) is week 2818, day 19733
+    # (Jan 11) is week 2819. Two shifted points on each side: each
+    # 2-point run accumulates ~2.5 < h~4.5; an unreset 4-point run
+    # would reach ~5.0 > h and alarm.
+    for i in range(2):
+        rows.append(("m", dt.datetime(2024, 1, 10, 23, 58 + i), 200 + i, 102.0))
+    for i in range(2):
+        rows.append(("m", dt.datetime(2024, 1, 11, 0, i), 300 + i, 102.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = cusum_alarms(df, "event_type", "ts", "event_id", "value").collect()
+    assert out == []
