@@ -996,3 +996,75 @@ def two_proportion_ztest(
         F.round(pb, 6).alias("p_b"),
         F.round(z, ndigits).alias("z"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = max |ECDF_1 - ECDF_2|
+    with the alpha=0.05 decision at the asymptotic critical value
+    1.358*sqrt((n1+n2)/(n1*n2)) — the standard distribution-shift
+    detector (PSI needs bins and a baseline; KS is binless and
+    nonparametric; the rank-sum test only sees location shifts, KS
+    sees shape).
+
+    Shape: per-distinct-value conditional counts (one combiner-
+    friendly hash agg over the fact), cumulative sums via ONE global-
+    order window over the DISTINCT-VALUE grid — bounded by value
+    cardinality, not rows; quantize the value column upstream if it
+    is continuous at full scale — then a keyless max. Ties are exact:
+    grouping by value puts both groups' mass at x into ECDF(x) before
+    the difference is taken. No exp() in the output (libm-portable):
+    the verdict compares round(D,6) against round(D_crit,6)."""
+    from pyspark.sql import Window
+
+    f = df.filter(F.col(group_col).isin(g1, g2)).select(
+        F.col(value_col).alias("__v"),
+        F.when(F.col(group_col) == g1, 1).otherwise(0).alias("__is1"),
+    )
+    per = f.groupBy("__v").agg(
+        F.sum("__is1").alias("__d1"),
+        F.sum(F.lit(1) - F.col("__is1")).alias("__d2"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("__d1").over(w).alias("__c1"),
+        F.sum("__d2").over(w).alias("__c2"),
+        F.sum("__d1").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n1"),
+        F.sum("__d2").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n2"),
+    )
+    d = cum.agg(
+        F.max("__n1").cast("bigint").alias("n1"),
+        F.max("__n2").cast("bigint").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("__c1").cast("double") / F.col("__n1")
+                - F.col("__c2").cast("double") / F.col("__n2")
+            )
+        ).alias("__d"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.round(F.col("__d"), 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit_05"),
+        (F.round(F.col("__d"), 6) > F.round(crit, 6))
+        .cast("int")
+        .alias("reject_05"),
+    )

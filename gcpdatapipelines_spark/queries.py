@@ -10033,6 +10033,108 @@ def w31_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j13_interval_overlap",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts > max(ts + INTERVAL 30 MINUTE) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ), iv AS (
+        SELECT user_id, min(ts) AS started_at, max(ts) AS ended_at
+        FROM islands GROUP BY user_id, island
+    ), pairs AS (
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               greatest(a.started_at, b.started_at) AS os,
+               least(a.ended_at, b.ended_at) AS oe
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id
+         AND a.started_at <= b.ended_at AND b.started_at <= a.ended_at
+    )
+    SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(epoch_us(oe) - epoch_us(os)) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY 1, 2
+    ORDER BY overlap_us DESC, u1, u2 LIMIT 100
+    """,
+)
+def j13_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (range x range, NO equi key): sessionize
+    each user (30-min gaps-and-islands), then find the top-100 user
+    pairs by total concurrent-session time. Spark side runs the
+    epoch-hour grid join with the bucket-of-overlap-start dedup rule
+    — candidates bounded by real per-hour concurrency, never a
+    cartesian range join (which is what the oracle twin deliberately
+    writes at test scale)."""
+    from .operators.joins import interval_overlap_topk
+    from .operators.timeseries import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = merge_intervals(ev, "user_id", "ts", "event_id").select(
+        "user_id", "started_at", "ended_at"
+    )
+    return interval_overlap_topk(iv, "user_id", "started_at", "ended_at")
+
+
+@register(
+    "a44_ks_test",
+    """
+    WITH f AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), per AS (
+        SELECT v, sum(is1) AS d1, sum(1 - is1) AS d2
+        FROM f GROUP BY v
+    ), cum AS (
+        SELECT sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+               sum(d1) OVER () AS n1,
+               sum(d2) OVER () AS n2
+        FROM per
+    ), d AS (
+        SELECT CAST(max(n1) AS BIGINT) AS n1,
+               CAST(max(n2) AS BIGINT) AS n2,
+               max(abs(CAST(c1 AS DOUBLE) / n1
+                       - CAST(c2 AS DOUBLE) / n2)) AS ds
+        FROM cum
+    )
+    SELECT n1, n2, round(ds, 6) AS d_stat,
+           round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+               AS d_crit_05,
+           CAST(round(ds, 6)
+                > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+                AS INT) AS reject_05
+    FROM d
+    """,
+)
+def a44_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (click vs purchase values):
+    binless, nonparametric distribution-shift detector — sees shape
+    changes the rank-sum location test misses, needs no baseline bins
+    like PSI. One conditional hash agg over the fact; the cumulative
+    window runs over the bounded distinct-value grid; verdict at the
+    asymptotic 5% critical value (no exp() — libm-portable)."""
+    from .operators.agg import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(ev, "event_type", "value", "click", "purchase")
+
+
 def _recorded_query_names() -> set[str]:
     """Query names already present in any driver CORRECTNESS_r*.json.
 

@@ -175,3 +175,67 @@ def test_asof_forward_equal_ts_tie_breaks_greatest(spark):
         value_cols=["quote"], direction="forward",
     ).collect()
     assert out[0].quote == 9.0  # same rule as backward: greatest wins
+
+
+# ------------------------------------------------- interval overlap join
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, started_at timestamp, ended_at timestamp"
+    )
+
+
+def test_interval_overlap_counts_each_pair_once(spark):
+    """A 3-hour overlap spans multiple hourly grid buckets — the
+    bucket-of-overlap-start rule must still count the pair exactly
+    once, with the exact microsecond overlap."""
+    from gcpdatapipelines_spark.operators.joins import interval_overlap_topk
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def h(x):
+        return t0 + dt.timedelta(hours=x)
+
+    rows = [
+        (1, h(0), h(4)),   # 10:00-14:00
+        (2, h(1), h(6)),   # 11:00-16:00 -> overlap 11:00-14:00 = 3 h
+        (3, h(7), h(8)),   # disjoint from both
+    ]
+    out = interval_overlap_topk(
+        _iv(spark, rows), "user_id", "started_at", "ended_at"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u1"], r["u2"], r["n_overlaps"]) == (1, 2, 1)
+    assert r["overlap_us"] == 3 * 3600 * 1_000_000
+
+
+def test_interval_overlap_same_bucket_disjoint_excluded(spark):
+    """Two intervals inside the same hour bucket but not intersecting
+    must not pair (the grid join only proposes, the overlap predicate
+    disposes)."""
+    from gcpdatapipelines_spark.operators.joins import interval_overlap_topk
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, t0 + dt.timedelta(minutes=10)),
+        (2, t0 + dt.timedelta(minutes=20), t0 + dt.timedelta(minutes=30)),
+    ]
+    out = interval_overlap_topk(
+        _iv(spark, rows), "user_id", "started_at", "ended_at"
+    ).collect()
+    assert out == []
+
+
+def test_interval_overlap_plan_is_grid_equi_join(spark):
+    """The overlap join must be an EQUI join on the grid bucket —
+    never a nested-loop range join."""
+    df = SPARK_QUERIES["j13_interval_overlap"](spark, SF_SMOKE)
+    plan = PL.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert set(PL.join_strategies(df)) <= {
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"
+    }
+    assert len(PL.join_strategies(df)) >= 1

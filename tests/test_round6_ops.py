@@ -1362,3 +1362,39 @@ def test_pareto_concentration_crossing_rule(spark, sf_dir):
         cum += v
     assert out[nk]["n_customers"] == len(custs)
     assert abs(out[nk]["n_top80"] - n80) <= 0  # exact decimal crossing
+
+
+# --------------------------------------------------------- KS two-sample
+
+
+def test_ks_two_sample_matches_python_ecdf(spark):
+    import numpy as np
+    from gcpdatapipelines_spark.operators.agg import ks_two_sample
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 1.0, 300)
+    b = rng.normal(0.6, 1.3, 250)  # shifted AND reshaped
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    # python ECDF replay
+    xs = np.sort(np.unique(np.concatenate([a, b])))
+    f1 = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    d = float(np.max(np.abs(f1 - f2)))
+    assert out["n1"] == 300 and out["n2"] == 250
+    assert abs(out["d_stat"] - d) < 1e-6
+    assert out["reject_05"] == 1
+
+
+def test_ks_two_sample_accepts_same_distribution(spark):
+    import numpy as np
+    from gcpdatapipelines_spark.operators.agg import ks_two_sample
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(0.0, 1.0, 400)
+    b = rng.normal(0.0, 1.0, 400)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert out["reject_05"] == 0

@@ -19,6 +19,34 @@ from gcpdatapipelines_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.01"
 
 HEADLINERS = {
+    "text_line_dedup": (
+        "C4 line dedup: first-owner election is a combiner-safe "
+        "min(struct) hash agg + equi-join on the line hash — never a "
+        "row_number window over a skewable hash partition."
+    ),
+    "pipeline_c4_funnel": (
+        "Five cleaning stages fused into ONE plan: narrow flag "
+        "expressions at the scan, line/exact dedup as agg+join, one "
+        "doc-keyed funnel join, one source rollup."
+    ),
+    "j13_interval_overlap": (
+        "Range x range overlap join as an epoch-grid EQUI join; the "
+        "bucket-of-overlap-start rule dedupes without a distinct."
+    ),
+    "dedup_sorted_neighborhood": (
+        "SNM window pairing: NO join operator in the plan at all — "
+        "O(n*w) lead() comparisons inside content-blocked partitions."
+    ),
+    "ts_cusum_alarm": (
+        "Sequential CUSUM fold scoped to bounded (key, period) arrays; "
+        "reference moments broadcast back — the fact is never "
+        "shuffled for a join."
+    ),
+    "a44_ks_test": (
+        "KS statistic: conditional counts combine map-side; the "
+        "cumulative window runs over the bounded distinct-value grid, "
+        "not the fact."
+    ),
     "q15_top_supplier": (
         "ONE lineitem scan: the max-revenue subquery is a window over "
         "the supplier-sized aggregate, not a second CTE scan."
