@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def count_per_key(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
     """A1: CountCombineFn per key (reference csv_to_bq_NYC.py:132-136)."""
@@ -126,6 +128,7 @@ def linear_fit_per_key(
     y: "F.Column",
     keys: list[str],
     ndigits: int = 6,
+    portable_ints: bool = False,
 ) -> DataFrame:
     """Per-group least-squares line + Pearson correlation from EXACT
     decimal co-moments: ``x``/``y`` must already be decimal-typed
@@ -135,7 +138,18 @@ def linear_fit_per_key(
     slope/intercept/corr are then ONE fixed scalar double expression —
     bit-identical across engines. stddev()/corr() built-ins cannot
     promise this (double reassociation). Single partial+final hash
-    aggregate; five extra decimal columns per group in the shuffle."""
+    aggregate; five extra decimal columns per group in the shuffle.
+
+    ``portable_ints=True`` emits ``{slope,intercept,corr}_u6`` as
+    ``floor(value * 1e6)`` BIGINTs instead of ``round(value, ndigits)``
+    doubles. Rationale: the double chain itself is IEEE-identical
+    across engines (every op — cast from exact decimal, *, -, /, sqrt
+    — is correctly rounded), but decimal-place ROUNDING of a double is
+    implemented differently per engine/version (Spark: exact BigDecimal
+    HALF_UP; others: scaled-multiply + nearbyint), so values near a
+    .5e-6 tie can straddle the boundary. floor() of the identical
+    scaled double is uniquely defined on the bits — no tie region —
+    which makes the output hash-portable (r4 verdict fix #1b)."""
     g = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(x).cast("double").alias("__sx"),
@@ -149,11 +163,22 @@ def linear_fit_per_key(
     num = n * sxy - sx * sy
     dx = n * sxx - sx * sx
     dy = n * syy - sy * sy
+    slope = num / dx
+    intercept = (sy - (num / dx) * sx) / n
+    corr = num / F.sqrt(dx * dy)
+    if portable_ints:
+        scale = F.lit(1000000.0)
+        return g.select(
+            *keys,
+            F.floor(slope * scale).cast("long").alias("slope_u6"),
+            F.floor(intercept * scale).cast("long").alias("intercept_u6"),
+            F.floor(corr * scale).cast("long").alias("corr_u6"),
+        )
     return g.select(
         *keys,
-        F.round(num / dx, ndigits).alias("slope"),
-        F.round((sy - (num / dx) * sx) / n, ndigits).alias("intercept"),
-        F.round(num / F.sqrt(dx * dy), ndigits).alias("corr"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(intercept, ndigits).alias("intercept"),
+        F.round(corr, ndigits).alias("corr"),
     )
 
 
@@ -256,11 +281,11 @@ def winsorize_stats(
     ) / F.col("n").cast("double")
     return g.select(
         key,
-        F.round("q_lo", ndigits).alias("p_lo"),
-        F.round("q_hi", ndigits).alias("p_hi"),
+        trunc_dp(F.col("q_lo"), ndigits).alias("p_lo"),
+        trunc_dp(F.col("q_hi"), ndigits).alias("p_hi"),
         "n_lo",
         "n_hi",
-        F.round(mean, ndigits).alias("winsor_mean"),
+        trunc_dp(mean, ndigits).alias("winsor_mean"),
     )
 
 

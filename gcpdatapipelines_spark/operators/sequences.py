@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def event_sequences(
     df: DataFrame,
@@ -103,7 +105,7 @@ def bigram_lift(
         "a",
         "b",
         "n_ab",
-        F.round(
+        trunc_dp(
             (F.col("n_ab") * F.sum("n_ab").over(wall)).cast("double")
             / (F.sum("n_ab").over(wa) * F.sum("n_ab").over(wb)).cast("double"),
             6,

@@ -3563,11 +3563,13 @@ def w11_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a16_trend_per_user",
     """
     SELECT user_id,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               AS intercept,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0)
+                AS BIGINT) AS slope_u6,
+           CAST(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n * 1000000.0) AS BIGINT) AS intercept_u6,
+           CAST(floor((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1000000.0) AS BIGINT) AS corr_u6
     FROM (
         SELECT user_id,
                CAST(count(*) AS DOUBLE) AS n,
@@ -3590,7 +3592,10 @@ def a16_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr of event value over time, from EXACT decimal co-moments
     (integral seconds x, 2-dp y) — built-in corr()/regr_slope() sum
     doubles and reassociate per engine; this is bit-identical. One
-    partial+final aggregate."""
+    partial+final aggregate. Outputs are floor(value*1e6) BIGINTs:
+    the r4 driver hash-flagged round(double, 6) here (tiny slopes sit
+    in the rounding-tie region and engines round doubles differently);
+    floor of the identical IEEE chain has no tie region."""
     from .operators.agg import linear_fit_per_key
 
     ev = _t(spark, sf_dir, "events")
@@ -3599,7 +3604,7 @@ def a16_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DECIMAL(12,0))"
     )
     y = F.col("value").cast("decimal(18,2)")
-    return linear_fit_per_key(ev, x, y, ["user_id"])
+    return linear_fit_per_key(ev, x, y, ["user_id"], portable_ints=True)
 
 
 @register(
@@ -4981,11 +4986,12 @@ def w16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gaps
     )
     SELECT user_id, sess_id,
-           min(ts) AS session_start, max(ts) AS session_end,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS total_value,
-           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
                AS converted
     FROM sess GROUP BY user_id, sess_id
@@ -4996,11 +5002,29 @@ def w17_session_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, event count, decimal-exact value, integer-microsecond
     duration, converted flag) — w7 counts sessions, this builds the
     entity the funnel/retention queries would join at scale. Both
-    windows share one (user, ts, event_id) sort."""
+    windows share one (user, ts, event_id) sort.
+
+    Hash-portable projection (r4 driver fix): session bounds as
+    epoch-µs BIGINTs (raw TIMESTAMP canonical forms can differ across
+    driver environments) and duration as integer microseconds (the
+    value IS one — dividing by 1e6 into a double only re-introduces a
+    float column for no information)."""
     from .operators.windows import session_table
 
     ev = _t(spark, sf_dir, "events")
-    return session_table(ev, "user_id", "ts", "event_id", "value")
+    s = session_table(ev, "user_id", "ts", "event_id", "value")
+    start_us = F.unix_micros(F.col("session_start"))
+    end_us = F.unix_micros(F.col("session_end"))
+    return s.select(
+        "user_id",
+        "sess_id",
+        start_us.alias("session_start_us"),
+        end_us.alias("session_end_us"),
+        "n_events",
+        "total_value",
+        (end_us - start_us).alias("duration_us"),
+        "converted",
+    )
 
 
 @register(
@@ -5276,9 +5300,10 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
     )
     SELECT a, b, n_ab,
-           round(CAST(n_ab * sum(n_ab) OVER () AS DOUBLE) /
-                 CAST(sum(n_ab) OVER (PARTITION BY a) *
-                      sum(n_ab) OVER (PARTITION BY b) AS DOUBLE), 6) AS lift
+           floor((CAST(n_ab * sum(n_ab) OVER () AS DOUBLE) /
+                  CAST(sum(n_ab) OVER (PARTITION BY a) *
+                       sum(n_ab) OVER (PARTITION BY b) AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS lift
     FROM bi
     """,
 )
@@ -5335,11 +5360,13 @@ def a23_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN q USING (l_returnflag)
         GROUP BY 1, 2, 3
     )
-    SELECT l_returnflag, round(q_lo, 4) AS p_lo, round(q_hi, 4) AS p_hi,
+    SELECT l_returnflag,
+           floor((q_lo) * 10000.0) / 10000.0 AS p_lo,
+           floor((q_hi) * 10000.0) / 10000.0 AS p_hi,
            n_lo, n_hi,
-           round((s + CAST(n_lo AS DOUBLE) * q_lo
-                    + CAST(n_hi AS DOUBLE) * q_hi)
-                 / CAST(n AS DOUBLE), 4) AS winsor_mean
+           floor(((s + CAST(n_lo AS DOUBLE) * q_lo
+                     + CAST(n_hi AS DOUBLE) * q_hi)
+                  / CAST(n AS DOUBLE)) * 10000.0) / 10000.0 AS winsor_mean
     FROM g
     """,
 )
@@ -10135,8 +10162,9 @@ def a44_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(ev, "event_type", "value", "click", "purchase")
 
 
-def _recorded_query_names() -> set[str]:
-    """Query names already present in any driver CORRECTNESS_r*.json.
+def _driver_record_state() -> tuple[set[str], set[str]]:
+    """(recorded, red): query names with any driver CORRECTNESS_r*.json
+    row, and the subset whose LATEST row (highest round) failed.
 
     The driver's correctness gate records only the FIRST 50 entries of
     ``queries()`` (verified r2: CORRECTNESS_r02.json's 50 keys are
@@ -10145,37 +10173,75 @@ def _recorded_query_names() -> set[str]:
     rotates never-recorded names to the front. Reading the driver's own
     artifacts makes the rotation self-maintaining: once a round records
     a query, the next round automatically promotes the remainder.
+
+    A row is RED when it carries a real error (``err`` other than the
+    by-design ``no_oracle`` disposition of rows-only entries) or any
+    explicit False in rows/schema/hash match. Treating *recorded* as
+    *done* would park a failed query at the back of the rotation
+    forever (r4 verdict finding #3) — red rows must re-enter the
+    recorded window until their latest row is green.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh))
+                rows = json.load(fh)
         except Exception:  # malformed/partial artifact — ignore, keep order
-            pass
-    return seen
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, row if isinstance(row, dict) else {})
+
+    def _is_red(row: dict) -> bool:
+        err = row.get("err")
+        if err and err != "no_oracle":
+            return True
+        return any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+
+    recorded = set(latest)
+    red = {n for n, (_, row) in latest.items() if _is_red(row)}
+    return recorded, red
 
 
 def queries() -> dict[str, QueryFn]:
-    """Catalog, evidence-rotated: driver-unrecorded queries first.
+    """Catalog, evidence-rotated: latest-red recorded queries first
+    (they must be re-verified after a fix — a red row that never
+    re-enters the 50-query recording window stays red forever), then
+    driver-unrecorded queries, then green recorded ones.
 
     Within the unrecorded block, oracle-backed queries precede
     rows-only ones (a driver row with a value-hash match is stronger
     evidence than a row-count check), both in registration order.
-    Already-recorded queries follow, unchanged. Falls back to plain
-    registration order if no CORRECTNESS artifacts are readable.
+    Falls back to plain registration order if no CORRECTNESS
+    artifacts are readable.
     """
-    recorded = _recorded_query_names()
+    recorded, red = _driver_record_state()
     names = list(SPARK_QUERIES)
-    fresh_oracle = [n for n in names if n not in recorded and n in ORACLE_SQL]
-    fresh_rows = [n for n in names if n not in recorded and n not in ORACLE_SQL]
-    old = [n for n in names if n in recorded]
-    return {n: SPARK_QUERIES[n] for n in fresh_oracle + fresh_rows + old}
+    retry_red = [n for n in names if n in red]
+    fresh_oracle = [
+        n for n in names if n not in recorded and n in ORACLE_SQL
+    ]
+    fresh_rows = [
+        n for n in names if n not in recorded and n not in ORACLE_SQL
+    ]
+    old = [n for n in names if n in recorded and n not in red]
+    return {
+        n: SPARK_QUERIES[n]
+        for n in retry_red + fresh_oracle + fresh_rows + old
+    }
 
 
 def oracle_sql() -> dict[str, str]:
