@@ -232,6 +232,88 @@ def approx_quantiles_per_key(
     )
 
 
+def approx_distinct_audited(
+    df: DataFrame,
+    value: str,
+    key: str,
+    rsd: float = 0.05,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """(key, exact_distinct, hll_in_band): HLL++ cardinality per key
+    AUDITED against the exact count — the oracle-checkable form of
+    :func:`approx_distinct_per_key`. The sketch estimate itself is
+    engine-specific (Spark HLL++ vs any other engine's HLL disagree on
+    the same set), so it cannot cross an engine-parity hash; what CAN
+    is the exact count plus the boolean contract ``|est - exact| <=
+    sigma * rsd * exact`` (sigma=3 of the target relative standard
+    deviation — the bound the estimator is specified to meet, and
+    deterministic for a fixed dataset because Spark's HLL has no RNG).
+    The oracle emits the exact count and literal TRUE, so a sketch
+    drifting out of its band hash-fails the row.
+
+    Cost: the audit adds one exact count(DISTINCT) — fixture-scale
+    tooling; at 100 TB the unaudited sketch form is the one to run."""
+    g = df.groupBy(key).agg(
+        F.approx_count_distinct(value, rsd=rsd).alias("__est"),
+        F.countDistinct(value).alias("exact_distinct"),
+    )
+    band = F.lit(sigma * rsd) * F.col("exact_distinct").cast("double")
+    return g.select(
+        key,
+        "exact_distinct",
+        (
+            F.abs(F.col("__est").cast("double") - F.col("exact_distinct"))
+            <= band
+        ).alias("hll_in_band"),
+    )
+
+
+def approx_quantiles_audited(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(key, p, exact_q, gk_in_band): Greenwald-Khanna approximate
+    quantiles AUDITED against their rank-error contract — the
+    oracle-checkable form of :func:`approx_quantiles_per_key`. The
+    sketch VALUE is engine-specific (Spark GK vs t-digest etc.), but
+    its guarantee is not: the returned value's rank must lie within
+    n/accuracy of p*n. That rank test runs Spark-side (count of
+    values <m/<=m around each sketch output against the band), and
+    the oracle emits the exact interpolated quantile (bit-identical
+    cross-engine, a18 rule) plus literal TRUE — an out-of-contract
+    sketch hash-fails.
+
+    Shape: one sketch aggregate, one broadcast of the |keys|x|probs|
+    sketch rows back over the fact for the rank counts, one exact
+    percentile pass. Audit-tier costs; production runs the plain
+    sketch."""
+    qs = approx_quantiles_per_key(df, key, value_col, probs, accuracy)
+    v = F.col(value_col)
+    j = df.join(
+        F.broadcast(qs.select(F.col(key), F.col("p"), F.col("q"))), key
+    )
+    ranks = j.groupBy(key, "p").agg(
+        F.count(value_col).alias("__n"),
+        F.sum((v < F.col("q")).cast("bigint")).alias("__n_lt"),
+        F.sum((v <= F.col("q")).cast("bigint")).alias("__n_lte"),
+    )
+    eps_rank = F.col("__n").cast("double") / F.lit(float(accuracy))
+    target = F.col("p") * F.col("__n").cast("double")
+    in_band = (F.col("__n_lte").cast("double") >= F.floor(target - eps_rank)) & (
+        F.col("__n_lt").cast("double") <= F.ceil(target + eps_rank)
+    )
+    exact = exact_quantiles(df, key, [value_col], probs).select(
+        F.col(key), F.col("p"), F.col(f"{value_col}_q").alias("exact_q")
+    )
+    return (
+        ranks.join(exact, [key, "p"])
+        .select(key, "p", "exact_q", in_band.alias("gk_in_band"))
+    )
+
+
 def winsorize_stats(
     df: DataFrame,
     key: str,
@@ -425,10 +507,10 @@ def ab_ttest(
     return m.select(
         na.alias("n_a"),
         nb.alias("n_b"),
-        F.round(sa / na, 6).alias("mean_a"),
-        F.round(sb / nb, 6).alias("mean_b"),
-        F.round(t, 4).alias("t_stat"),
-        F.round(dof, 2).alias("df"),
+        trunc_dp(sa / na, 6).alias("mean_a"),
+        trunc_dp(sb / nb, 6).alias("mean_b"),
+        trunc_dp(t, 4).alias("t_stat"),
+        trunc_dp(dof, 2).alias("df"),
     )
 
 
@@ -538,7 +620,7 @@ def srm_check(
         "n_a",
         "n_b",
         F.lit(expected_b).alias("expected_b"),
-        F.round(chi2, 4).alias("chi2"),
+        trunc_dp(chi2, 4).alias("chi2"),
     )
 
 
@@ -590,10 +672,10 @@ def ratio_metric_delta(
     se = F.sqrt((vx - F.lit(2.0) * r * cxy + r * r * vy) / n) / my
     return m.select(
         n.alias("n_units"),
-        F.round(r, 6).alias("ratio"),
-        F.round(se, 6).alias("se"),
-        F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
-        F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+        trunc_dp(r, 6).alias("ratio"),
+        trunc_dp(se, 6).alias("se"),
+        trunc_dp(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        trunc_dp(r + F.lit(1.96) * se, 6).alias("ci_hi"),
     )
 
 
@@ -704,9 +786,9 @@ def skew_kurtosis_per_key(
     return g.select(
         key,
         n.cast("bigint").alias("n"),
-        F.round(m1, ndigits).alias("mean"),
-        F.round(m3 / F.sqrt(m2 * m2 * m2), ndigits).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), ndigits).alias("kurtosis_excess"),
+        trunc_dp(m1, ndigits).alias("mean"),
+        trunc_dp(m3 / F.sqrt(m2 * m2 * m2), ndigits).alias("skewness"),
+        trunc_dp(m4 / (m2 * m2) - F.lit(3.0), ndigits).alias("kurtosis_excess"),
     )
 
 
@@ -827,8 +909,8 @@ def mann_whitney_u(
     return g.select(
         F.col("__na").alias("n_a"),
         F.col("__nb").alias("n_b"),
-        F.round(u, 1).alias("u_stat"),
-        F.round((u - mu) / F.sqrt(var), 4).alias("z"),
+        trunc_dp(u, 1).alias("u_stat"),
+        trunc_dp((u - mu) / F.sqrt(var), 4).alias("z"),
     )
 
 
@@ -902,8 +984,8 @@ def mutual_info_cramers_v(
         "n",
         "r_levels",
         "c_levels",
-        F.round(mi, 6).alias("mi_nats"),
-        F.round(
+        trunc_dp(mi, 6).alias("mi_nats"),
+        trunc_dp(
             F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double"))), 6
         ).alias("cramers_v"),
     )
@@ -1017,9 +1099,9 @@ def two_proportion_ztest(
         "n_b",
         "x_a",
         "x_b",
-        F.round(pa, 6).alias("p_a"),
-        F.round(pb, 6).alias("p_b"),
-        F.round(z, ndigits).alias("z"),
+        trunc_dp(pa, 6).alias("p_a"),
+        trunc_dp(pb, 6).alias("p_b"),
+        trunc_dp(z, ndigits).alias("z"),
     )
 
 
@@ -1047,9 +1129,16 @@ def ks_two_sample(
     the verdict compares round(D,6) against round(D_crit,6)."""
     from pyspark.sql import Window
 
-    f = df.filter(F.col(group_col).isin(g1, g2)).select(
-        F.col(value_col).alias("__v"),
-        F.when(F.col(group_col) == g1, 1).otherwise(0).alias("__is1"),
+    f = (
+        df.filter(F.col(group_col).isin(g1, g2))
+        # NULLs carry no distributional mass and their sort position
+        # differs per engine (Spark windows order NULLS FIRST, SQL
+        # ORDER BY defaults vary) — they do not belong in an ECDF.
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("__v"),
+            F.when(F.col(group_col) == g1, 1).otherwise(0).alias("__is1"),
+        )
     )
     per = f.groupBy("__v").agg(
         F.sum("__is1").alias("__d1"),
@@ -1087,9 +1176,9 @@ def ks_two_sample(
     return d.select(
         "n1",
         "n2",
-        F.round(F.col("__d"), 6).alias("d_stat"),
-        F.round(crit, 6).alias("d_crit_05"),
-        (F.round(F.col("__d"), 6) > F.round(crit, 6))
+        trunc_dp(F.col("__d"), 6).alias("d_stat"),
+        trunc_dp(crit, 6).alias("d_crit_05"),
+        (trunc_dp(F.col("__d"), 6) > trunc_dp(crit, 6))
         .cast("int")
         .alias("reject_05"),
     )

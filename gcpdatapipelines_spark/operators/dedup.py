@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 # ---------------------------------------------------------------------------
 # exact + normalized
 # ---------------------------------------------------------------------------
@@ -743,10 +745,82 @@ def ngram_containment_pairs(
         .join(sz2, "id_2")
         .withColumn(
             "containment",
-            F.round(F.col("n_inter") / F.least(F.col("n_1"), F.col("n_2")), 6),
+            trunc_dp(F.col("n_inter") / F.least(F.col("n_1"), F.col("n_2")), 6),
         )
         .filter(F.col("containment") >= threshold)
         .select("id_1", "id_2", "containment")
+    )
+
+
+def containment_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.6,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-DOCUMENT doc-in-doc verdict — the report layer over the
+    pair-level containment scan: for every document X, the single best
+    "container" Y (the other document covering the largest fraction of
+    X's distinct word-n-grams), the directed containment
+    C(X→Y) = |S_X ∩ S_Y| / |S_X|, and the quote/subset verdict
+    C >= threshold. The policy surface of substring dedup (Lee et al.
+    2107.06499): "X is largely inside Y" decides drop-vs-keep, where
+    the pair list alone leaves the caller to re-aggregate.
+
+    Returns one row per document with >= n tokens:
+    (id, n_shingles, best_container, containment, contained);
+    best_container is NULL (containment 0) for documents sharing no
+    shingle with any other.
+
+    Scale shape: one shingle scan (shareable via ``shingles``), one
+    equi self-join on the shingle (pair space bounded by shingle
+    document frequency — corpus-frequent shingles are the quadratic
+    lever; this REPORT keeps them because directed containment counts
+    every shared shingle, so at open-web scale run it downstream of a
+    line-dedup/boilerplate strip, not instead of one), one
+    (id_1, id_2) count, one argmax window over the pair table keyed by
+    id_1. All floats floor-truncated (portable.trunc_dp)."""
+    from pyspark.sql import Window
+
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, n)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+    a = sh.select(F.col(id_col).alias("__x"), "shingle")
+    b = sh.select(F.col(id_col).alias("__y"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("__x") != F.col("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count("*").alias("__n_inter"))
+    )
+    szx = sizes.select(F.col(id_col).alias("__x"), "__n_sh")
+    scored = inter.join(szx, "__x").select(
+        "__x",
+        "__y",
+        trunc_dp(F.col("__n_inter") / F.col("__n_sh"), 6).alias("__c"),
+    )
+    w = Window.partitionBy("__x").orderBy(F.col("__c").desc(), F.col("__y"))
+    best = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("__x", "__y", "__c")
+    )
+    return (
+        sizes.join(best, sizes[id_col] == best["__x"], "left")
+        .select(
+            F.col(id_col),
+            F.col("__n_sh").alias("n_shingles"),
+            F.col("__y").alias("best_container"),
+            F.coalesce(F.col("__c"), F.lit(0.0)).alias("containment"),
+            (F.coalesce(F.col("__c"), F.lit(0.0)) >= F.lit(threshold)).alias(
+                "contained"
+            ),
+        )
     )
 
 
@@ -813,7 +887,7 @@ def sorted_neighborhood_pairs(
     out = pairs.select(
         F.least(F.col(id_col), F.col("__p.id2")).alias("id_1"),
         F.greatest(F.col(id_col), F.col("__p.id2")).alias("id_2"),
-        F.round(jac, 6).alias("jaccard"),
+        trunc_dp(jac, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
     # pairs are unique by construction: each (record, +j offset) is
     # generated exactly once in one direction — no dedup shuffle needed

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def target_encode(
     df: DataFrame,
@@ -49,7 +51,7 @@ def target_encode(
     return per.select(
         F.col(cat_col),
         F.col("__c").alias("n_obs"),
-        F.round(
+        trunc_dp(
             (F.col("__s").cast("double") + F.lit(m) * prior)
             / (F.col("__c") + F.lit(m)),
             ndigits,

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def funnel_user_stages(
     df: DataFrame,
@@ -218,7 +220,7 @@ def time_decay_attribution(
     delta_days = (
         F.col("__cts").cast("double") - F.col("__tts").cast("double")
     ) / 86400.0
-    wgt = F.round(
+    wgt = trunc_dp(
         F.pow(F.lit(0.5), delta_days / F.lit(halflife_days)), 9
     ).cast("decimal(18,9)")
     pairs = touch.join(conv, "__u").filter(F.col("__tts") < F.col("__cts"))

@@ -40,10 +40,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def trunc_dp(col: "F.Column", k: int) -> "F.Column":
+def trunc_dp(col, k: int) -> "F.Column":
     """``floor(col * 10^k) / 10^k`` as a DOUBLE — the bit-portable
     stand-in for ``round(col, k)`` on engine-identical double chains
-    (module docstring). Truncates toward −∞; NaN/±inf pass through."""
+    (module docstring). Truncates toward −∞; NaN/±inf pass through.
+    Accepts a Column or a column-name string (like ``F.round``)."""
+    if isinstance(col, str):
+        col = F.col(col)
     scale = F.lit(float(10**k))
     return F.floor(col * scale) / scale
 

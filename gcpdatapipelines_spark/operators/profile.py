@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .portable import trunc_dp
 from pyspark.sql.types import NumericType
 
 _NUM_ROUND = 6
@@ -189,7 +191,7 @@ def freshness_audit(
         "shard",
         "n_rows",
         "last_seen",
-        F.round(lag_h, 4).alias("lag_hours"),
+        trunc_dp(lag_h, 4).alias("lag_hours"),
         (lag_h > F.lit(stale_after_hours)).alias("stale"),
     )
 
@@ -220,7 +222,7 @@ def key_skew_audit(
     return ranked.agg(
         F.count("*").alias("n_keys"),
         F.sum("__c").alias("n_rows"),
-        F.round(
+        trunc_dp(
             F.lit(2.0)
             * F.sum(
                 (F.col("__i").cast("decimal(18,0)") * F.col("__c"))
@@ -229,10 +231,10 @@ def key_skew_audit(
             - (F.count("*") + F.lit(1)).cast("double") / F.count("*"),
             6,
         ).alias("gini"),
-        F.round(
+        trunc_dp(
             F.max("__c").cast("double") / F.sum("__c"), 6
         ).alias("top1_share"),
-        F.round(
+        trunc_dp(
             F.max("__c").cast("double")
             / (F.sum("__c").cast("double") / F.count("*")),
             4,
@@ -290,7 +292,7 @@ def join_size_estimate(
     sr = hr.filter(u <= rate)
     est = sl.join(sr, "__k").agg(
         F.count("*").cast("bigint").alias("n_keys_sampled"),
-        F.round(
+        trunc_dp(
             F.coalesce(F.sum(F.col("__cl") * F.col("__cr")), F.lit(0))
             / rate,
             1,
@@ -301,7 +303,7 @@ def join_size_estimate(
         "n_keys_sampled",
         "est_join_rows",
         F.col("exact_join_rows").cast("bigint").alias("exact_join_rows"),
-        F.round(
+        trunc_dp(
             F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
             / F.col("exact_join_rows"),
             6,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def not_null(col: str) -> tuple[str, Column]:
     return (f"not_null({col})", F.col(col).isNull())
@@ -115,7 +117,7 @@ def fk_orphan_audit(
                 F.lit(name).alias("relation"),
                 "n_child",
                 "n_orphans",
-                F.round(
+                trunc_dp(
                     F.col("n_orphans").cast("double") / F.col("n_child"), 6
                 ).alias("orphan_rate"),
             )
@@ -155,9 +157,9 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     return per.select(
         "digit",
         "n",
-        F.round(observed, 6).alias("observed"),
-        F.round(expected, 6).alias("expected"),
-        F.round(observed - expected, 6).alias("deviation"),
+        trunc_dp(observed, 6).alias("observed"),
+        trunc_dp(expected, 6).alias("expected"),
+        trunc_dp(observed - expected, 6).alias("deviation"),
     )
 
 
@@ -203,10 +205,10 @@ def snapshot_drift(
             F.struct(
                 F.lit(c).alias("column"),
                 F.lit("null_rate").alias("metric"),
-                F.round(
+                trunc_dp(
                     F.col(f"__null_{c}").cast("double") / F.col("__n"), 6
                 ).cast("string").alias("before"),
-                F.round(
+                trunc_dp(
                     F.col(f"__null_{c}_b").cast("double") / F.col("__n_b"), 6
                 ).cast("string").alias("after"),
             ),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 BUCKETS = 10_000
 
 
@@ -345,11 +347,11 @@ def temperature_sample(
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
-    p9 = F.round(F.pow(F.col("__n").cast("double"), F.lit(alpha)), 9).cast(
+    p9 = trunc_dp(F.pow(F.col("__n").cast("double"), F.lit(alpha)), 9).cast(
         "decimal(18,9)"
     )
     wall = Window.partitionBy()
-    share = F.round(
+    share = trunc_dp(
         F.col("__p").cast("double") / F.sum("__p").over(wall).cast("double"), 12
     )
     quotas = (

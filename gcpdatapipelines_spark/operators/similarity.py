@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -98,7 +100,7 @@ def brute_force_topk(
     scored = joined.select(
         q_id_col,
         id_col,
-        F.round(
+        trunc_dp(
             _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
         ).alias("sim"),
     )
@@ -171,6 +173,18 @@ def _unrolled_pair_sim_sql(dim: int) -> str:
     scalar chain over widened columns a0../b0.. (SQL string form)."""
     pair_dot = " + ".join(f"a{i} * b{i}" for i in range(dim))
     return f"round(({pair_dot}) / (n1 * n2), 6) AS sim"
+
+
+def _unrolled_pair_sim_floor_sql(dim: int) -> str:
+    """Floor-truncated variant of :func:`_unrolled_pair_sim_sql`:
+    ``floor(sim * 1e6) / 1e6`` — uniquely defined on the identical
+    left-to-right chain bits on every engine build (portable.trunc_dp
+    rationale), unlike decimal-place round whose implementation varies
+    per build."""
+    pair_dot = " + ".join(f"a{i} * b{i}" for i in range(dim))
+    return (
+        f"floor((({pair_dot}) / (n1 * n2)) * 1000000.0) / 1000000.0 AS sim"
+    )
 
 
 def _wide_sides(wide: DataFrame, id_col: str, dim: int, cell_col: str | None = None):
@@ -492,7 +506,7 @@ def semdedup_pairs_seeded(
         .select(
             F.col(id_col),
             F.col("cent_id"),
-            F.round(
+            trunc_dp(
                 _dot(F.col("__v"), F.col("cent_vec"))
                 / (F.col("__vn") * F.col("__cnorm")),
                 6,
@@ -514,7 +528,7 @@ def semdedup_pairs_seeded(
     return (
         a.join(b, F.col("cell_a") == F.col("cell_b"))
         .filter(F.col("id_1") < F.col("id_2"))
-        .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
+        .selectExpr("id_1", "id_2", _unrolled_pair_sim_floor_sql(dim))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -670,8 +684,8 @@ def quantize_int8(
         id_col,
         "qvec",
         qnorm.alias("qnorm_sq"),
-        F.round(err_sum / F.size(F.col("qvec")), 9).alias("qerr_mean"),
-        F.round(err_max, 9).alias("qerr_max"),
+        trunc_dp(err_sum / F.size(F.col("qvec")), 9).alias("qerr_mean"),
+        trunc_dp(err_max, 9).alias("qerr_max"),
     )
 
 
@@ -1207,7 +1221,7 @@ def ivf_topk(
     scored = cand.select(
         q_id_col,
         id_col,
-        F.round(
+        trunc_dp(
             _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
         ).alias("sim"),
     )
@@ -1498,7 +1512,7 @@ def hard_negatives(
     scored = joined.select(
         q_id_col,
         id_col,
-        F.round(
+        trunc_dp(
             _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
         ).alias("sim"),
     )
@@ -1610,9 +1624,13 @@ def binary_hamming_topk(
     vectors are touched only for |q| x rerank rows.
 
     Approximate by design (a true neighbor can fall outside the
-    Hamming candidate set) -> rows-only in the gate; recall@k against
-    brute_force_topk is pinned in tests. Deterministic: (hamming, id)
-    and (sim, id) orderings are total."""
+    Hamming candidate set) but fully DETERMINISTIC and
+    oracle-expressible: the sign binarization, the (hamming, id)
+    candidate cut, and the floor-truncated cosine rerank are all
+    engine-reproducible (a Hamming distance over sign bits is just
+    the count of sign disagreements), so the catalog entry
+    hash-checks end-to-end; recall@k against brute_force_topk stays
+    pinned in tests."""
     from pyspark.sql import Window
 
     nwords = dim // 32
@@ -1657,7 +1675,7 @@ def binary_hamming_topk(
             q_id_col,
             id_col,
             "hamming",
-            F.round(
+            trunc_dp(
                 _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
             ).alias("sim"),
         )
@@ -1704,13 +1722,13 @@ def matryoshka_prefix_audit(
                 F.slice(v, 1, d), F.lit(0.0), lambda a, x: a + x * x
             )
         )
-        frac = F.round(pre / full, 9).cast("decimal(18,9)")
+        frac = trunc_dp(pre / full, 9).cast("decimal(18,9)")
         g = (
             vectors.select(group, frac.alias("__f"))
             .groupBy("group")
             .agg(
                 F.count("*").alias("n_vecs"),
-                F.round(
+                trunc_dp(
                     F.sum("__f").cast("double") / F.count("*"), 6
                 ).alias("mean_norm_frac"),
             )

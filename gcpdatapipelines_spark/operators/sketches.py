@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .portable import trunc_dp
+
 # 60-bit portable hash: md5 first 15 hex digits parsed base-16. 15
 # digits keep the value < 2^60 so BIGINT casts are exact in every
 # engine (16 digits would need unsigned 64-bit, which Spark's long
@@ -90,7 +92,7 @@ def hll_distinct(
         F.lit(m).alias("m"),
         F.col("n_exact"),
         (F.lit(m) - F.col("v_occupied")).cast("long").alias("v_empty"),
-        F.round(
+        trunc_dp(
             F.lit(alpha * m * m)
             / (
                 (
@@ -104,7 +106,7 @@ def hll_distinct(
     )
     corrected = F.when(
         (F.col("hll_raw") <= 2.5 * m) & (F.col("v_empty") > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6),
+        trunc_dp(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6),
     ).otherwise(F.col("hll_raw"))
     return out.select(
         "m",
@@ -112,7 +114,7 @@ def hll_distinct(
         "v_empty",
         "hll_raw",
         corrected.alias("hll_estimate"),
-        F.round(
+        trunc_dp(
             F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
@@ -152,19 +154,18 @@ def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
         SELECT CAST({m} AS INTEGER) AS m,
                (SELECT count(DISTINCT {key_expr}) FROM {table}) AS n_exact,
                CAST({m} - v_occupied AS BIGINT) AS v_empty,
-               round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+               floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
                      ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
-                      / {scale!r}),
-                     6) AS hll_raw
+                      / {scale!r})) * 1000000.0) / 1000000.0 AS hll_raw
         FROM s
     )
     SELECT m, n_exact, v_empty, hll_raw,
            CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
-                THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
                 ELSE hll_raw END AS hll_estimate,
-           round(abs(CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
-                          THEN round({m}.0 * ln({m}.0 / v_empty), 6)
-                          ELSE hll_raw END - n_exact) / n_exact, 6) AS rel_err
+           floor((abs(CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
+                          THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
+                          ELSE hll_raw END - n_exact) / n_exact) * 1000000.0) / 1000000.0 AS rel_err
     FROM e
     """
 
@@ -198,8 +199,8 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         .select(
             F.lit(k).alias("k"),
             "n_exact",
-            F.round("kth_u", 12).alias("kth_u"),
-            F.round(
+            trunc_dp("kth_u", 12).alias("kth_u"),
+            trunc_dp(
                 F.coalesce(
                     (F.lit(k - 1.0)) / F.col("kth_u"),
                     F.col("n_exact").cast("double"),
@@ -209,7 +210,7 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         )
         .withColumn(
             "rel_err",
-            F.round(
+            trunc_dp(
                 F.abs(F.col("kmv_estimate") - F.col("n_exact"))
                 / F.col("n_exact"),
                 6,
@@ -234,10 +235,10 @@ def kmv_distinct_sql(table: str, key_expr: str, k: int = 256) -> str:
         SELECT count(*) AS n_exact FROM dist
     )
     SELECT CAST({k} AS INTEGER) AS k, n_exact,
-           round(kth_u, 12) AS kth_u,
-           round(coalesce(({k} - 1.0) / kth_u, n_exact), 6) AS kmv_estimate,
-           round(abs(coalesce(({k} - 1.0) / kth_u, n_exact) - n_exact)
-                 / n_exact, 6) AS rel_err
+           floor((kth_u) * 1000000000000.0) / 1000000000000.0 AS kth_u,
+           floor((coalesce(({k} - 1.0) / kth_u, n_exact)) * 1000000.0) / 1000000.0 AS kmv_estimate,
+           floor((abs(coalesce(({k} - 1.0) / kth_u, n_exact) - n_exact)
+                 / n_exact) * 1000000.0) / 1000000.0 AS rel_err
     FROM n LEFT JOIN kth ON true
     """
 
@@ -486,7 +487,7 @@ def kmv_setops(
             .agg(F.count("*").alias("__m"), F.max("theta").alias("__th"))
             .select(
                 F.lit(name).alias("op"),
-                F.round(
+                trunc_dp(
                     F.coalesce(F.col("__m") / F.col("__th"), F.lit(0.0)), 6
                 ).alias("estimate"),
             )
@@ -521,7 +522,7 @@ def kmv_setops(
             "op",
             "estimate",
             F.coalesce("exact", F.lit(0)).alias("exact"),
-            F.round(
+            trunc_dp(
                 F.abs(F.col("estimate") - F.coalesce("exact", F.lit(0)))
                 / F.greatest(F.coalesce("exact", F.lit(0)), F.lit(1)),
                 6,
@@ -565,7 +566,7 @@ def kmv_setops_sql(
     ),
     ests AS (
         SELECT op,
-               round(coalesce(count(*) FILTER (u < theta) / max(theta), 0.0), 6)
+               floor((coalesce(count(*) FILTER (u < theta) / max(theta), 0.0)) * 1000000.0) / 1000000.0
                    AS estimate
         FROM samples CROSS JOIN theta GROUP BY op
     ),
@@ -580,8 +581,8 @@ def kmv_setops_sql(
                   FROM da WHERE key IN (SELECT key FROM db)
     )
     SELECT e.op, e.estimate, coalesce(x.exact, 0) AS exact,
-           round(abs(e.estimate - coalesce(x.exact, 0))
-                 / greatest(coalesce(x.exact, 0), 1), 6) AS rel_err
+           floor((abs(e.estimate - coalesce(x.exact, 0))
+                 / greatest(coalesce(x.exact, 0), 1)) * 1000000.0) / 1000000.0 AS rel_err
     FROM ests e LEFT JOIN ex x ON e.op = x.op
     """
 
@@ -609,7 +610,7 @@ def _hll_estimate_expr(m: int):
     (shared by hll_distinct-style consumers)."""
     alpha = _hll_alpha(m)
     scale = float(1 << 52)
-    raw = F.round(
+    raw = trunc_dp(
         F.lit(alpha * m * m)
         / (
             (F.col("s_scaled") + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52))
@@ -620,7 +621,7 @@ def _hll_estimate_expr(m: int):
     v_empty = (F.lit(m) - F.col("v_occupied")).cast("long")
     corrected = F.when(
         (raw <= 2.5 * m) & (v_empty > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty), 6),
+        trunc_dp(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty), 6),
     ).otherwise(raw)
     return corrected
 
@@ -718,15 +719,13 @@ def hll_merge_audit_sql(
 
     est = (
         f"""(SELECT CASE
-            WHEN round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+            WHEN floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
                  ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
-                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r}),
-                 6) <= 2.5 * {m} AND {m} - count(*) > 0
-            THEN round({m}.0 * ln({m}.0 / ({m} - count(*))), 6)
-            ELSE round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 <= 2.5 * {m} AND {m} - count(*) > 0
+            THEN floor(({m}.0 * ln({m}.0 / ({m} - count(*)))) * 1000000.0) / 1000000.0
+            ELSE floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
                  ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
-                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r}),
-                 6) END FROM {{src}})"""
+                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 END FROM {{src}})"""
     )
     return f"""
     WITH {_regs(a_select, 'ra')}, {_regs(b_select, 'rb')},
@@ -815,10 +814,10 @@ def quantile_sketch_bottomk(
     for i, p in enumerate(ps):
         tag = str(p).replace("0.", "p")
         cols.append(
-            F.round(F.element_at("__qe", i + 1), 6).alias(f"{tag}_est")
+            trunc_dp(F.element_at("__qe", i + 1), 6).alias(f"{tag}_est")
         )
         cols.append(
-            F.round(F.element_at("__qx", i + 1), 6).alias(f"{tag}_exact")
+            trunc_dp(F.element_at("__qx", i + 1), 6).alias(f"{tag}_exact")
         )
     return out.select(*cols)
 
@@ -840,8 +839,8 @@ def quantile_sketch_bottomk_sql(
         tag = str(p).replace("0.", "p")
         est_cols.append(f"quantile_cont(v, {p!r}) AS {tag}_est")
         ex_cols.append(f"quantile_cont(v, {p!r}) AS {tag}_exact")
-        out_cols.append(f"round({tag}_est, 6) AS {tag}_est")
-        out_cols.append(f"round({tag}_exact, 6) AS {tag}_exact")
+        out_cols.append(f"floor(({tag}_est) * 1000000.0) / 1000000.0 AS {tag}_est")
+        out_cols.append(f"floor(({tag}_exact) * 1000000.0) / 1000000.0 AS {tag}_exact")
     return f"""
     WITH rows_u AS (
         SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS v,
@@ -935,7 +934,7 @@ def hll_sliding_distinct(
         .agg(F.countDistinct("__k").alias("n_exact"))
     )
     scale = float(1 << 52)
-    raw = F.round(
+    raw = trunc_dp(
         F.lit(alpha * m * m)
         / (
             (
@@ -954,7 +953,7 @@ def hll_sliding_distinct(
     )
     corrected = F.when(
         (F.col("__raw") <= 2.5 * m) & (F.col("v_empty") > 0),
-        F.round(
+        trunc_dp(
             F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6
         ),
     ).otherwise(F.col("__raw"))
@@ -963,7 +962,7 @@ def hll_sliding_distinct(
         "n_exact",
         "v_empty",
         corrected.alias("wau_hll"),
-        F.round(
+        trunc_dp(
             F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
@@ -1021,18 +1020,17 @@ def hll_sliding_distinct_sql(
     ), raws AS (
         SELECT folded.day, n_exact,
                CAST({m} - v_occupied AS BIGINT) AS v_empty,
-               round(CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+               floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
                      ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
-                      / {scale!r}),
-                     6) AS raw
+                      / {scale!r})) * 1000000.0) / 1000000.0 AS raw
         FROM folded JOIN exact ON folded.day = exact.day
     )
     SELECT day, n_exact, v_empty,
            CASE WHEN raw <= 2.5 * {m} AND v_empty > 0
-                THEN round({m}.0 * ln({m}.0 / v_empty), 6)
+                THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
                 ELSE raw END AS wau_hll,
-           round(abs(CASE WHEN raw <= 2.5 * {m} AND v_empty > 0
-                          THEN round({m}.0 * ln({m}.0 / v_empty), 6)
-                          ELSE raw END - n_exact) / n_exact, 6) AS rel_err
+           floor((abs(CASE WHEN raw <= 2.5 * {m} AND v_empty > 0
+                          THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
+                          ELSE raw END - n_exact) / n_exact) * 1000000.0) / 1000000.0 AS rel_err
     FROM raws
     """

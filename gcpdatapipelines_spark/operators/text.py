@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 WORD_PATTERN = "[A-Za-z0-9]+"
 
@@ -90,12 +92,22 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 7,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (the rolling-hash scheme of
     Schleimer/Wilkerson/Aiken's MOSS): hash every character k-gram,
     keep the minimum hash of each sliding window of ``window`` hashes,
     dedupe. Near-duplicate documents share most selected fingerprints
     even under edits, and the selected set is position-robust.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-side 64-bit
+    ints) or ``"md5"`` (hex-string fingerprints, lexicographic window
+    minima). The md5 mode exists because winnowing only needs a
+    CONSISTENT hash order, not a specific hash — and md5 is the one
+    hash both Spark and DuckDB compute identically, which makes the
+    whole select-minima pipeline oracle-checkable end-to-end (the
+    ivf_build seeded-quantizer trick applied to fingerprinting).
+    Production keeps xxhash64; semantics are identical.
 
     Shape: k-gram hashes via one transform (posexploded so the hash
     array is evaluated exactly once — Catalyst re-inlines shared array
@@ -106,10 +118,16 @@ def winnowing_fingerprints(
 
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
-    )
+    if hash_fn == "md5":
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(t.substr(i, F.lit(k))).substr(1, 16),
+        )
+    else:
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+        )
     exploded = df.select(
         id_col, F.posexplode(hashes).alias("pos", "h")
     )
@@ -134,6 +152,7 @@ def fingerprint_overlap_pairs(
     window: int = 4,
     min_shared: int = 10,
     max_df: int | None = 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints —
     equi-join on fingerprint, count shared per pair.
@@ -147,7 +166,7 @@ def fingerprint_overlap_pairs(
     # AQE's runtime stage reuse dedupes the derivation, and measured
     # single-shot runs are FASTER without an explicit cache (which
     # would break pipelining to materialize)
-    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    fp = winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
     if max_df is not None:
         keep = (
             fp.groupBy("fingerprint")
@@ -362,7 +381,7 @@ def tfidf_top_terms(
             id_col,
             "token",
             "tf",
-            F.round(
+            trunc_dp(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
             ).alias("tfidf"),
         )
@@ -437,7 +456,7 @@ def tfidf_weights(
         .select(
             id_col,
             "token",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6)
+            trunc_dp(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6)
             .cast("decimal(12,6)")
             .alias("w"),
         )
@@ -494,7 +513,7 @@ def sparse_cosine_topk(
         .select(
             "q_id",
             id_col,
-            F.round(F.col("dot") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
+            trunc_dp(F.col("dot") / (F.col("q_nrm") * F.col("nrm")), 6).alias(
                 "cos_sim"
             ),
         )
@@ -734,9 +753,10 @@ def bm25_topk(
         .agg(F.count("*").alias("df_t"))
     )
     contrib_expr = (
-        "round(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)"
+        "floor((ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)"
         f" * tf * ({k1!r} + 1.0)"
-        f" / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl)), 9)"
+        f" / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl)))"
+        " * 1000000000.0) / 1000000000.0"
     )
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -798,9 +818,10 @@ def bigram_nll(
     vocab = toks.select(F.explode("__toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
-    term = F.expr(f"round(ln((c2 + {k!r}) / (c1 + {k!r} * v)), 9)").cast(
-        "decimal(18,9)"
-    )
+    term = F.expr(
+        f"floor((ln((c2 + {k!r}) / (c1 + {k!r} * v))) * 1000000000.0)"
+        " / 1000000000.0"
+    ).cast("decimal(18,9)")
     scored = (
         bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -809,7 +830,7 @@ def bigram_nll(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
-        F.round((-F.sum("c").cast("double")) / F.count("*"), 6).alias("nll"),
+        trunc_dp((-F.sum("c").cast("double")) / F.count("*"), 6).alias("nll"),
     )
 
 
@@ -1013,8 +1034,8 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     flags = src.select(
         id_col,
         n_words.alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        trunc_dp(mean_len, 4).alias("mean_word_len"),
+        trunc_dp(alpha_ratio, 4).alias("alpha_ratio"),
         stop_hits.alias("stop_hits"),
         ((n_words >= 50) & (n_words <= 100000)).cast("int").alias("f_word_count"),
         ((mean_len >= 3.0) & (mean_len <= 10.0)).cast("int").alias("f_mean_len"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def resample_sum(
     df: DataFrame,
@@ -182,7 +184,7 @@ def seasonal_index(
         F.col(key),
         F.col("grain"),
         F.col("__c").alias("n_obs"),
-        F.round(
+        trunc_dp(
             (F.col("__s").cast("double") / F.col("__c"))
             / (
                 F.sum("__s").over(w).cast("double")
@@ -250,7 +252,7 @@ def rolling_zscore(
             F.col(tiebreak_col),
             x,
             F.col("__n").alias("n_prior"),
-            F.round(z, 4).alias("zscore"),
+            trunc_dp(z, 4).alias("zscore"),
         )
         .where(F.abs(F.col("zscore")) > F.lit(threshold))
     )
@@ -339,7 +341,7 @@ def period_over_period(
         F.col(key),
         F.col("period"),
         F.col("__s").cast("double").alias("psum"),
-        F.round(
+        trunc_dp(
             (F.col("__s").cast("double") - prev.cast("double"))
             / prev.cast("double"),
             6,
@@ -398,7 +400,7 @@ def changepoint_single(
         F.col("__n"),
         ml.alias("__ml"),
         mr.alias("__mr"),
-        F.round(F.abs(ml - mr), 9).alias("__score"),
+        trunc_dp(F.abs(ml - mr), 9).alias("__score"),
     )
     w_pick = Window.partitionBy(key).orderBy(
         F.col("__score").desc(), F.col("__i")
@@ -411,9 +413,9 @@ def changepoint_single(
             F.col("__n").alias("n"),
             F.col("__i").cast("long").alias("split_pos"),
             F.col(ts_col).alias("split_ts"),
-            F.round("__ml", 6).alias("mean_left"),
-            F.round("__mr", 6).alias("mean_right"),
-            F.round(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
+            trunc_dp(F.col("__ml"), 6).alias("mean_left"),
+            trunc_dp(F.col("__mr"), 6).alias("mean_right"),
+            trunc_dp(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
         )
     )
 
@@ -487,7 +489,7 @@ def autocorrelation(
         F.col(key),
         m.getField("lag").alias("lag"),
         n.cast("bigint").alias("n_pairs"),
-        F.round(
+        trunc_dp(
             num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), ndigits
         ).alias("acf"),
     )
@@ -705,7 +707,7 @@ def seasonal_decompose_weekday(
     return per.select(
         "slot",
         "n_obs",
-        F.round(
+        trunc_dp(
             F.col("__dev").cast("double")
             / (F.lit(float(period)) * F.col("n_obs").cast("double")),
             6,
@@ -771,15 +773,15 @@ def forecast_backtest_holt(
     actual = F.element_at(arr2, F.col("__c") + 1)
     scored = cuts.select(
         F.col(key),
-        F.round(F.abs(fc - actual), 9).cast("decimal(18,9)").alias("__ae"),
-        F.round(F.abs(fc - actual) / F.abs(actual), 9)
+        trunc_dp(F.abs(fc - actual), 9).cast("decimal(18,9)").alias("__ae"),
+        trunc_dp(F.abs(fc - actual) / F.abs(actual), 9)
         .cast("decimal(18,9)")
         .alias("__ape"),
     )
     return scored.groupBy(key).agg(
         F.count("*").cast("bigint").alias("n_backtests"),
-        F.round(F.sum("__ae").cast("double") / F.count("*"), 6).alias("mae"),
-        F.round(F.sum("__ape").cast("double") / F.count("*"), 6).alias("mape"),
+        trunc_dp(F.sum("__ae").cast("double") / F.count("*"), 6).alias("mae"),
+        trunc_dp(F.sum("__ape").cast("double") / F.count("*"), 6).alias("mape"),
     )
 
 
@@ -853,15 +855,15 @@ def seasonal_anomaly(
         .filter(
             (F.col("__n") >= min_obs)
             & (F.col("__sxx") * F.col("__n") > F.col("__sx") * F.col("__sx"))
-            & (F.abs(F.round(z, 4)) > threshold)
+            & (F.abs(trunc_dp(z, 4)) > threshold)
         )
         .select(
             key,
             ts_col,
             order_col,
             value_col,
-            F.round("resid", 6).alias("resid"),
-            F.round(z, 4).alias("zscore"),
+            trunc_dp(F.col("resid"), 6).alias("resid"),
+            trunc_dp(z, 4).alias("zscore"),
         )
     )
 

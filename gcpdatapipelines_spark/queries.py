@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .io import read_table
 from .operators import agg as A
+from .operators.portable import trunc_dp as _trunc_dp
 from .operators import text as _TEXT
 from .operators import joins as J
 from .operators import rows as P
@@ -1298,16 +1299,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_winnowing")  # rows-only: xxhash64 has no DuckDB twin
+@register(
+    "dedup_winnowing",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               greatest(length(text) - 19, 1) AS n,
+               unnest(generate_series(1, greatest(length(text) - 19, 1)))
+                   AS pos,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(text) - 19, 1)),
+                   i -> substr(md5(substr(text, i, 20)), 1, 16))) AS h
+        FROM documents
+    ), mins AS (
+        SELECT doc_id, pos, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                   AS fingerprint
+        FROM grams
+    ), valid AS (
+        SELECT DISTINCT doc_id, fingerprint FROM mins
+        WHERE pos <= n - 8 + 1 OR n < 8
+    ), keep AS (
+        SELECT fingerprint FROM valid
+        GROUP BY fingerprint HAVING count(*) <= 20
+    ), fp AS (
+        SELECT v.doc_id, v.fingerprint FROM valid v JOIN keep USING (fingerprint)
+    )
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b USING (fingerprint)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 10
+    """,
+)
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing/MOSS) fingerprint near-dup candidates:
     char-20-gram hashes, window-8 minima, document-frequency cap 20
     (this corpus shares a tiny vocabulary, so short grams collide
-    everywhere), pairs sharing >= 10 surviving fingerprints."""
+    everywhere), pairs sharing >= 10 surviving fingerprints.
+
+    Catalog entry runs the md5 hash mode — winnowing needs only a
+    CONSISTENT hash order, and md5 is the hash both engines compute
+    identically, so the full select-minima/df-cap/pair pipeline is
+    hash-checked end-to-end (was rows-only under xxhash64, which has
+    no DuckDB twin). Production keeps the xxhash64 default."""
     from .operators.text import fingerprint_overlap_pairs
 
     return fingerprint_overlap_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=20, window=8, min_shared=10
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=20, window=8, min_shared=10, hash_fn="md5",
     )
 
 
@@ -1442,10 +1483,15 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # North-star: similarity search (embeddings fixture)
 # ---------------------------------------------------------------------------
 
+# floor-truncated 6-dp cosine (portable.trunc_dp rationale): uniquely
+# defined on the identical chain bits on every engine build, unlike
+# decimal-place round() whose implementation varies per build
 _SIM_SQL_COS = (
-    "round(list_inner_product(q_vec, vec) / "
-    "(sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(vec, vec))), 6)"
+    "floor((list_inner_product(q_vec, vec) / "
+    "(sqrt(list_inner_product(q_vec, q_vec)) * "
+    "sqrt(list_inner_product(vec, vec)))) * 1000000.0) / 1000000.0"
 )
+_SIM_SQL_COS_FLOOR = _SIM_SQL_COS
 
 
 @register(
@@ -1498,9 +1544,10 @@ _NEARDUP_WITHIN_CELL_SQL = """
         SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
     ), cs AS (
         SELECT v.vec_id, s.cent_id,
-               round(list_inner_product(v.vec, s.cvec) /
-                     (sqrt(list_inner_product(v.vec, v.vec)) *
-                      sqrt(list_inner_product(s.cvec, s.cvec))), 6) AS sim
+               floor((list_inner_product(v.vec, s.cvec) /
+                      (sqrt(list_inner_product(v.vec, v.vec)) *
+                       sqrt(list_inner_product(s.cvec, s.cvec))))
+                     * 1000000.0) / 1000000.0 AS sim
         FROM v CROSS JOIN seeds s
     ), assign AS (
         SELECT vec_id, cent_id FROM (
@@ -1511,16 +1558,18 @@ _NEARDUP_WITHIN_CELL_SQL = """
         ) WHERE rn = 1
     )
     SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-           round(list_inner_product(a.vec, b.vec) /
-                 (sqrt(list_inner_product(a.vec, a.vec)) *
-                  sqrt(list_inner_product(b.vec, b.vec))), 6) AS sim
+           floor((list_inner_product(a.vec, b.vec) /
+                  (sqrt(list_inner_product(a.vec, a.vec)) *
+                   sqrt(list_inner_product(b.vec, b.vec))))
+                 * 1000000.0) / 1000000.0 AS sim
     FROM v a JOIN assign aa ON a.vec_id = aa.vec_id
          JOIN assign bb ON aa.cent_id = bb.cent_id
          JOIN v b ON b.vec_id = bb.vec_id
     WHERE a.vec_id < b.vec_id
-      AND round(list_inner_product(a.vec, b.vec) /
-                (sqrt(list_inner_product(a.vec, a.vec)) *
-                 sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.4
+      AND floor((list_inner_product(a.vec, b.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) *
+                  sqrt(list_inner_product(b.vec, b.vec))))
+                * 1000000.0) / 1000000.0 >= 0.4
     """
 
 
@@ -1814,7 +1863,7 @@ def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
-        SELECT doc_id, token, tf, round(tf * ln(n_docs / df_t), 6) AS tfidf
+        SELECT doc_id, token, tf, floor((tf * ln(n_docs / df_t)) * 1000000.0) / 1000000.0 AS tfidf
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
     ), ranked AS (
         SELECT *, row_number() OVER (
@@ -3477,18 +3526,28 @@ def w9_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a15_approx_distinct")  # rows-only: HLL sketch values are
-# engine-specific (Spark HLL++ vs DuckDB HLL give different estimates
-# for the same set); the 5%-of-exact tolerance is pinned in
-# tests/test_scale_ops.py::test_approx_distinct_tolerance
+@register(
+    "a15_approx_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_in_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality at scale: HLL++ distinct customers per order status —
     one ~1.5 KB sketch per group crosses the shuffle instead of every
-    distinct value."""
-    from .operators.agg import approx_distinct_per_key
+    distinct value. The sketch VALUE is engine-specific, so the
+    catalog runs the audited form: exact count (hash-checked) + the
+    |est - exact| <= 3*rsd*exact contract as a boolean the oracle pins
+    to TRUE — a sketch out of its specified band hash-fails the row
+    (upgraded from rows-only; the 5% tolerance also stays pinned in
+    tests/test_scale_ops.py::test_approx_distinct_tolerance)."""
+    from .operators.agg import approx_distinct_audited
 
     o = _t(spark, sf_dir, "orders")
-    return approx_distinct_per_key(o, "o_custkey", "o_orderstatus")
+    return approx_distinct_audited(o, "o_custkey", "o_orderstatus")
 
 
 # ---------------------------------------------------------------------------
@@ -5261,10 +5320,11 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(list_transform(qvec,
                x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),
                (a, b) -> a + b) AS qnorm_sq,
-           round(list_reduce(errs, (a, b) -> a + b) / len(errs), 9)
-               AS qerr_mean,
-           round(list_reduce(errs,
-               (a, b) -> CASE WHEN b > a THEN b ELSE a END), 9) AS qerr_max
+           floor((list_reduce(errs, (a, b) -> a + b) / len(errs))
+                 * 1000000000.0) / 1000000000.0 AS qerr_mean,
+           floor((list_reduce(errs,
+               (a, b) -> CASE WHEN b > a THEN b ELSE a END))
+                 * 1000000000.0) / 1000000000.0 AS qerr_max
     FROM e
     """,
 )
@@ -5320,21 +5380,37 @@ def seq_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(ev, "user_id", "ts", "event_type", "event_id")
 
 
-@register("a23_approx_quantiles")  # rows-only: GK-sketch outputs are
-# engine-specific (Spark returns an observed value within rank error,
-# DuckDB's approx_quantile uses t-digest); closeness to the EXACT
-# interpolated quantiles is pinned in
-# tests/test_round3_ops.py::TestApproxQuantiles
+@register(
+    "a23_approx_quantiles",
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+           unnest(qs) AS exact_q,
+           TRUE AS gk_in_band
+    FROM q
+    """,
+)
 def a23_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles at scale: per-return-flag p25/50/75/95 of extended
     price via the mergeable Greenwald-Khanna sketch — ~accuracy
     entries per group cross the shuffle instead of every value, the
-    sketch-tier companion of a18_quantiles_exact (same trade
-    a15_approx_distinct makes for cardinality)."""
-    from .operators.agg import approx_quantiles_per_key
+    sketch-tier companion of a18_quantiles_exact. Sketch OUTPUTS are
+    engine-specific (GK observed-value vs t-digest), so the catalog
+    runs the audited form: the exact interpolated quantile
+    (bit-identical, a18 rule) hash-checks, and the sketch's rank-error
+    contract (returned value's rank within n/accuracy of p*n) rides
+    as a boolean the oracle pins TRUE — an out-of-contract sketch
+    hash-fails (upgraded from rows-only; tolerance also pinned in
+    tests/test_round3_ops.py::TestApproxQuantiles)."""
+    from .operators.agg import approx_quantiles_audited
 
     li = _t(spark, sf_dir, "lineitem")
-    return approx_quantiles_per_key(
+    return approx_quantiles_audited(
         li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
     )
 
@@ -5466,7 +5542,7 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     wts AS (
         SELECT doc_id, token,
-               CAST(round(tf * ln(n_docs / df_t), 6) AS DECIMAL(12,6)) AS w
+               CAST(floor((tf * ln(n_docs / df_t)) * 1000000.0) / 1000000.0 AS DECIMAL(12,6)) AS w
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
     ), norms AS (
         SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
@@ -5479,7 +5555,8 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ), scored AS (
         SELECT q_id, t.doc_id,
-               round(dot / (qn.nrm * dn.nrm), 6) AS cos_sim
+               floor((dot / (qn.nrm * dn.nrm)) * 1000000.0) / 1000000.0
+                   AS cos_sim
         FROM dots t
         JOIN norms qn ON qn.doc_id = t.q_id
         JOIN norms dn ON dn.doc_id = t.doc_id
@@ -5574,9 +5651,10 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
     ), cs AS (
         SELECT v.vec_id, s.cent_id,
-               round(list_inner_product(v.vec, s.cvec) /
-                     (sqrt(list_inner_product(v.vec, v.vec)) *
-                      sqrt(list_inner_product(s.cvec, s.cvec))), 6) AS sim
+               floor((list_inner_product(v.vec, s.cvec) /
+                      (sqrt(list_inner_product(v.vec, v.vec)) *
+                       sqrt(list_inner_product(s.cvec, s.cvec))))
+                     * 1000000.0) / 1000000.0 AS sim
         FROM v CROSS JOIN seeds s
     ), assign AS (
         SELECT vec_id, cent_id FROM (
@@ -5591,9 +5669,10 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
              JOIN assign bb ON aa.cent_id = bb.cent_id
              JOIN v b ON b.vec_id = bb.vec_id
         WHERE a.vec_id < b.vec_id
-          AND round(list_inner_product(a.vec, b.vec) /
-                    (sqrt(list_inner_product(a.vec, a.vec)) *
-                     sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.4
+          AND floor((list_inner_product(a.vec, b.vec) /
+                     (sqrt(list_inner_product(a.vec, a.vec)) *
+                      sqrt(list_inner_product(b.vec, b.vec))))
+                    * 1000000.0) / 1000000.0 >= 0.4
     ), edges AS (
         SELECT id_1 AS u, id_2 AS w FROM pairs
         UNION
@@ -5768,10 +5847,12 @@ def _corr_matrix_sql() -> str:
     for a, b in pairs:
         sums.append(f"CAST(sum({dec[a]} * {dec[b]}) AS DOUBLE) AS s_{a}{b}")
     corr = {
+        # floor-truncation instead of round(): uniquely defined on the
+        # identical IEEE chain bits on every engine build (portable.py).
         (a, b): (
-            f"round((n * s_{a}{b} - s_{a} * s_{b}) /"
+            f"floor(((n * s_{a}{b} - s_{a} * s_{b}) /"
             f" (sqrt(n * s_{a}{a} - s_{a} * s_{a}) *"
-            f" sqrt(n * s_{b}{b} - s_{b} * s_{b})), 6)"
+            f" sqrt(n * s_{b}{b} - s_{b} * s_{b}))) * 1000000.0) / 1000000.0"
         )
         for a, b in pairs
     }
@@ -5835,9 +5916,11 @@ _register_sql_twin(
         SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY token
     ), contrib AS (
         SELECT tf.doc_id,
-               CAST(round(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                          * tf * (1.2 + 1.0)
-                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 9)
+               CAST(floor((ln((CAST(n_docs AS DOUBLE) - df_t + 0.5)
+                               / (df_t + 0.5) + 1.0)
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                          * 1000000000.0) / 1000000000.0
                     AS DECIMAL(18,9)) AS c
         FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
     )
@@ -5936,9 +6019,10 @@ def ts_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, grain, CAST(c AS BIGINT) AS n_obs,
-           round((CAST(s AS DOUBLE) / c)
-                 / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
-                    / sum(c) OVER (PARTITION BY event_type)), 6) AS season_idx
+           floor(((CAST(s AS DOUBLE) / c)
+                  / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                     / sum(c) OVER (PARTITION BY event_type)))
+                 * 1000000.0) / 1000000.0 AS season_idx
     FROM per
     """,
 )
@@ -5972,12 +6056,14 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, ts, event_id, value,
            CAST(n AS BIGINT) AS n_prior,
-           round((value - sx / n)
-                 / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS zscore
+           floor(((value - sx / n)
+                  / sqrt((n * sxx - sx * sx) / (n * (n - 1))))
+                 * 10000.0) / 10000.0 AS zscore
     FROM m
     WHERE n >= 10 AND sxx * n > sx * sx
-      AND abs(round((value - sx / n)
-                    / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4)) > 3.0
+      AND abs(floor(((value - sx / n)
+                     / sqrt((n * sxx - sx * sx) / (n * (n - 1))))
+                    * 10000.0) / 10000.0) > 3.0
     """,
 )
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6003,9 +6089,9 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT o_orderpriority, CAST(c AS BIGINT) AS n_obs,
-           round((CAST(s AS DOUBLE)
-                  + 50.0 * (CAST(sum(s) OVER () AS DOUBLE) / sum(c) OVER ()))
-                 / (c + 50.0), 4) AS target_enc
+           floor(((CAST(s AS DOUBLE)
+                   + 50.0 * (CAST(sum(s) OVER () AS DOUBLE) / sum(c) OVER ()))
+                  / (c + 50.0)) * 10000.0) / 10000.0 AS target_enc
     FROM per
     """,
 )
@@ -6073,9 +6159,10 @@ def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT unnest(t) AS w FROM toks)
     )
     SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round((-CAST(sum(CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * v)), 9)
-                               AS DECIMAL(18,9))) AS DOUBLE)) / count(*), 6)
-               AS nll
+           floor(((-CAST(sum(CAST(floor((ln((c2 + 0.5) / (c1 + 0.5 * v)))
+                                        * 1000000000.0) / 1000000000.0
+                                AS DECIMAL(18,9))) AS DOUBLE)) / count(*))
+                 * 1000000.0) / 1000000.0 AS nll
     FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
     GROUP BY bi.doc_id
     """,
@@ -6103,13 +6190,15 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
         SELECT source, count(*) AS n,
-               CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7), 9)
+               CAST(floor((pow(CAST(count(*) AS DOUBLE), 0.7))
+                          * 1000000000.0) / 1000000000.0
                     AS DECIMAL(18,9)) AS p
         FROM documents GROUP BY source
     ), q AS (
         SELECT source,
-               least(n, CAST(floor(200.0 * round(CAST(p AS DOUBLE)
-                             / CAST(sum(p) OVER () AS DOUBLE), 12))
+               least(n, CAST(floor(200.0 * (floor((CAST(p AS DOUBLE)
+                             / CAST(sum(p) OVER () AS DOUBLE))
+                             * 1000000000000.0) / 1000000000000.0))
                              AS BIGINT)) AS quota
         FROM counts
     ), r AS (
@@ -6168,11 +6257,11 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, period, CAST(s AS DOUBLE) AS psum,
-           round((CAST(s AS DOUBLE)
-                  - CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
-                         AS DOUBLE))
-                 / CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
-                        AS DOUBLE), 6) AS pop_pct
+           floor(((CAST(s AS DOUBLE)
+                   - CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
+                          AS DOUBLE))
+                  / CAST(lag(s) OVER (PARTITION BY event_type ORDER BY period)
+                         AS DOUBLE)) * 1000000.0) / 1000000.0 AS pop_pct
     FROM weekly
     """,
 )
@@ -6260,20 +6349,21 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
-           round((sa / na - sb / nb)
-                 / sqrt(((na * qa - sa * sa) / (na * (na - 1))) / na
-                        + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb), 4)
-               AS t_stat,
-           round((((na * qa - sa * sa) / (na * (na - 1))) / na
-                  + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
-                 * (((na * qa - sa * sa) / (na * (na - 1))) / na
-                    + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
-                 / ((((na * qa - sa * sa) / (na * (na - 1))) / na)
-                    * (((na * qa - sa * sa) / (na * (na - 1))) / na) / (na - 1)
-                    + (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
-                      * (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
-                      / (nb - 1)), 2) AS df
+           floor((sa / na) * 1000000.0) / 1000000.0 AS mean_a,
+           floor((sb / nb) * 1000000.0) / 1000000.0 AS mean_b,
+           floor(((sa / na - sb / nb)
+                  / sqrt(((na * qa - sa * sa) / (na * (na - 1))) / na
+                         + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb))
+                 * 10000.0) / 10000.0 AS t_stat,
+           floor(((((na * qa - sa * sa) / (na * (na - 1))) / na
+                   + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                  * (((na * qa - sa * sa) / (na * (na - 1))) / na
+                     + ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                  / ((((na * qa - sa * sa) / (na * (na - 1))) / na)
+                     * (((na * qa - sa * sa) / (na * (na - 1))) / na) / (na - 1)
+                     + (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                       * (((nb * qb - sb * sb) / (nb * (nb - 1))) / nb)
+                       / (nb - 1))) * 100.0) / 100.0 AS df
     FROM m
     """,
 )
@@ -6299,8 +6389,9 @@ def a25_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type <> 'purchase'
     )
     SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
-           CAST(round(sum(CAST(round(pow(0.5, ((epoch(cts) - epoch(tts))
-                                             / 86400.0) / 7.0), 9)
+           CAST(round(sum(CAST(floor((pow(0.5, ((epoch(cts) - epoch(tts))
+                                              / 86400.0) / 7.0))
+                                     * 1000000000.0) / 1000000000.0
                               AS DECIMAL(18,9))), 6) AS DOUBLE) AS credit
     FROM touch JOIN conv USING (u)
     WHERE tts < cts
@@ -6382,8 +6473,8 @@ def w22_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
     )
     SELECT shard, n_rows, last_seen,
-           round((epoch(max(last_seen) OVER ()) - epoch(last_seen))
-                 / 3600.0, 4) AS lag_hours,
+           floor(((epoch(max(last_seen) OVER ()) - epoch(last_seen))
+                  / 3600.0) * 10000.0) / 10000.0 AS lag_hours,
            (epoch(max(last_seen) OVER ()) - epoch(last_seen)) / 3600.0 > 24.0
                AS stale
     FROM per
@@ -6438,11 +6529,12 @@ def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(converted) AS BIGINT) AS n_converters,
-           round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate,
-           round(CAST(sum(n_sessions) AS DOUBLE) / count(*), 4)
-               AS avg_sessions_per_user,
-           round(CAST(sum(dur_us) AS DOUBLE) / 1000000.0 / sum(n_sessions), 4)
-               AS avg_session_s
+           floor((CAST(sum(converted) AS DOUBLE) / count(*)) * 10000.0)
+               / 10000.0 AS conv_rate,
+           floor((CAST(sum(n_sessions) AS DOUBLE) / count(*)) * 10000.0)
+               / 10000.0 AS avg_sessions_per_user,
+           floor((CAST(sum(dur_us) AS DOUBLE) / 1000000.0 / sum(n_sessions))
+                 * 10000.0) / 10000.0 AS avg_session_s
     FROM per_user
     JOIN conv USING (user_id)
     JOIN customer ON user_id = c_custkey
@@ -6493,13 +6585,13 @@ def pipeline_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_users"),
             F.sum("converted").alias("n_converters"),
-            F.round(
+            _trunc_dp(
                 F.sum("converted").cast("double") / F.count("*"), 4
             ).alias("conv_rate"),
-            F.round(
+            _trunc_dp(
                 F.sum("n_sessions").cast("double") / F.count("*"), 4
             ).alias("avg_sessions_per_user"),
-            F.round(
+            _trunc_dp(
                 F.sum("dur_us").cast("double") / 1000000.0 / F.sum("n_sessions"),
                 4,
             ).alias("avg_session_s"),
@@ -6568,7 +6660,7 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v AS (
         SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
     ), scored AS (
-        SELECT q_id, vec_id, {_SIM_SQL_COS} AS sim
+        SELECT q_id, vec_id, {_SIM_SQL_COS_FLOOR} AS sim
         FROM q CROSS JOIN v WHERE label <> q_label
     ), ranked AS (
         SELECT *, row_number() OVER (PARTITION BY q_id
@@ -6603,20 +6695,21 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM orders
                  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
                 AS BIGINT) AS n_orphans,
-           round(CAST((SELECT count(*) FROM orders
-                       WHERE o_custkey NOT IN
-                             (SELECT c_custkey FROM customer)) AS DOUBLE)
-                 / (SELECT count(*) FROM orders), 6) AS orphan_rate
+           floor((CAST((SELECT count(*) FROM orders
+                        WHERE o_custkey NOT IN
+                              (SELECT c_custkey FROM customer)) AS DOUBLE)
+                  / (SELECT count(*) FROM orders)) * 1000000.0) / 1000000.0
+               AS orphan_rate
     UNION ALL
     SELECT 'lineitem->orders',
            CAST((SELECT count(*) FROM lineitem) AS BIGINT),
            CAST((SELECT count(*) FROM lineitem
                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
                 AS BIGINT),
-           round(CAST((SELECT count(*) FROM lineitem
-                       WHERE l_orderkey NOT IN
-                             (SELECT o_orderkey FROM orders)) AS DOUBLE)
-                 / (SELECT count(*) FROM lineitem), 6)
+           floor((CAST((SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN
+                              (SELECT o_orderkey FROM orders)) AS DOUBLE)
+                  / (SELECT count(*) FROM lineitem)) * 1000000.0) / 1000000.0
     """,
 )
 def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6660,10 +6753,13 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT digit, CAST(n AS BIGINT) AS n,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS observed,
-           round(log10(1.0 + 1.0 / digit), 6) AS expected,
-           round(CAST(n AS DOUBLE) / sum(n) OVER ()
-                 - log10(1.0 + 1.0 / digit), 6) AS deviation
+           floor((CAST(n AS DOUBLE) / sum(n) OVER ()) * 1000000.0)
+               / 1000000.0 AS observed,
+           floor((log10(1.0 + 1.0 / digit)) * 1000000.0) / 1000000.0
+               AS expected,
+           floor((CAST(n AS DOUBLE) / sum(n) OVER ()
+                  - log10(1.0 + 1.0 / digit)) * 1000000.0) / 1000000.0
+               AS deviation
     FROM per
     """,
 )
@@ -6813,8 +6909,8 @@ def sim_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
                AS n_bounces,
-           round(CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
-                 / count(*), 6) AS bounce_rate
+           floor((CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                  / count(*)) * 1000000.0) / 1000000.0 AS bounce_rate
     FROM sess
     """,
 )
@@ -6830,7 +6926,7 @@ def w23_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.agg(
         F.count("*").alias("n_sessions"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
-        F.round(
+        _trunc_dp(
             F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
             / F.count("*"),
             6,
@@ -6856,9 +6952,9 @@ def w23_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, ts, i, n,
                CAST(sl AS DOUBLE) / i AS ml,
                (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - i) AS mr,
-               round(abs(CAST(sl AS DOUBLE) / i
+               floor(abs(CAST(sl AS DOUBLE) / i
                          - (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE))
-                           / (n - i)), 9) AS score
+                           / (n - i)) * 1000000000.0) / 1000000000.0 AS score
         FROM s WHERE i >= 5 AND i <= n - 5
     ), pick AS (
         SELECT *, row_number() OVER (PARTITION BY event_type
@@ -6867,8 +6963,9 @@ def w23_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
            CAST(i AS BIGINT) AS split_pos, ts AS split_ts,
-           round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
-           round(mr - ml, 6) AS shift
+           floor((ml) * 1000000.0) / 1000000.0 AS mean_left,
+           floor((mr) * 1000000.0) / 1000000.0 AS mean_right,
+           floor((mr - ml) * 1000000.0) / 1000000.0 AS shift
     FROM pick WHERE r = 1
     """,
 )
@@ -6894,12 +6991,15 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(sum(c) AS BIGINT) AS n_rows,
-           round(2.0 * CAST(sum(CAST(i AS DECIMAL(18,0)) * c) AS DOUBLE)
-                 / (count(*) * CAST(sum(c) AS DOUBLE))
-                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini,
-           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
-           round(CAST(max(c) AS DOUBLE)
-                 / (CAST(sum(c) AS DOUBLE) / count(*)), 4) AS max_over_avg
+           floor((2.0 * CAST(sum(CAST(i AS DECIMAL(18,0)) * c) AS DOUBLE)
+                  / (count(*) * CAST(sum(c) AS DOUBLE))
+                  - CAST(count(*) + 1 AS DOUBLE) / count(*)) * 1000000.0)
+               / 1000000.0 AS gini,
+           floor((CAST(max(c) AS DOUBLE) / sum(c)) * 1000000.0)
+               / 1000000.0 AS top1_share,
+           floor((CAST(max(c) AS DOUBLE)
+                  / (CAST(sum(c) AS DOUBLE) / count(*))) * 10000.0)
+               / 10000.0 AS max_over_avg
     FROM ranked
     """,
 )
@@ -6968,12 +7068,12 @@ def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            0.5 AS expected_b,
-           round((n_a - (n_a + n_b) * (1.0 - 0.5))
-                 * (n_a - (n_a + n_b) * (1.0 - 0.5))
-                 / ((n_a + n_b) * (1.0 - 0.5))
-                 + (n_b - (n_a + n_b) * 0.5)
-                   * (n_b - (n_a + n_b) * 0.5)
-                   / ((n_a + n_b) * 0.5), 4) AS chi2
+           floor(((n_a - (n_a + n_b) * (1.0 - 0.5))
+                  * (n_a - (n_a + n_b) * (1.0 - 0.5))
+                  / ((n_a + n_b) * (1.0 - 0.5))
+                  + (n_b - (n_a + n_b) * 0.5)
+                    * (n_b - (n_a + n_b) * 0.5)
+                    / ((n_a + n_b) * 0.5)) * 10000.0) / 10000.0 AS chi2
     FROM m
     """,
 )
@@ -7076,22 +7176,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per
     )
     SELECT CAST(n AS BIGINT) AS n_units,
-           round(sx / sy, 6) AS ratio,
-           round(sqrt(((n * sxx - sx * sx) / (n * (n - 1))
-                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
-                       + (sx / sy) * (sx / sy)
-                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
-                 / (sy / n), 6) AS se,
-           round(sx / sy - 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
-                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
-                       + (sx / sy) * (sx / sy)
-                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
-                 / (sy / n)), 6) AS ci_lo,
-           round(sx / sy + 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
-                       - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
-                       + (sx / sy) * (sx / sy)
-                         * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
-                 / (sy / n)), 6) AS ci_hi
+           floor((sx / sy) * 1000000.0) / 1000000.0 AS ratio,
+           floor((sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                        - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                        + (sx / sy) * (sx / sy)
+                          * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                  / (sy / n)) * 1000000.0) / 1000000.0 AS se,
+           floor((sx / sy - 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                        - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                        + (sx / sy) * (sx / sy)
+                          * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                  / (sy / n))) * 1000000.0) / 1000000.0 AS ci_lo,
+           floor((sx / sy + 1.96 * (sqrt(((n * sxx - sx * sx) / (n * (n - 1))
+                        - 2.0 * (sx / sy) * ((n * sxy - sx * sy) / (n * (n - 1)))
+                        + (sx / sy) * (sx / sy)
+                          * ((n * syy - sy * sy) / (n * (n - 1)))) / n)
+                  / (sy / n))) * 1000000.0) / 1000000.0 AS ci_hi
     FROM m
     """,
 )
@@ -7192,7 +7292,8 @@ def seq_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
-           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0)
+               / 1000000.0 AS cum_share,
            CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
                 WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc
@@ -7232,7 +7333,7 @@ def w25_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         F.col("__rev").cast("double").alias("revenue"),
-        F.round(share, 6).alias("cum_share"),
+        _trunc_dp(share, 6).alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
     )
 
@@ -7334,9 +7435,12 @@ def w26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - 3.0 * m1 * m1 * m1 * m1 AS m4
         FROM m
     )
-    SELECT event_type, CAST(n AS BIGINT) AS n, round(m1, 6) AS mean,
-           round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
-           round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           floor((m1) * 1000000.0) / 1000000.0 AS mean,
+           floor((m3 / sqrt(m2 * m2 * m2)) * 1000000.0) / 1000000.0
+               AS skewness,
+           floor((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0
+               AS kurtosis_excess
     FROM c
     """,
 )
@@ -7416,18 +7520,21 @@ def a32_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s GROUP BY event_type
     )
     SELECT event_type, 1 AS lag, CAST(n1 AS BIGINT) AS n_pairs,
-           round((n1 * sxy1 - sx1 * sy1)
-                 / sqrt((n1 * sxx1 - sx1 * sx1) * (n1 * syy1 - sy1 * sy1)), 6) AS acf
+           floor(((n1 * sxy1 - sx1 * sy1)
+                 / sqrt((n1 * sxx1 - sx1 * sx1) * (n1 * syy1 - sy1 * sy1)))
+                 * 1000000.0) / 1000000.0 AS acf
     FROM g
     UNION ALL
     SELECT event_type, 2, CAST(n2 AS BIGINT),
-           round((n2 * sxy2 - sx2 * sy2)
-                 / sqrt((n2 * sxx2 - sx2 * sx2) * (n2 * syy2 - sy2 * sy2)), 6)
+           floor(((n2 * sxy2 - sx2 * sy2)
+                 / sqrt((n2 * sxx2 - sx2 * sx2) * (n2 * syy2 - sy2 * sy2)))
+                 * 1000000.0) / 1000000.0
     FROM g
     UNION ALL
     SELECT event_type, 3, CAST(n3 AS BIGINT),
-           round((n3 * sxy3 - sx3 * sy3)
-                 / sqrt((n3 * sxx3 - sx3 * sx3) * (n3 * syy3 - sy3 * sy3)), 6)
+           floor(((n3 * sxy3 - sx3 * sy3)
+                 / sqrt((n3 * sxx3 - sx3 * sx3) * (n3 * syy3 - sy3 * sy3)))
+                 * 1000000.0) / 1000000.0
     FROM g
     """,
 )
@@ -7467,18 +7574,18 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells
     )
     SELECT na AS n_a, nb AS n_b,
-           round(r2a / 2.0
-                 - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0,
-                 1) AS u_stat,
-           round((r2a / 2.0
-                  - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
-                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
-                 / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
-                        * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
-                           - tie / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-                                    * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
-                                       - 1.0)))),
-                 4) AS z
+           floor((r2a / 2.0
+                  - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0)
+                 * 10.0) / 10.0 AS u_stat,
+           floor(((r2a / 2.0
+                   - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+                   - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                  / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                         * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                            - tie / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                     * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                        - 1.0)))))
+                 * 10000.0) / 10000.0 AS z
     FROM g
     """,
 )
@@ -7643,16 +7750,51 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("node").agg(F.min("depth").alias("depth"))
 
 
-@register("sim_binary_hamming")  # rows-only: the Hamming candidate
-# stage is approximate by design (a true neighbor can fall outside the
-# rerank set), so there is no exact SQL twin; recall@10 against the
-# brute-force baseline is pinned in tests/test_round5_ops.py
+@register(
+    "sim_binary_hamming",
+    """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), ham AS (
+        SELECT q_id, vec_id,
+               CAST(len(list_filter(generate_series(1, 64),
+                    i -> (q_vec[i] > 0) <> (vec[i] > 0))) AS INT) AS hamming
+        FROM q CROSS JOIN v WHERE q_id <> vec_id
+    ), short AS (
+        SELECT q_id, vec_id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY hamming, vec_id) AS hr
+            FROM ham
+        ) WHERE hr <= 50
+    ), scored AS (
+        SELECT s.q_id, s.vec_id, s.hamming,
+               floor((list_inner_product(q.q_vec, v.vec) /
+                      (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                       sqrt(list_inner_product(v.vec, v.vec))))
+                     * 1000000.0) / 1000000.0 AS sim
+        FROM short s JOIN q USING (q_id) JOIN v USING (vec_id)
+    )
+    SELECT q_id, vec_id, hamming, sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized ANN: 1-bit sign signatures (32x compression),
     integer xor+popcount Hamming scan for 50 candidates per query,
     exact cosine rerank to top-10. Signature packing is unrolled
     JVM-side integer codegen; full-precision vectors are touched only
-    for |q| x 50 rows."""
+    for |q| x 50 rows. Upgraded from rows-only: the pipeline is
+    approximate-by-design but fully deterministic — a sign-bit Hamming
+    distance is the count of sign disagreements, which the oracle
+    states directly — so candidate cut, rerank, and ranks hash-check
+    end-to-end (recall@10 vs brute force stays pinned in
+    tests/test_round5_ops.py)."""
     from .operators.similarity import binary_hamming_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -7682,8 +7824,8 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM i
     )
     SELECT CAST(n AS BIGINT) AS n_suppliers,
-           CAST(round(sxd, 2) AS DOUBLE) AS total_revenue,
-           round((2.0 * sixi - (n + 1.0) * sx) / (n * sx), 6) AS gini
+           CAST(floor((sxd) * 100.0) / 100.0 AS DOUBLE) AS total_revenue,
+           floor(((2.0 * sixi - (n + 1.0) * sx) / (n * sx)) * 1000000.0) / 1000000.0 AS gini
     FROM g
     """,
 )
@@ -7714,8 +7856,8 @@ def a35_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sixi = F.col("__n"), F.col("__sx"), F.col("__sixi")
     return g.select(
         n.cast("bigint").alias("n_suppliers"),
-        F.round(F.col("__sxd"), 2).cast("double").alias("total_revenue"),
-        F.round(
+        _trunc_dp(F.col("__sxd").cast("double"), 2).alias("total_revenue"),
+        _trunc_dp(
             (F.lit(2.0) * sixi - (n + F.lit(1.0)) * sx) / (n * sx), 6
         ).alias("gini"),
     )
@@ -7741,10 +7883,10 @@ def a35_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pc JOIN ic ia ON ia.item = pc.x JOIN ic ib ON ib.item = pc.y
     ), scored AS (
         SELECT antecedent, consequent, nxy AS n_both,
-               round(CAST(nxy AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
-               round(CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE), 6) AS confidence,
-               round((CAST(nxy AS DOUBLE) * CAST(nb AS DOUBLE))
-                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS lift
+               floor((CAST(nxy AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000.0) / 1000000.0 AS support,
+               floor((CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE)) * 1000000.0) / 1000000.0 AS confidence,
+               floor(((CAST(nxy AS DOUBLE) * CAST(nb AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000.0) / 1000000.0 AS lift
         FROM rules, n
     ), ranked AS (
         SELECT *, row_number() OVER (
@@ -7807,9 +7949,9 @@ def a36_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antecedent",
         "consequent",
         F.col("nxy").alias("n_both"),
-        F.round(nxy / nbd, 6).alias("support"),
-        F.round(nxy / nxd, 6).alias("confidence"),
-        F.round((nxy * nbd) / (nxd * nyd), 6).alias("lift"),
+        _trunc_dp(nxy / nbd, 6).alias("support"),
+        _trunc_dp(nxy / nxd, 6).alias("confidence"),
+        _trunc_dp((nxy * nbd) / (nxd * nyd), 6).alias("lift"),
     )
     w = Window.orderBy(
         F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
@@ -7837,17 +7979,16 @@ def a36_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT na AS n_a, nb AS n_b,
-           round(sa / na, 6) AS mean_a,
-           round(sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
-                      + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb), 6) AS se,
-           round(2.8016152181129683
+           floor((sa / na) * 1000000.0) / 1000000.0 AS mean_a,
+           floor((sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
+                      + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb)) * 1000000.0) / 1000000.0 AS se,
+           floor((2.8016152181129683
                  * sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
-                        + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb),
-                 6) AS mde_abs,
-           round(2.8016152181129683
+                        + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb)) * 1000000.0) / 1000000.0 AS mde_abs,
+           floor((2.8016152181129683
                  * sqrt((na * qa - sa * sa) / (na * (na - 1)) / na
                         + (nb * qb - sb * sb) / (nb * (nb - 1)) / nb)
-                 / (sa / na), 6) AS mde_rel
+                 / (sa / na)) * 1000000.0) / 1000000.0 AS mde_rel
     FROM g
     """,
 )
@@ -7883,10 +8024,10 @@ def a37_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         na.alias("n_a"),
         nb.alias("n_b"),
-        F.round(sa / na, 6).alias("mean_a"),
-        F.round(se, 6).alias("se"),
-        F.round(zsum * se, 6).alias("mde_abs"),
-        F.round(zsum * se / (sa / na), 6).alias("mde_rel"),
+        _trunc_dp(sa / na, 6).alias("mean_a"),
+        _trunc_dp(se, 6).alias("se"),
+        _trunc_dp(zsum * se, 6).alias("mde_abs"),
+        _trunc_dp(zsum * se / (sa / na), 6).alias("mde_rel"),
     )
 
 
@@ -8155,7 +8296,7 @@ def j10_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(n_sentences AS INT) AS n_sentences,
            CAST(list_sum(wc) AS BIGINT) AS n_words,
-           round(CAST(list_sum(wc) AS DOUBLE) / n_sentences, 4)
+           floor((CAST(list_sum(wc) AS DOUBLE) / n_sentences) * 10000.0) / 10000.0
                AS avg_sentence_words,
            CAST(list_max(wc) AS INT) AS max_sentence_words
     FROM w
@@ -8194,7 +8335,7 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_sentences",
         total.alias("n_words"),
-        F.round(total.cast("double") / F.col("n_sentences"), 4).alias(
+        _trunc_dp(total.cast("double") / F.col("n_sentences"), 4).alias(
             "avg_sentence_words"
         ),
         F.array_max("__wc").alias("max_sentence_words"),
@@ -8326,12 +8467,12 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms
     )
     SELECT n, r_levels, c_levels,
-           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), mis),
-                             (a, x) -> a + x), 6) AS mi_nats,
-           round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), chis),
+           floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), mis),
+                             (a, x) -> a + x)) * 1000000.0) / 1000000.0 AS mi_nats,
+           floor((sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), chis),
                                   (a, x) -> a + x)
                       / (CAST(n AS DOUBLE)
-                         * (least(r_levels, c_levels) - 1))), 6) AS cramers_v
+                         * (least(r_levels, c_levels) - 1)))) * 1000000.0) / 1000000.0 AS cramers_v
     FROM g
     """,
 )
@@ -8512,58 +8653,58 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
     ), prof AS (
         SELECT 'a' AS snap, 'o_orderstatus' AS col,
-               round(count(*) FILTER (o_orderstatus IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR AS null_rate,
+               (floor((count(*) FILTER (o_orderstatus IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR AS null_rate,
                count(DISTINCT o_orderstatus)::VARCHAR AS n_distinct,
                min(o_orderstatus)::VARCHAR AS mn,
                max(o_orderstatus)::VARCHAR AS mx
         FROM a
         UNION ALL
         SELECT 'b', 'o_orderstatus',
-               round(count(*) FILTER (o_orderstatus IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_orderstatus IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_orderstatus)::VARCHAR,
                min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR
         FROM b
         UNION ALL
         SELECT 'a', 'o_orderpriority',
-               round(count(*) FILTER (o_orderpriority IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_orderpriority IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_orderpriority)::VARCHAR,
                min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
         FROM a
         UNION ALL
         SELECT 'b', 'o_orderpriority',
-               round(count(*) FILTER (o_orderpriority IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_orderpriority IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_orderpriority)::VARCHAR,
                min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
         FROM b
         UNION ALL
         SELECT 'a', 'o_custkey',
-               round(count(*) FILTER (o_custkey IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_custkey IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_custkey)::VARCHAR,
                min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
         FROM a
         UNION ALL
         SELECT 'b', 'o_custkey',
-               round(count(*) FILTER (o_custkey IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_custkey IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_custkey)::VARCHAR,
                min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
         FROM b
         UNION ALL
         SELECT 'a', 'o_totalprice',
-               round(count(*) FILTER (o_totalprice IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_totalprice IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_totalprice)::VARCHAR,
                min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
         FROM a
         UNION ALL
         SELECT 'b', 'o_totalprice',
-               round(count(*) FILTER (o_totalprice IS NULL) * 1.0
-                     / count(*), 6)::VARCHAR,
+               (floor((count(*) FILTER (o_totalprice IS NULL) * 1.0
+                     / count(*)) * 1000000.0) / 1000000.0)::VARCHAR,
                count(DISTINCT o_totalprice)::VARCHAR,
                min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
         FROM b
@@ -8917,7 +9058,7 @@ def j12_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS slot,
            CAST(count(*) AS BIGINT) AS n_obs,
-           round(CAST(sum(7 * v - ms) AS DOUBLE) / (7.0 * count(*)), 6)
+           floor((CAST(sum(7 * v - ms) AS DOUBLE) / (7.0 * count(*))) * 1000000.0) / 1000000.0
                AS seasonal
     FROM w WHERE wn = 7
     GROUP BY 1
@@ -8961,13 +9102,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per
     )
     SELECT n_a, n_b, x_a, x_b,
-           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
-           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
-           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+           floor((CAST(x_a AS DOUBLE) / n_a) * 1000000.0) / 1000000.0 AS p_a,
+           floor((CAST(x_b AS DOUBLE) / n_b) * 1000000.0) / 1000000.0 AS p_b,
+           floor(((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
                  / sqrt((CAST(x_a AS DOUBLE) + x_b) / (CAST(n_a AS DOUBLE) + n_b)
                         * (1.0 - (CAST(x_a AS DOUBLE) + x_b)
                                  / (CAST(n_a AS DOUBLE) + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+                        * (1.0 / n_a + 1.0 / n_b))) * 10000.0) / 10000.0 AS z
     FROM g
     """,
 )
@@ -9005,17 +9146,15 @@ def a40_two_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ), fr AS (
         SELECT label_group, d.dims,
-               CAST(round(
-                   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               CAST(floor((sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                         [x * x for x in vec[1:d.dims]]), (a, b) -> a + b))
                    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                        [x * x for x in vec]), (a, b) -> a + b)),
-                   9) AS DECIMAL(18,9)) AS f
+                        [x * x for x in vec]), (a, b) -> a + b))) * 1000000000.0) / 1000000000.0 AS DECIMAL(18,9)) AS f
         FROM v CROSS JOIN (SELECT unnest([8, 16, 32]) AS dims) d
     )
     SELECT label_group, CAST(dims AS INTEGER) AS dims,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS mean_norm_frac
+           floor((CAST(sum(f) AS DOUBLE) / count(*)) * 1000000.0) / 1000000.0 AS mean_norm_frac
     FROM fr GROUP BY 1, 2
     """,
 )
@@ -9148,15 +9287,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     ), e AS (
         SELECT event_type,
-               CAST(round(abs(st[1] + st[2] - actual), 9)
+               CAST(floor((abs(st[1] + st[2] - actual)) * 1000000000.0) / 1000000000.0
                     AS DECIMAL(18,9)) AS ae,
-               CAST(round(abs(st[1] + st[2] - actual) / abs(actual), 9)
+               CAST(floor((abs(st[1] + st[2] - actual) / abs(actual)) * 1000000000.0) / 1000000000.0
                     AS DECIMAL(18,9)) AS ape
         FROM f
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtests,
-           round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
-           round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape
+           floor((CAST(sum(ae) AS DOUBLE) / count(*)) * 1000000.0) / 1000000.0 AS mae,
+           floor((CAST(sum(ape) AS DOUBLE) / count(*)) * 1000000.0) / 1000000.0 AS mape
     FROM e GROUP BY event_type
     """,
 )
@@ -9275,14 +9414,14 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum(cl * cr) AS exact_join_rows FROM hl JOIN hr USING (k)
     ), sampled AS (
         SELECT CAST(count(*) AS BIGINT) AS n_keys_sampled,
-               round(coalesce(sum(cl * cr), 0) / 0.05, 1) AS est_join_rows
+               floor((coalesce(sum(cl * cr), 0) / 0.05) * 10.0) / 10.0 AS est_join_rows
         FROM hl JOIN hr USING (k)
         WHERE CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
               / 1152921504606846976.0 <= 0.05
     )
     SELECT 0.05 AS rate, n_keys_sampled, est_join_rows,
            CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
-           round(abs(est_join_rows - exact_join_rows) / exact_join_rows, 6)
+           floor((abs(est_join_rows - exact_join_rows) / exact_join_rows) * 1000000.0) / 1000000.0
                AS rel_err
     FROM sampled, full_sum
     """,
@@ -9427,6 +9566,65 @@ def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_report",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(l) - 4),
+                       i -> array_to_string(l[i:i+4], ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS shingle
+        FROM toks
+    ), sz AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT x, y,
+               floor((n_inter * 1.0 / n_sh) * 1000000.0) / 1000000.0 AS c
+        FROM inter JOIN sz ON x = sz.doc_id
+    ), best AS (
+        SELECT x, y, c FROM (
+            SELECT x, y, c,
+                   row_number() OVER (PARTITION BY x
+                                      ORDER BY c DESC, y) AS r
+            FROM scored
+        ) WHERE r = 1
+    )
+    SELECT sz.doc_id, CAST(sz.n_sh AS BIGINT) AS n_shingles,
+           best.y AS best_container,
+           coalesce(best.c, 0.0) AS containment,
+           coalesce(best.c, 0.0) >= 0.6 AS contained
+    FROM sz LEFT JOIN best ON sz.doc_id = best.x
+    """,
+)
+def dedup_containment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment REPORT: per document, the best container
+    (the other doc covering the largest fraction of its distinct
+    5-grams), the directed containment C(X→Y) = |S_X ∩ S_Y| / |S_X|,
+    and the quote/subset verdict at 0.6 — the policy surface of
+    substring dedup (the pair scans say "these overlap"; this says
+    "drop X, it lives inside Y"). One shingle scan shared with the
+    other dedup entries, one shingle equi self-join, one argmax
+    window over the pair table."""
+    from .operators.dedup import containment_report
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_report(
+        d, "doc_id", "text", n=5, threshold=0.6,
+        shingles=_doc_shingles_cached(spark, sf_dir),
+    )
+
+
+@register(
     "dedup_ngram_containment",
     """
     WITH toks AS (
@@ -9449,7 +9647,7 @@ def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT id_1, id_2,
-           round(n_inter * 1.0 / least(s1.n_sh, s2.n_sh), 6) AS containment
+           floor((n_inter * 1.0 / least(s1.n_sh, s2.n_sh)) * 1000000.0) / 1000000.0 AS containment
     FROM inter
     JOIN sz s1 ON id_1 = s1.doc_id
     JOIN sz s2 ON id_2 = s2.doc_id
@@ -9596,8 +9794,8 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_words AS INT) AS n_words,
-           round(word_chars / denom, 4) AS mean_word_len,
-           round(n_alpha / denom, 4) AS alpha_ratio,
+           floor((word_chars / denom) * 10000.0) / 10000.0 AS mean_word_len,
+           floor((n_alpha / denom) * 10000.0) / 10000.0 AS alpha_ratio,
            CAST(stop_hits AS INT) AS stop_hits,
            CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
            CAST(word_chars / denom >= 3.0
@@ -9651,13 +9849,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY 1
     )
     SELECT r.event_type, r.ts, r.event_id, r.value,
-           round(r.resid, 6) AS resid,
-           round((r.resid - sx / n)
-                 / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS zscore
+           floor((r.resid) * 1000000.0) / 1000000.0 AS resid,
+           floor(((r.resid - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) * 10000.0) / 10000.0 AS zscore
     FROM r JOIN m ON r.event_type = m.mk
     WHERE n >= 30 AND sxx * n > sx * sx
-      AND abs(round((r.resid - sx / n)
-                    / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4)) > 3.0
+      AND abs(floor(((r.resid - sx / n)
+                    / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) * 10000.0) / 10000.0) > 3.0
     """,
 )
 def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9885,13 +10083,13 @@ def pipeline_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT least(doc_id, p.id2) AS id_1,
            greatest(doc_id, p.id2) AS id_2,
-           round(len(list_intersect(st, p.set2))
-                 / (n + p.n2 - len(list_intersect(st, p.set2))), 6)
+           floor((len(list_intersect(st, p.set2))
+                 / (n + p.n2 - len(list_intersect(st, p.set2)))) * 1000000.0) / 1000000.0
                AS jaccard
     FROM pr
     WHERE p.id2 IS NOT NULL
-      AND round(len(list_intersect(st, p.set2))
-                / (n + p.n2 - len(list_intersect(st, p.set2))), 6) >= 0.9
+      AND floor((len(list_intersect(st, p.set2))
+                / (n + p.n2 - len(list_intersect(st, p.set2)))) * 1000000.0) / 1000000.0 >= 0.9
     """,
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10012,9 +10210,9 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(n_customers) AS BIGINT) AS n_customers,
            CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * total
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
-           round(CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * total
+           floor((CAST(sum(CASE WHEN 5 * (cum - rev) < 4 * total
                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / max(n_customers), 6) AS top80_share
+                 / max(n_customers)) * 1000000.0) / 1000000.0 AS top80_share
     FROM ranked GROUP BY c_nationkey
     """,
 )
@@ -10054,7 +10252,7 @@ def w31_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("c_nationkey").agg(
         F.max("n_customers").cast("bigint").alias("n_customers"),
         F.sum(crossed).cast("bigint").alias("n_top80"),
-        F.round(
+        _trunc_dp(
             F.sum(crossed).cast("double") / F.max("n_customers"), 6
         ).alias("top80_share"),
     )
@@ -10123,7 +10321,8 @@ def j13_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (
         SELECT value AS v,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ), per AS (
         SELECT v, sum(is1) AS d1, sum(1 - is1) AS d2
         FROM f GROUP BY v
@@ -10140,11 +10339,13 @@ def j13_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(c2 AS DOUBLE) / n2)) AS ds
         FROM cum
     )
-    SELECT n1, n2, round(ds, 6) AS d_stat,
-           round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
-               AS d_crit_05,
-           CAST(round(ds, 6)
-                > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+    SELECT n1, n2,
+           floor((ds) * 1000000.0) / 1000000.0 AS d_stat,
+           floor((1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)))
+                 * 1000000.0) / 1000000.0 AS d_crit_05,
+           CAST(floor((ds) * 1000000.0) / 1000000.0
+                > floor((1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)))
+                        * 1000000.0) / 1000000.0
                 AS INT) AS reject_05
     FROM d
     """,

@@ -889,15 +889,23 @@ def pattern_match_stream(
     State per user is the list of OPEN start timestamps only — any
     goal resolves (emits + clears) every open start, any blocker kills
     them, and starts past their horizon are expired lazily on the next
-    event — so state is bounded by starts-per-horizon and drops to
-    empty (state removed) for quiet users. Batch parity holds exactly
-    for in-order streams with no same-(user, ts) ties (a tied
-    goal/blocker resolves by arrival order here but by event_id order
-    in the batch window); late events are the batch operator's job.
+    event. Dormant users (final event leaves open starts, then
+    silence) are purged by a ProcessingTimeTimeout of ``horizon_s``:
+    once a full horizon of wall clock passes with no new event, every
+    pending start is past its event-time horizon on any in-order,
+    near-real-time stream, so the state row is removed — aggregate
+    state is bounded by ACTIVE users x starts-per-horizon, not by all
+    users ever seen. Batch parity holds exactly for in-order streams
+    with no same-(user, ts) ties (a tied goal/blocker resolves by
+    arrival order here but by event_id order in the batch window);
+    late events are the batch operator's job. The horizon compares
+    WHOLE SECONDS (``µs DIV 1e6``), the same truncation the batch
+    twin's ``cast('long')`` applies, so a goal landing inside the
+    truncated-second horizon but outside the exact-µs one matches in
+    both.
 
     Output (append): user_id, start_ts, goal_ts, wait_s.
     """
-    horizon_us = int(horizon_s) * 1_000_000
 
     def update(
         key: tuple,
@@ -905,13 +913,25 @@ def pattern_match_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user,) = key
+        if state.hasTimedOut:
+            # no event for a full horizon of processing time: on an
+            # in-order near-real-time stream every pending start is
+            # past its event-time horizon — drop the state row
+            state.remove()
+            return
         pending: list[int] = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         out_s: list[int] = []
         out_g: list[int] = []
         for _, r in rows.iterrows():
             t_us = int(pd.Timestamp(r[ts_col]).value // 1000)
-            pending = [p for p in pending if t_us <= p + horizon_us]
+            # whole-second horizon — identical to the batch twin's
+            # second-truncated cast('long') comparison
+            pending = [
+                p
+                for p in pending
+                if t_us // 1_000_000 <= p // 1_000_000 + horizon_s
+            ]
             et = r[type_col]
             if et == goal:
                 out_s.extend(pending)
@@ -923,6 +943,9 @@ def pattern_match_stream(
                 pending.append(t_us)
         if pending:
             state.update(([int(p) for p in pending],))
+            # GC fuse for dormant users (state rows would otherwise
+            # live forever waiting for an event that never comes)
+            state.setTimeoutDuration(int(horizon_s) * 1000)
         elif state.exists:
             state.remove()
         if out_s:
@@ -943,5 +966,5 @@ def pattern_match_stream(
         ),
         stateStructType="pending ARRAY<BIGINT>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -21,8 +21,13 @@ def _orders(spark):
 def test_target_encode_smoothed_toward_prior(spark):
     out = {r.cat: r for r in target_encode(_orders(spark), "cat", "y", m=2.0).collect()}
     prior = 130.0 / 3.0
-    assert out["a"].target_enc == round((30.0 + 2.0 * prior) / (2 + 2.0), 4)
-    assert out["b"].target_enc == round((100.0 + 2.0 * prior) / (1 + 2.0), 4)
+    import math
+
+    def trunc4(x):  # operator emits floor-truncated 4-dp (portable.trunc_dp)
+        return math.floor(x * 1e4) / 1e4
+
+    assert out["a"].target_enc == trunc4((30.0 + 2.0 * prior) / (2 + 2.0))
+    assert out["b"].target_enc == trunc4((100.0 + 2.0 * prior) / (1 + 2.0))
     assert out["a"].n_obs == 2 and out["b"].n_obs == 1
 
 

@@ -511,6 +511,6 @@ def test_temperature_sample_matches_quota_model(spark, sizes, alpha):
     ]
     tot = float(sum(decimal.Decimal(str(x)) for x in p))
     for gi, n in enumerate(sizes):
-        share = round(p[gi] / tot, 12)
+        share = math.floor((p[gi] / tot) * 1e12) / 1e12
         want = min(n, math.floor(50.0 * share))
         assert got.get(f"g{gi}", 0) == want

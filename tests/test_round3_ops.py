@@ -190,8 +190,16 @@ class TestWinsorizeStats:
         from gcpdatapipelines_spark.operators.agg import winsorize_stats
 
         r = winsorize_stats(df, "k", "v", 0.05, 0.95).collect()[0]
-        # p95 of 1..9,1000 (h=(10-1)*0.95=8.55): 9 + 0.55*(1000-9)
-        assert abs(r.p_hi - round(9 + 0.55 * 991, 4)) < 1e-9
+        # p95 of 1..9,1000 via the engine's exact interpolation float
+        # sequence (h=(10-1)*0.95, v = lo + (h-floor(h))*(hi-lo)), then
+        # floor-truncated at 4 dp (portable.trunc_dp). The truncation is
+        # boundary-sensitive, so the model must share the engine's float
+        # ops bit-for-bit, not an algebraic rearrangement.
+        import math
+
+        h = (10 - 1) * 0.95
+        v = 9 + (h - math.floor(h)) * (1000 - 9)
+        assert r.p_hi == math.floor(v * 1e4) / 1e4
         assert r.n_hi == 1 and r.n_lo == 1
         # winsorized mean uses clamped outlier, so it is far below the raw mean
         raw_mean = (sum(range(1, 10)) + 1000.0) / 10

@@ -299,7 +299,7 @@ def test_benford_first_digit_extraction(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
     out = {r.digit: r for r in benford_audit(df, "x").collect()}
     assert {d: out[d].n for d in out} == {1: 3, 2: 1, 9: 1}  # 0/None excluded
-    assert out[1].expected == round(math.log10(2.0), 6)
+    assert out[1].expected == math.floor(math.log10(2.0) * 1e6) / 1e6
     assert abs(sum(r.observed for r in out.values()) - 1.0) < 1e-9
 
 
