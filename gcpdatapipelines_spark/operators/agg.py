@@ -685,6 +685,7 @@ def bootstrap_mean_ci(
     value_col: str,
     replicates: int = 100,
     alpha: float = 0.05,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(n, mean, ci_lo, ci_hi): percentile-bootstrap confidence
     interval for the mean via the DISTRIBUTED Poisson bootstrap — the
@@ -702,10 +703,34 @@ def bootstrap_mean_ci(
     # Poisson(1) inverse CDF breakpoints: P(X<=k) for k = 0..4
     cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
            0.9810118431238462, 0.9963401531726563]
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.col("__b")), F.lit(1_000_000))
-        / F.lit(1_000_000.0)
-    )
+    if hash_fn == "md5":
+        # engine-parity seed: md5("id:replicate") -> 60-bit int -> u in
+        # [0,1) — the md5-mode trick (winnowing/minhash), which makes
+        # the WHOLE bootstrap oracle-reproducible: any SQL engine
+        # derives the identical weights, replicate means, and CI
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(id_col).cast("string"),
+                            F.col("__b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        ) / F.lit(1_000_000.0)
+    else:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.col("__b")), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
     w = (
         F.when(u < cdf[0], 0)
         .when(u < cdf[1], 1)
@@ -731,13 +756,13 @@ def bootstrap_mean_ci(
     )
     base = df.agg(
         F.count(value_col).alias("n"),
-        F.round(F.sum(xd).cast("double") / F.count(value_col), 6).alias("mean"),
+        trunc_dp(F.sum(xd).cast("double") / F.count(value_col), 6).alias("mean"),
     )
     ci = rep.agg(
-        F.round(
+        trunc_dp(
             F.percentile(F.col("__m"), F.lit(alpha / 2)), 6
         ).alias("ci_lo"),
-        F.round(
+        trunc_dp(
             F.percentile(F.col("__m"), F.lit(1 - alpha / 2)), 6
         ).alias("ci_hi"),
     )

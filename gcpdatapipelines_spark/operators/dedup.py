@@ -159,7 +159,7 @@ def ngram_jaccard_pairs(
         .join(sz2, "id_2")
         .withColumn(
             "jaccard",
-            F.round(
+            trunc_dp(
                 F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")), 6
             ),
         )
@@ -237,6 +237,32 @@ def jaccard_prefix_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Mersenne prime for the md5-mode universal-hash permutation family —
+#: (a*x + b) % P with x, a, b < 2^31 keeps every product inside int64,
+#: so Spark and any SQL engine compute the identical chain.
+_MINHASH_P = 2147483647
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) pairs for the md5-mode permutation
+    family — a fixed formula (Knuth multiplicative constants mod P)
+    instead of an RNG so both engines can restate them as literals."""
+    out = []
+    for s in range(num_perm):
+        a = (2654435761 * (s + 1)) % _MINHASH_P or 1
+        b = (40503 * (s + 1) + 17) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_md5_base(col) -> "F.Column":
+    """60-bit positive integer from the first 15 hex chars of
+    md5(shingle) — the engine-shared base hash of the md5-mode
+    permutation family (DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT)`` parses the identical value)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -244,6 +270,7 @@ def minhash_signatures(
     n: int = 5,
     num_perm: int = 64,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """num_perm-wide MinHash signature per document.
 
@@ -253,12 +280,34 @@ def minhash_signatures(
     re-hash reads 16 bytes instead of the full shingle text, ~2x
     faster at equal quality). The signature element is the min over
     the document's shingles — num_perm JVM-side min-aggregates,
-    map-side combined, so the shuffle carries one row per document."""
+    map-side combined, so the shuffle carries one row per document.
+
+    ``hash_fn="md5"``: the engine-parity family — base =
+    :func:`minhash_md5_base`, permutation s = (a_s * (base % P) + b_s)
+    % P (P Mersenne 2^31-1; textbook universal hashing, Broder's
+    original MinHash construction). Exists because MinHash needs a
+    CONSISTENT hash family, not a specific one, and md5 + exact int64
+    arithmetic is the family every engine reproduces bit-for-bit —
+    the winnowing md5-mode trick applied to signatures. Production
+    keeps xxhash64."""
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
-    hashed = sh.select(id_col, F.xxhash64("shingle").alias("__base")).select(
-        id_col,
-        *[F.xxhash64(F.lit(s), "__base").alias(f"h{s}") for s in range(num_perm)],
-    )
+    if hash_fn == "md5":
+        base = (minhash_md5_base(F.col("shingle")) % _MINHASH_P).alias("__base")
+        consts = minhash_perm_constants(num_perm)
+        hashed = sh.select(id_col, base).select(
+            id_col,
+            *[
+                ((F.lit(a) * F.col("__base") + F.lit(b)) % _MINHASH_P).alias(
+                    f"h{s}"
+                )
+                for s, (a, b) in enumerate(consts)
+            ],
+        )
+    else:
+        hashed = sh.select(id_col, F.xxhash64("shingle").alias("__base")).select(
+            id_col,
+            *[F.xxhash64(F.lit(s), "__base").alias(f"h{s}") for s in range(num_perm)],
+        )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_perm)]
     )
@@ -275,32 +324,44 @@ def lsh_band_keys(
     num_perm: int = 64,
     bands: int = 16,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket): each document's LSH band keys — one
     xxhash64 of every rows-per-band signature slice. Two documents are
     LSH candidates iff they share some (band, bucket) row; the frame
     is ~bands rows x 16 bytes per document, which makes it the right
     STATE representation for incremental near-dup (the standing
-    corpus persists as band keys, never as text or shingles)."""
+    corpus persists as band keys, never as text or shingles).
+
+    ``hash_fn="md5"`` (engine-parity mode): signatures come from the
+    md5 permutation family and the bucket is the slice's comma-joined
+    STRING (no bucket re-hash — equality is all a bucket key needs,
+    and the string form is what a SQL oracle restates verbatim).
+    Slightly fatter state; production keeps xxhash64."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, shingles=shingles)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_perm, shingles=shingles, hash_fn=hash_fn
+    )
+    slice_str = lambda b: F.concat_ws(  # noqa: E731
+        ",",
+        F.transform(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ),
+    )
+    bucket_of = (
+        slice_str if hash_fn == "md5" else (lambda b: F.xxhash64(slice_str(b)))
+    )
     return sig.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), bucket_of(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
@@ -373,9 +434,12 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
-    n-gram Jaccard.
+    n-gram Jaccard. ``hash_fn="md5"`` switches the signature family to
+    the engine-parity md5/universal-hash mode (minhash_signatures),
+    making the WHOLE candidates->verify pipeline oracle-checkable.
 
     bands=16 over 64 perms -> rows-per-band r=4; collision probability
     1-(1-j^4)^16 puts the S-curve midpoint near j~0.5. Only documents
@@ -388,7 +452,7 @@ def minhash_lsh_pairs(
     # over one corpus pass their own persisted ``shingles`` instead
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
     banded = lsh_band_keys(
-        df, id_col, text_col, n, num_perm, bands, shingles=sh
+        df, id_col, text_col, n, num_perm, bands, shingles=sh, hash_fn=hash_fn
     )
 
     left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
@@ -465,6 +529,130 @@ def simhash(
         ).alias("simhash"),
     )
     return sig
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str, tokens_df: DataFrame | None = None
+) -> DataFrame:
+    """(id, sig_hi, sig_lo): 64-bit SimHash in the engine-parity md5
+    family — token bits come from two 32-bit halves of md5(token)
+    (hex chars 1-8 / 9-16 parsed as integers, the winnowing/minhash
+    md5-mode trick), and the signature is carried as two positive
+    32-bit words so every value stays inside portable BIGINT range.
+    Identical voting semantics to :func:`simhash`; only the hash
+    family differs. Production keeps xxhash64."""
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
+    tok = toks.select(
+        id_col, F.explode(F.array_distinct(F.col("__toks"))).alias("tok")
+    )
+    m = F.md5(F.col("tok"))
+    h = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("__hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("__lo"),
+    )
+
+    def vote(word: str, b: int):
+        return F.sum(
+            F.when(
+                F.shiftright(F.col(word), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        )
+
+    votes = h.groupBy(id_col).agg(
+        *[vote("__lo", b).alias(f"lo{b}") for b in range(32)],
+        *[vote("__hi", b).alias(f"hi{b}") for b in range(32)],
+    )
+
+    def fold(prefix: str):
+        return F.aggregate(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"{prefix}{b}") > 0, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                    for b in reversed(range(32))
+                ]
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
+        )
+
+    return votes.select(
+        id_col, fold("hi").alias("sig_hi"), fold("lo").alias("sig_lo")
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    tokens_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """Engine-parity twin of :func:`simhash_pairs` over
+    :func:`simhash_md5` two-word signatures: the same 16-bit
+    pigeonhole banding (two chunks per word) and
+    ``bit_count(xor(hi)) + bit_count(xor(lo))`` Hamming verify, all
+    in integer ops both engines restate exactly."""
+    sig = (
+        sig_df
+        if sig_df is not None
+        else simhash_md5(df, id_col, text_col, tokens_df=tokens_df)
+    )
+    pieces = [
+        ("sig_lo", 0),
+        ("sig_lo", 16),
+        ("sig_hi", 0),
+        ("sig_hi", 16),
+    ]
+    chunks = sig.select(
+        id_col,
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col(word), off)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("piece"),
+                    )
+                    for c, (word, off) in enumerate(pieces)
+                ]
+            )
+        ).alias("cp"),
+    ).select(id_col, "sig_hi", "sig_lo", "cp.chunk", "cp.piece")
+    left = chunks.select(
+        F.col(id_col).alias("id_1"),
+        F.col("sig_hi").alias("hi_1"),
+        F.col("sig_lo").alias("lo_1"),
+        "chunk",
+        "piece",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_2"),
+        F.col("sig_hi").alias("hi_2"),
+        F.col("sig_lo").alias("lo_2"),
+        "chunk",
+        "piece",
+    )
+    cand = (
+        left.join(right, ["chunk", "piece"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "hi_1", "lo_1", "hi_2", "lo_2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
+        F.col("lo_1").bitwiseXOR(F.col("lo_2"))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
 
 
 def simhash_pairs(
@@ -695,7 +883,7 @@ def duplicated_spans(
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         "n_tokens",
-        F.round(
+        trunc_dp(
             F.coalesce("dup_tokens", F.lit(0)).cast("double")
             / F.col("n_tokens").cast("double"),
             6,

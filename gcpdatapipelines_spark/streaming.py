@@ -456,6 +456,65 @@ def routed_write_stream(
     q.awaitTermination()
 
 
+def routed_write_streams_per_trigger(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_root: str,
+    route_triggers: dict,
+    route_col: str = "lang",
+    available_now: bool = False,
+) -> list:
+    """Per-route streaming sinks with INDEPENDENT triggers: one
+    filtered writeStream per route, each with its own processing-time
+    cadence and checkpoint — the completion of the routed-write story
+    (:func:`routed_write_stream` is one query/one trigger; this is N).
+
+    Why at 100 TB: routes are wildly skewed (one language can be 100x
+    another). A single query makes every route pay the hot route's
+    trigger cadence — tiny files for cold routes, or batching lag for
+    hot ones. Independent queries let the hot route run a tight
+    trigger while cold routes batch up long intervals, each with its
+    own backpressure, checkpoint, and failure domain (a poison batch
+    in one language stalls ONE query). The cost is N file-source
+    listings of the shared input; route-partitioned upstream storage
+    removes even that.
+
+    ``route_triggers``: {route_value: processing-time interval string}
+    — e.g. ``{"en": "10 seconds", "zh": "5 minutes"}``. Rows whose
+    route is NOT listed are routed to a ``__rest`` query carrying the
+    max interval, so nothing is dropped. ``available_now=True`` swaps
+    every trigger for a drain (tests; backfills).
+
+    Returns the list of StreamingQuery handles (caller manages
+    lifecycle; tests drain with awaitTermination)."""
+    queries = []
+    listed = list(route_triggers)
+    max_interval = max(route_triggers.values(), key=pd.Timedelta)
+    arms = [
+        (str(r), stream_df.filter(F.col(route_col) == r), iv)
+        for r, iv in route_triggers.items()
+    ]
+    arms.append(
+        ("__rest", stream_df.filter(~F.col(route_col).isin(listed)), max_interval)
+    )
+    for name, arm, interval in arms:
+        writer = (
+            arm.writeStream.format("parquet")
+            .option("path", f"{out_path}/{route_col}={name}")
+            .option(
+                "checkpointLocation", f"{checkpoint_root}/{route_col}={name}"
+            )
+            .outputMode("append")
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime=interval)
+        )
+        queries.append(writer.start())
+    return queries
+
+
 def funnel_stream(
     events: DataFrame,
     steps: list[str],
@@ -890,17 +949,23 @@ def pattern_match_stream(
     goal resolves (emits + clears) every open start, any blocker kills
     them, and starts past their horizon are expired lazily on the next
     event. Dormant users (final event leaves open starts, then
-    silence) are purged by a ProcessingTimeTimeout of ``horizon_s``:
-    once a full horizon of wall clock passes with no new event, every
-    pending start is past its event-time horizon on any in-order,
-    near-real-time stream, so the state row is removed — aggregate
-    state is bounded by ACTIVE users x starts-per-horizon, not by all
-    users ever seen. Batch parity holds exactly for in-order streams
-    with no same-(user, ts) ties (a tied goal/blocker resolves by
-    arrival order here but by event_id order in the batch window);
-    late events are the batch operator's job. The horizon compares
-    WHOLE SECONDS (``µs DIV 1e6``), the same truncation the batch
-    twin's ``cast('long')`` applies, so a goal landing inside the
+    silence) are purged by an EVENT-TIME timeout at
+    last_event + horizon: when the stream's watermark (0-delay, set
+    here) passes that instant — i.e. other users' traffic shows the
+    stream has moved a full horizon beyond the dormant user's last
+    event — the state row is removed, so aggregate state is bounded
+    by ACTIVE users x starts-per-horizon, not by all users ever seen.
+    (Event-time, not processing-time, deliberately: wall-clock timers
+    force the engine to keep scheduling batches until they fire, so an
+    availableNow drain would block for the full horizon; event-time
+    timers are data-driven and cost nothing on an idle stream.)
+    Batch parity holds exactly for in-order streams with no
+    same-(user, ts) ties (a tied goal/blocker resolves by arrival
+    order here but by event_id order in the batch window); late
+    events are dropped by the 0-delay watermark — they are the batch
+    operator's job. The horizon compares WHOLE SECONDS
+    (``µs DIV 1e6``), the same truncation the batch twin's
+    ``cast('long')`` applies, so a goal landing inside the
     truncated-second horizon but outside the exact-µs one matches in
     both.
 
@@ -914,9 +979,9 @@ def pattern_match_stream(
     ) -> Iterable[pd.DataFrame]:
         (user,) = key
         if state.hasTimedOut:
-            # no event for a full horizon of processing time: on an
-            # in-order near-real-time stream every pending start is
-            # past its event-time horizon — drop the state row
+            # the watermark passed last_event + horizon with no new
+            # event from this user: every pending start is past its
+            # horizon — drop the state row
             state.remove()
             return
         pending: list[int] = list(state.get[0]) if state.exists else []
@@ -944,8 +1009,12 @@ def pattern_match_stream(
         if pending:
             state.update(([int(p) for p in pending],))
             # GC fuse for dormant users (state rows would otherwise
-            # live forever waiting for an event that never comes)
-            state.setTimeoutDuration(int(horizon_s) * 1000)
+            # live forever waiting for an event that never comes):
+            # event-time timer at this batch's last event + horizon
+            last_us = max(
+                int(pd.Timestamp(t).value // 1000) for t in rows[ts_col]
+            )
+            state.setTimeoutTimestamp(last_us // 1000 + int(horizon_s) * 1000)
         elif state.exists:
             state.remove()
         if out_s:
@@ -958,7 +1027,11 @@ def pattern_match_stream(
                 }
             )
 
-    return events.groupBy(user_col).applyInPandasWithState(
+    # 0-delay watermark: required by EventTimeTimeout, and the purge
+    # clock — in-order streams lose nothing (parity scope above)
+    return events.withWatermark(ts_col, "0 seconds").groupBy(
+        user_col
+    ).applyInPandasWithState(
         update,
         outputStructType=(
             "user_id BIGINT, start_ts TIMESTAMP, goal_ts TIMESTAMP, "
@@ -966,5 +1039,5 @@ def pattern_match_stream(
         ),
         stateStructType="pending ARRAY<BIGINT>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -143,7 +143,9 @@ def test_duplicated_spans_merges_overlapping_ngrams(spark):
     assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
     assert out[3]["dup_frac"] == 0.0
     assert 4 not in out  # < n tokens: no shingle, excluded
-    assert out[1]["dup_frac"] == round(6 / 9, 6)
+    import math
+
+    assert out[1]["dup_frac"] == math.floor((6 / 9) * 1e6) / 1e6
 
 
 def test_duplicated_spans_two_separate_spans(spark):

@@ -146,3 +146,138 @@ def test_ks_two_sample_ignores_nulls(spark):
     r2 = ks_two_sample(dirty, "g", "v", "a", "b").collect()[0]
     # NULLs carry no mass: identical statistic AND identical group sizes
     assert (r1.n1, r1.n2, r1.d_stat) == (r2.n1, r2.n2, r2.d_stat)
+
+
+# ---------------------------------------------------------------------------
+# md5-mode hash families (engine-parity MinHash / SimHash / bootstrap)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_md5_mode_finds_same_neardups(spark):
+    from gcpdatapipelines_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and " * 5
+    rows = [
+        (1, base),
+        (2, base + "with one extra tail clause"),
+        (3, "entirely different text about columnar shuffles " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n=5, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_minhash_perm_constants_are_valid(spark):
+    from gcpdatapipelines_spark.operators.dedup import (
+        _MINHASH_P,
+        minhash_perm_constants,
+    )
+
+    consts = minhash_perm_constants(64)
+    assert len(consts) == 64 and len(set(consts)) == 64
+    assert all(0 < a < _MINHASH_P and 0 <= b < _MINHASH_P for a, b in consts)
+
+
+def test_simhash_md5_planted_pair(spark):
+    from gcpdatapipelines_spark.operators.dedup import simhash_pairs_md5
+
+    # 40 distinct tokens: one extra token flips only bits whose vote
+    # margin was exactly +-1 — a handful of the 64 (each bit's margin
+    # is a 40-step random walk), comfortably under the pigeonhole cut
+    base = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # one extra token: tiny Hamming drift
+        (3, "totally unrelated corpus about broadcast joins " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in simhash_pairs_md5(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_simhash_md5_signature_words_are_32bit(spark):
+    from gcpdatapipelines_spark.operators.dedup import simhash_md5
+
+    df = spark.createDataFrame(
+        [(1, "some words for hashing here")], "doc_id bigint, text string"
+    )
+    r = simhash_md5(df, "doc_id", "text").collect()[0]
+    assert 0 <= r.sig_hi < 2**32 and 0 <= r.sig_lo < 2**32
+
+
+def test_bootstrap_md5_mode_deterministic_and_sane(spark):
+    from gcpdatapipelines_spark.operators.agg import bootstrap_mean_ci
+
+    rows = [(i, 10.0 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id bigint, value double")
+    r1 = bootstrap_mean_ci(df, "event_id", "value", replicates=50,
+                           hash_fn="md5").collect()[0]
+    r2 = bootstrap_mean_ci(df, "event_id", "value", replicates=50,
+                           hash_fn="md5").collect()[0]
+    assert (r1.ci_lo, r1.ci_hi) == (r2.ci_lo, r2.ci_hi)  # deterministic
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert 0 < r1.ci_hi - r1.ci_lo < 1.0  # sane width for sd~2, n=400
+
+
+# ---------------------------------------------------------------------------
+# evidence rotation (driver CORRECTNESS-aware ordering)
+# ---------------------------------------------------------------------------
+
+
+def test_rotation_orders_red_then_upgraded_first():
+    import gcpdatapipelines_spark.queries as qmod
+
+    recorded, red, rows_only = qmod._driver_record_state()
+    order = list(qmod.queries())
+    # every latest-red query sorts before every non-red one
+    if red:
+        last_red = max(order.index(n) for n in red if n in order)
+        assert last_red < len(red), "red queries must open the catalog"
+    # a rows-only-recorded query that now has an oracle re-enters the
+    # window right after the reds (stronger evidence replaces weak)
+    upgraded = [n for n in rows_only if n not in red and n in qmod.ORACLE_SQL]
+    for n in upgraded:
+        assert order.index(n) < 50, f"{n} upgraded but outside record window"
+
+
+# ---------------------------------------------------------------------------
+# per-route independent-trigger routed writes
+# ---------------------------------------------------------------------------
+
+
+def test_routed_write_streams_per_trigger(spark, tmp_path):
+    import gcpdatapipelines_spark.streaming as S
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id BIGINT, lang STRING"
+    spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "zh"), (4, "fr")], schema
+    ).write.mode("overwrite").parquet(str(src / "d.parquet"))
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src / "d.parquet"))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    qs = S.routed_write_streams_per_trigger(
+        stream,
+        out,
+        ckpt,
+        {"en": "1 seconds", "zh": "10 seconds"},
+        available_now=True,
+    )
+    for q in qs:
+        q.awaitTermination()
+    en = spark.read.parquet(f"{out}/lang=en")
+    zh = spark.read.parquet(f"{out}/lang=zh")
+    rest = spark.read.parquet(f"{out}/lang=__rest")
+    assert sorted(r.doc_id for r in en.collect()) == [1, 2]
+    assert [r.doc_id for r in zh.collect()] == [3]
+    assert [r.doc_id for r in rest.collect()] == [4]  # unlisted route kept
