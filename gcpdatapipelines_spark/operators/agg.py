@@ -874,7 +874,7 @@ def chi2_independence(
         "r_levels",
         "c_levels",
         ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
-        F.round(chi2, 4).alias("chi2"),
+        trunc_dp(chi2, 4).alias("chi2"),
     )
 
 
@@ -1070,14 +1070,14 @@ def cuped_adjusted_means(
     return out.select(
         arm_col,
         "n_units",
-        F.round(F.col("__my_arm"), ndigits).alias("mean_y"),
-        F.round(
+        trunc_dp(F.col("__my_arm"), ndigits).alias("mean_y"),
+        trunc_dp(
             F.col("__my_arm")
             - F.col("__theta") * (F.col("__mx_arm") - F.col("__mx")),
             ndigits,
         ).alias("mean_y_adj"),
-        F.round(F.col("__theta"), ndigits).alias("theta"),
-        F.round(F.col("__rho2"), ndigits).alias("rho2"),
+        trunc_dp(F.col("__theta"), ndigits).alias("theta"),
+        trunc_dp(F.col("__rho2"), ndigits).alias("rho2"),
     )
 
 

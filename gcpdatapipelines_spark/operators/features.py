@@ -154,8 +154,8 @@ def woe_iv(
         F.col(cat_col),
         "n_event",
         "n_nonevent",
-        F.round(woe, ndigits).alias("woe"),
-        F.round(term, ndigits).alias("iv_term"),
+        trunc_dp(woe, ndigits).alias("woe"),
+        trunc_dp(term, ndigits).alias("iv_term"),
         term.alias("__term"),
     )
     total = scored.agg(
@@ -163,7 +163,7 @@ def woe_iv(
             F.collect_list(F.struct(F.col(cat_col), F.col("__term")))
         ).alias("__terms")
     ).select(
-        F.round(
+        trunc_dp(
             F.aggregate(
                 F.col("__terms"),
                 F.lit(0.0),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .portable import trunc_dp
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Both directions of each undirected edge, self-loops dropped."""
@@ -641,7 +643,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         "n_nodes",
         "intra_edges",
         "deg_sum",
-        F.round(term, 6).alias("term"),
+        trunc_dp(term, 6).alias("term"),
         term.alias("__t"),
     )
     q = scored.agg(
@@ -649,7 +651,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.collect_list(F.struct(F.col("label"), F.col("__t")))
         ).alias("__ts")
     ).select(
-        F.round(
+        trunc_dp(
             F.aggregate(
                 F.col("__ts"), F.lit(0.0), lambda a, x: a + x.getField("__t")
             ),

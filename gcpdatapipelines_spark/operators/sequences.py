@@ -378,9 +378,9 @@ def holt_linear_state(
         .select(
             F.col(key),
             F.size(arr).cast("long").alias("n"),
-            F.round(st.getField("l"), 6).alias("level"),
-            F.round(st.getField("b"), 6).alias("trend"),
-            F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_1"),
+            trunc_dp(st.getField("l"), 6).alias("level"),
+            trunc_dp(st.getField("b"), 6).alias("trend"),
+            trunc_dp(st.getField("l") + st.getField("b"), 6).alias("forecast_1"),
         )
     )
 

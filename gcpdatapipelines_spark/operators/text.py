@@ -926,7 +926,7 @@ def rake_keywords(
         .groupBy(F.col("__phrase").alias("phrase"))
         .agg(
             F.count("*").alias("n_occur"),
-            F.round(F.max("__score"), 6).alias("rake_score"),
+            trunc_dp(F.max("__score"), 6).alias("rake_score"),
         )
     )
     return final.orderBy(F.col("rake_score").desc(), F.col("phrase")).limit(top)

@@ -574,7 +574,7 @@ def kaplan_meier(
         c.getField("n_risk").alias("n_risk"),
         c.getField("n_events").alias("n_events"),
         c.getField("n_censored").alias("n_censored"),
-        F.round(F.col("__z").getField("__p"), ndigits).alias("survival"),
+        trunc_dp(F.col("__z").getField("__p"), ndigits).alias("survival"),
     )
 
 
@@ -653,10 +653,10 @@ def holt_winters_state(
         .select(
             F.col(key),
             F.size(arr).cast("long").alias("n"),
-            F.round(F.element_at(st, 1), 6).alias("level"),
-            F.round(F.element_at(st, 2), 6).alias("trend"),
-            F.round(F.element_at(st, 3), 6).alias("season_next"),
-            F.round(
+            trunc_dp(F.element_at(st, 1), 6).alias("level"),
+            trunc_dp(F.element_at(st, 2), 6).alias("trend"),
+            trunc_dp(F.element_at(st, 3), 6).alias("season_next"),
+            trunc_dp(
                 F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3),
                 6,
             ).alias("forecast_1"),
@@ -953,7 +953,7 @@ def cusum_alarms(
         F.col("__z.__evs").getField(ts_col).alias(ts_col),
         F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
         F.col("__z.__evs").getField("__v").alias("value"),
-        F.round(F.col("__z.__c"), 6).alias("cusum"),
-        F.round(F.col("__h"), 6).alias("__hr"),
+        trunc_dp(F.col("__z.__c"), 6).alias("cusum"),
+        trunc_dp(F.col("__h"), 6).alias("__hr"),
     )
     return out.filter(F.col("cusum") > F.col("__hr")).drop("__hr")

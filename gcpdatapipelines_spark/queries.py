@@ -7458,8 +7458,8 @@ def a30_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s WHERE len(arr) >= 2
     )
     SELECT event_type, CAST(len(arr) AS BIGINT) AS n,
-           round(st[1], 6) AS level, round(st[2], 6) AS trend,
-           round(st[1] + st[2], 6) AS forecast_1
+           floor((st[1]) * 1000000.0) / 1000000.0 AS level, floor((st[2]) * 1000000.0) / 1000000.0 AS trend,
+           floor((st[1] + st[2]) * 1000000.0) / 1000000.0 AS forecast_1
     FROM folded
     """,
 )
@@ -7835,8 +7835,8 @@ def a33_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n, r_levels, c_levels,
            (r_levels - 1) * (c_levels - 1) AS dof,
-           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
-                             (a, x) -> a + x), 4) AS chi2
+           floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                             (a, x) -> a + x)) * 10000.0) / 10000.0 AS chi2
     FROM g
     """,
 )
@@ -7888,8 +7888,8 @@ def a34_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a[i].duration AS duration, a[i].n_risk AS n_risk,
            a[i].n_events AS n_events, a[i].n_censored AS n_censored,
-           round(list_reduce(list_transform(a[1:i], x -> x.f),
-                             (p, q) -> p * q), 6) AS survival
+           floor((list_reduce(list_transform(a[1:i], x -> x.f),
+                             (p, q) -> p * q)) * 1000000.0) / 1000000.0 AS survival
     FROM arr, unnest(generate_series(1, len(a))) AS u(i)
     """,
 )
@@ -8724,10 +8724,10 @@ def a38_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per GROUP BY arm
     )
     SELECT arm, n_units,
-           round(my_arm, 6) AS mean_y,
-           round(my_arm - theta * (mx_arm - mx), 6) AS mean_y_adj,
-           round(theta, 6) AS theta,
-           round(rho2, 6) AS rho2
+           floor((my_arm) * 1000000.0) / 1000000.0 AS mean_y,
+           floor((my_arm - theta * (mx_arm - mx)) * 1000000.0) / 1000000.0 AS mean_y_adj,
+           floor((theta) * 1000000.0) / 1000000.0 AS theta,
+           floor((rho2) * 1000000.0) / 1000000.0 AS rho2
     FROM arms CROSS JOIN fit
     """,
 )
@@ -8785,14 +8785,14 @@ def a39_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (CAST(n_nonevent AS DOUBLE) * et)) AS term
         FROM cats CROSS JOIN tot
     ), total AS (
-        SELECT round(list_reduce(
+        SELECT floor((list_reduce(
                    list_prepend(CAST(0 AS DOUBLE),
                                 list(term ORDER BY segment)),
-                   (a, x) -> a + x), 6) AS iv_total
+                   (a, x) -> a + x)) * 1000000.0) / 1000000.0 AS iv_total
         FROM scored
     )
     SELECT segment, n_event, n_nonevent,
-           round(woe_raw, 6) AS woe, round(term, 6) AS iv_term, iv_total
+           floor((woe_raw) * 1000000.0) / 1000000.0 AS woe, floor((term) * 1000000.0) / 1000000.0 AS iv_term, iv_total
     FROM scored CROSS JOIN total
     """,
 )
@@ -8996,9 +8996,9 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ini
     )
     SELECT event_type, CAST(len(arr) AS BIGINT) AS n,
-           round(st[1], 6) AS level, round(st[2], 6) AS trend,
-           round(st[3], 6) AS season_next,
-           round(st[1] + st[2] + st[3], 6) AS forecast_1
+           floor((st[1]) * 1000000.0) / 1000000.0 AS level, floor((st[2]) * 1000000.0) / 1000000.0 AS trend,
+           floor((st[3]) * 1000000.0) / 1000000.0 AS season_next,
+           floor((st[1] + st[2] + st[3]) * 1000000.0) / 1000000.0 AS forecast_1
     FROM folded
     """,
 )
@@ -9143,7 +9143,7 @@ _register_hll_merge()
     ), final AS (
         SELECT array_to_string(ph.words, ' ') AS phrase,
                count(*) AS n_occur,
-               round(max(s.score), 6) AS rake_score
+               floor((max(s.score)) * 1000000.0) / 1000000.0 AS rake_score
         FROM scored s JOIN ph USING (doc_id, grp)
         GROUP BY 1
     )
@@ -9433,13 +9433,13 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM comm c LEFT JOIN intra i USING (label) CROSS JOIN m
     ),
     q AS (
-        SELECT round(list_reduce(
+        SELECT floor((list_reduce(
                    list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY label)),
-                   (a, x) -> a + x), 6) AS q_total
+                   (a, x) -> a + x)) * 1000000.0) / 1000000.0 AS q_total
         FROM scored
     )
     SELECT label, n_nodes, intra_edges, deg_sum,
-           round(t, 6) AS term, q_total
+           floor((t) * 1000000.0) / 1000000.0 AS term, q_total
     FROM scored CROSS JOIN q
     """,
 )
@@ -10337,15 +10337,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT x.event_type, e.ts AS ts, e.event_id AS event_id,
            e.v AS value,
-           round(list_reduce(
+           floor((list_reduce(
                list_prepend(0.0::DOUBLE, list_transform(evs[:i], t -> t.v)),
                (acc, v) -> greatest(0.0::DOUBLE,
-                                    acc + (v - mu - kk))), 6) AS cusum
+                                    acc + (v - mu - kk)))) * 1000000.0) / 1000000.0 AS cusum
     FROM x JOIN mm ON x.event_type = mm.k2
-    WHERE round(list_reduce(
+    WHERE floor((list_reduce(
               list_prepend(0.0::DOUBLE, list_transform(evs[:i], t -> t.v)),
               (acc, v) -> greatest(0.0::DOUBLE,
-                                   acc + (v - mu - kk))), 6) > round(h, 6)
+                                   acc + (v - mu - kk)))) * 1000000.0) / 1000000.0 > floor((h) * 1000000.0) / 1000000.0
     """,
 )
 def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:

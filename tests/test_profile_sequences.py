@@ -315,6 +315,9 @@ def test_holt_linear_matches_python_recursion(spark):
     assert 2 not in out  # single observation: no trend seed
     n, level, trend, fc1 = out[1]
     assert n == len(vals)
-    assert level == round(lvl, 6)
-    assert trend == round(trd, 6)
-    assert fc1 == round(lvl + trd, 6)
+    import math
+
+    trunc6 = lambda x: math.floor(x * 1e6) / 1e6  # noqa: E731
+    assert level == trunc6(lvl)
+    assert trend == trunc6(trd)
+    assert fc1 == trunc6(lvl + trd)
