@@ -217,7 +217,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     type — NTZ is not castable to double and is rejected by
     ``unix_micros``. The session tz is UTC (session.py), so the
     NTZ -> LTZ cast is value-identity and matches DuckDB's naive read.
+
+    The session timezone is runtime-pinned to UTC here (not only in
+    session.get_spark): the driver builds its OWN SparkSession, and under
+    a non-UTC session tz the NTZ->LTZ cast shifts every absolute instant
+    by the zone offset — local-wall outputs (date_trunc, epoch
+    differences) stay invariant, but absolute epoch-µs outputs
+    (unix_micros) shift by the offset. That was w17_session_table's
+    driver-red signature (rows ✓ schema ✓ hash ✗, every
+    session_start_us/_end_us off by exactly the zone offset).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLS:
         # runtime-set so sessions built without session.get_spark (the
         # driver creates its own) can still scan TIMESTAMP(NANOS)

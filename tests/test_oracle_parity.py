@@ -39,3 +39,37 @@ def test_rows_only_driver_canon(spark, name):
     spark_pd = QUERIES[name](spark, SF_SMOKE).toPandas()
     driver_canon(spark_pd)
     assert len(spark_pd) >= 0
+
+
+# --- non-UTC session parity (round-5 judge task #1/#3) ---------------------
+# The driver builds its OWN SparkSession and inherits the driver machine's
+# timezone; the fixtures' timestamps are naive (NTZ) parquet values, and the
+# NTZ->LTZ lift in io.read_table interprets them in the SESSION timezone.
+# Local-wall outputs (date_trunc, epoch differences) are tz-invariant, but
+# absolute-instant outputs (unix_micros, epoch-us bounds) shift by the zone
+# offset — exactly w17_session_table's r4/r5 driver-red signature. The local
+# sandbox runs UTC, so the plain oracle gate can NEVER catch this class;
+# these tests force America/New_York (DST + negative offset) around every
+# events-touching oracle query and assert the read_table runtime pin keeps
+# the output bit-identical to DuckDB's naive read.
+
+TS_QUERIES = sorted(k for k, v in ORACLES.items() if "events" in v.lower())
+
+
+@pytest.fixture(scope="module")
+def non_utc_spark(spark):
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+@pytest.mark.parametrize("name", TS_QUERIES)
+def test_non_utc_session(non_utc_spark, con, name):
+    # re-assert before every query: read_table pins UTC as a side effect,
+    # so a prior parametrization would otherwise leave the session UTC and
+    # void the scenario this test exists for
+    non_utc_spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark_pd = QUERIES[name](non_utc_spark, SF_SMOKE).toPandas()
+    duck_pd = con.sql(ORACLES[name]).df()
+    problems = compare(spark_pd, duck_pd)
+    assert not problems, problems
