@@ -43,16 +43,27 @@ from pyspark.sql import functions as F
 def trunc_dp(col, k: int) -> "F.Column":
     """``floor(col * 10^k) / 10^k`` as a DOUBLE — the bit-portable
     stand-in for ``round(col, k)`` on engine-identical double chains
-    (module docstring). Truncates toward −∞; NaN/±inf pass through.
-    Accepts a Column or a column-name string (like ``F.round``)."""
+    (module docstring). Truncates toward −∞; NaN/±inf pass through
+    EXPLICITLY: Spark's ``floor(DOUBLE)`` returns BIGINT, so without
+    the guard NaN would silently become 0 and ±inf would saturate to
+    ±Long.MAX — a finite wrong value — while DuckDB's double ``floor``
+    preserves them (round-5 ADVICE). Accepts a Column or a column-name
+    string (like ``F.round``)."""
     if isinstance(col, str):
         col = F.col(col)
     scale = F.lit(float(10**k))
-    return F.floor(col * scale) / scale
+    non_finite = F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
+    return F.when(non_finite, col).otherwise(F.floor(col * scale) / scale)
 
 
 def trunc_dp_sql(expr: str, k: int) -> str:
-    """The oracle-side twin of :func:`trunc_dp`: identical expression
-    text for the DuckDB SQL string."""
+    """The oracle-side twin of :func:`trunc_dp`: same CASE guard so
+    both engines pass NaN/±inf through unchanged. The ``+ 0.0`` on the
+    finite branch normalizes −0.0 to +0.0, matching Spark's
+    BIGINT-``floor`` path (which can never emit −0.0); it is a no-op
+    for every other value."""
     scale = float(10**k)
-    return f"floor(({expr}) * {scale!r}) / {scale!r}"
+    return (
+        f"CASE WHEN isnan(({expr})) OR isinf(({expr})) THEN ({expr}) "
+        f"ELSE floor(({expr}) * {scale!r}) / {scale!r} + 0.0 END"
+    )

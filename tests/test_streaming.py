@@ -905,3 +905,66 @@ def test_pattern_match_stream_state_spans_batches(spark, tmp_path):
     )
     rows = {(r["user_id"], r["start_ts"], r["goal_ts"]) for r in got.collect()}
     assert rows == {(1, mins(0), mins(30))}
+
+
+def test_funnel_stream_purges_dormant_state_with_horizon(spark, tmp_path):
+    """With a `within` horizon, a mid-chain user who goes dormant past
+    the horizon has their state purged by the event-time timer (round-5
+    verdict #6): once the watermark passes t_prev + within, the chain's
+    gap is unsatisfiable, so dropping the row is safe. Observable
+    effect: the returning user restarts at step 0 and a fresh in-gap
+    chain converts — under the old NoTimeout code the stale (stage=1,
+    t_prev=0) state would block the new chain forever (B@150 fails the
+    gap check against t_prev=0) and u1 would never convert."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+
+    def write_batch(name, rows, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # b1: u1 opens a chain (A@0); u2 completes in-gap (A@0, B@10)
+    write_batch(
+        "a",
+        [(1, mins(0), "A"), (2, mins(0), "A"), (2, mins(10), "B")],
+        1_700_000_000,
+    )
+    # b2: unrelated traffic advances event time far past u1's horizon
+    # (watermark only moves AFTER a batch, so the timer fires in b3)
+    write_batch("b", [(9, mins(130), "Z")], 1_700_000_100)
+    # b3: more unrelated traffic; u1 has NO data here, watermark=130min
+    # > u1's timer (0 + 30min, rounded up) -> u1's state row is purged
+    write_batch("c", [(9, mins(131), "Z")], 1_700_000_200)
+    # b4: u1 returns with a fresh in-gap chain -> restarts and converts
+    write_batch(
+        "d", [(1, mins(140), "A"), (1, mins(150), "B")], 1_700_000_300
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    got = S.run_available_now(
+        S.funnel_stream(stream, ["A", "B"], within="30 minutes"),
+        "t_funnel_purge",
+        output_mode="append",
+    )
+    rows = {(r["user_id"], r["completed_at"]) for r in got.collect()}
+    assert rows == {(2, mins(10)), (1, mins(150))}
