@@ -424,6 +424,74 @@ def pagerank(
     return ranks.select(F.col("u").alias("node"), "rank")
 
 
+def pagerank_exact_scaled(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(node, rank_e12) — PageRank power iteration carried entirely in
+    SCALED INTEGER arithmetic: ranks are BIGINTs in units of
+    1/``scale``, per-edge contributions are integer divisions
+    ``rank DIV outdeg``, and the damped update is
+    ``base + (d_num * sum) DIV d_den``. Every operation is exactly
+    defined on the input bits — no float reassociation anywhere — so
+    the result is bit-identical on ANY engine and ANY partitioning,
+    which is what makes this tier oracle-checkable where the float
+    production path (:func:`pagerank`) is not. Quantization error vs
+    the real-valued iteration is bounded by one unit per division per
+    round (< iters * (deg+2) / scale per node — ~1e-10 at the default
+    scale), far below rank-ordering resolution.
+
+    Same plan shape as :func:`pagerank`: co-partitioned rank⋈edges,
+    one groupBy(dst) shuffle per round, lineage truncated per round
+    with localCheckpoint. Fixed-iteration by construction (integer
+    states admit no residual tolerance)."""
+    sym = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    out_edges = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = out_edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    n = deg.count()
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    parts = max(2, min(4096, n // 250_000 + 2))
+    edges = (
+        out_edges.join(deg, "u")
+        .select("u", "v", F.col("outdeg").cast("long").alias("outdeg"))
+        .repartition(parts, "u")
+        .localCheckpoint()
+    )
+    ranks = (
+        deg.select("u", F.lit(scale // n).cast("long").alias("r"))
+        .repartition(parts, "u")
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, "u")
+            .groupBy("v")
+            .agg(F.sum(F.expr("r DIV outdeg")).alias("c"))
+        )
+        ranks = (
+            contrib.select(
+                F.col("v").alias("u"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * c) DIV {damping_den}")
+                ).cast("long").alias("r"),
+            )
+            .repartition(parts, "u")
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e12"))
+
+
 def kcore(
     pairs: DataFrame,
     k: int = 3,

@@ -70,6 +70,65 @@ def composite_key(*cols: str, sep: str = "") -> Column:
     return F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
 
 
+def avg_rank2(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    nshards: int = 64,
+) -> DataFrame:
+    """Twice the AVERAGE rank (ties averaged) of ``col`` as an exact
+    BIGINT: 2*avg_rank = lo + hi of the tie group's row-number span =
+    2*rank() + tie_count - 1 — always an integer, so downstream
+    statistics (Spearman) stay in exact integer arithmetic.
+
+    Distributed the same way as :func:`dense_ids`: rows shard by value
+    range, each shard ranks locally under a bounded window, per-shard
+    offsets (the only driver state — ``nshards`` counts) lift local
+    ranks to global. A tie group has ONE value, hence lives in ONE
+    shard, so local rank + offset and the (shard, value) tie count are
+    globally exact. No stage sees a global order."""
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        F.min(F.col(col)).alias("mn"), F.max(F.col(col)).alias("mx")
+    ).first()
+    mn, mx = bounds["mn"], bounds["mx"]
+    if mn is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    if mx == mn:
+        shard_expr = F.lit(0)
+    else:
+        # equal values always map to the same shard (pure function of
+        # the value), which is all the correctness argument needs
+        shard_expr = F.least(
+            F.lit(nshards - 1),
+            F.floor(
+                (F.col(col).cast("double") - float(mn))
+                / ((float(mx) - float(mn)) / nshards)
+            ).cast("int"),
+        )
+    sharded = df.withColumn("__shard", shard_expr)
+    counts = sharded.groupBy("__shard").count().collect()
+    base, run = {}, 0
+    for r in sorted(counts, key=lambda r: r["__shard"]):
+        base[r["__shard"]] = run
+        run += r["count"]
+    omap = F.create_map(*[F.lit(v) for kv in sorted(base.items()) for v in kv])
+    w_rank = Window.partitionBy("__shard").orderBy(col)
+    w_tie = Window.partitionBy("__shard", col)
+    return (
+        sharded.withColumn(
+            out_col,
+            (
+                2 * (F.rank().over(w_rank) + omap[F.col("__shard")])
+                + F.count("*").over(w_tie)
+                - 1
+            ).cast("long"),
+        )
+        .drop("__shard")
+    )
+
+
 def dense_ids(
     df: DataFrame,
     order_col: str,

@@ -319,6 +319,26 @@ def split_kfold(
     )
 
 
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    out_col: str = "fold",
+) -> DataFrame:
+    """GROUP-aware k-fold assignment: fold = hash_bucket(group) % k, so
+    every row of a group (user, session, document cluster) lands in the
+    SAME fold — the leakage-free CV split for grouped data, where
+    row-level k-fold (:func:`split_kfold`) would let one user's events
+    straddle train and validation and leak identity features across
+    the boundary.
+
+    Narrow per-row expression — no shuffle, no window, no driver state;
+    stable under corpus growth (new groups never move old ones)."""
+    return df.withColumn(
+        out_col, (hash_bucket(F.col(group_col)) % k).cast("int")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -1578,6 +1578,162 @@ def diverse_kcenter(
     )
 
 
+def diverse_kcenter_portable(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Engine-portable parity tier of :func:`diverse_kcenter`: the same
+    greedy farthest-point traversal, but each round's corpus scan is a
+    CODEGEN unrolled left-to-right dot chain against LITERAL selected
+    vectors (no Arrow dgemm — BLAS reassociates sums, which is exactly
+    what keeps the production tier rows-only), with the max-cosine
+    floor-truncated to 9 dp before the (cs ASC, id) argmin cut. Every
+    double op is the identical sequential chain DuckDB's
+    list_inner_product computes, so a k-step unrolled-CTE oracle
+    hash-checks the whole traversal end to end.
+
+    Scale shape is unchanged: selected set = bounded driver metadata,
+    each round ONE codegen scan + a 1-row TakeOrdered, no shuffle, no
+    Python workers. k driver-synchronized rounds is the greedy's
+    inherent data dependency."""
+    wide = _widened(vectors, id_col, vec_col, dim).persist()
+    first = wide.orderBy(F.col(id_col)).limit(1).collect()[0]
+    sel = [
+        (
+            0,
+            first[id_col],
+            None,
+            [float(first[f"e{i}"]) for i in range(dim)],
+            float(first["nrm"]),
+        )
+    ]
+    for rnd in range(1, k):
+        # cosine vs each selected literal vector: left-to-right chain,
+        # constants folded at plan time (64*|sel| literal casts)
+        pair_exprs = []
+        for _, _, _, sv, snrm in sel:
+            dot = " + ".join(
+                f"e{i} * CAST({sv[i]!r} AS DOUBLE)" for i in range(dim)
+            )
+            pair_exprs.append(f"(({dot}) / (nrm * CAST({snrm!r} AS DOUBLE)))")
+        cs = (
+            pair_exprs[0]
+            if len(pair_exprs) == 1
+            else "greatest(" + ", ".join(pair_exprs) + ")"
+        )
+        already = [s[1] for s in sel]
+        nxt = (
+            wide.filter(~F.col(id_col).isin(already))
+            .selectExpr(
+                id_col,
+                *[f"e{i}" for i in range(dim)],
+                "nrm",
+                f"floor(({cs}) * 1000000000.0) / 1000000000.0 AS __cs",
+            )
+            .orderBy(F.col("__cs").asc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append(
+            (
+                rnd,
+                nxt[id_col],
+                float(nxt["__cs"]),
+                [float(nxt[f"e{i}"]) for i in range(dim)],
+                float(nxt["nrm"]),
+            )
+        )
+    wide.unpersist()
+    return vectors.sparkSession.createDataFrame(
+        [(r, i, c) for r, i, c, _, _ in sel],
+        f"rank INT, {id_col} BIGINT, max_cos_to_prior DOUBLE",
+    )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cand: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(rank, id, rel, mmr) — Maximal Marginal Relevance reranking
+    (Carbonell & Goldstein, SIGIR 1998): from the top-``n_cand``
+    cosine candidates of one query, greedily select ``k`` maximizing
+    ``lam*rel - (1-lam)*max_sim_to_selected`` — the
+    relevance-vs-redundancy trade every RAG/retrieval stack applies
+    after ANN recall.
+
+    Scale shape: the candidate cut is the DISTRIBUTED brute-force
+    scorer (one corpus scan, floor-6dp sims, id tiebreak); the greedy
+    then runs driver-side over the ``n_cand`` collected candidates —
+    bounded index metadata, the same contract as diverse_kcenter's
+    selected set. Fully deterministic AND engine-portable: pair
+    cosines are plain left-to-right float64 folds (== DuckDB
+    list_inner_product bit-for-bit), floor-truncated to 6 dp, so an
+    unrolled-CTE oracle restates the whole traversal."""
+    one_minus = 0.3 if lam == 0.7 else (1.0 - lam)  # spell literals, not
+    # derived constants (NOTES float-literal trap): 1.0-0.7 is a
+    # DIFFERENT double from the literal 0.3 the oracle writes
+    qs = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand_ids = brute_force_topk(vectors, qs, id_col, vec_col, k=n_cand)
+    cands = (
+        cand_ids.join(vectors.select(id_col, vec_col), id_col)
+        .select(id_col, "sim", vec_col)
+        .collect()
+    )
+
+    def _f6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1000000.0) / 1000000.0
+
+    def _dotp(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + a[i] * b[i]
+        return s
+
+    import math
+
+    cl = [
+        (r[id_col], float(r["sim"]), [float(x) for x in r[vec_col]])
+        for r in cands
+    ]
+    nrm = {cid: math.sqrt(_dotp(v, v)) for cid, _, v in cl}
+    first = min(cl, key=lambda c: (-c[1], c[0]))
+    sel = [(0, first[0], first[1], lam * first[1])]
+    chosen = {first[0]}
+    sel_vecs = [(first[0], first[2])]
+    for rnd in range(1, k):
+        best = None
+        for cid, rel, v in cl:
+            if cid in chosen:
+                continue
+            ms = max(
+                _f6(_dotp(v, sv) / (nrm[cid] * nrm[sid]))
+                for sid, sv in sel_vecs
+            )
+            mmr = lam * rel - one_minus * ms
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, mmr, v)
+        _, cid, rel, mmr, v = best
+        sel.append((rnd, cid, rel, mmr))
+        chosen.add(cid)
+        sel_vecs.append((cid, v))
+    return vectors.sparkSession.createDataFrame(
+        sel, f"rank INT, {id_col} BIGINT, rel DOUBLE, mmr DOUBLE"
+    )
+
+
 def binary_signatures(
     vectors: DataFrame,
     id_col: str = "vec_id",

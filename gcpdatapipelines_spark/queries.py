@@ -4587,20 +4587,59 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank")
+def _pagerank_exact_sql(iters: int = 10, scale: int = 10**12) -> str:
+    """Unrolled fixed-iteration integer-PageRank oracle: each round is
+    one grouped join re-stating ``base + (85 * sum(r DIV outdeg)) DIV
+    100`` — integer ops only, so DuckDB restates the Spark iteration
+    bit-for-bit (DuckDB ``//`` == Spark ``DIV`` on the nonnegative
+    domain; HUGEINT sums cast back per the NOTES rule)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT g.u,
+               CAST(b.base + (85 * g.s) // 100 AS BIGINT) AS r
+        FROM (
+            SELECT s.v AS u,
+                   CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
+            FROM sym s JOIN r{i - 1} r ON s.u = r.u
+                       JOIN deg d ON s.u = d.u
+            GROUP BY s.v
+        ) g, b
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS outdeg FROM sym GROUP BY u),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    b AS (SELECT CAST((15 * {scale}) // (100 * n) AS BIGINT) AS base FROM c),
+    r0 AS (SELECT d.u, CAST({scale} // c.n AS BIGINT) AS r FROM deg d, c),
+    {chain}
+    SELECT u AS node, r AS rank_e12 FROM r{iters}
+    """
+
+
+@register("graph_pagerank", _pagerank_exact_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supported co-purchase graph (damping 0.85,
     10 fixed iterations — rank-order separation, no residual probe
     jobs) — iterative power method with per-round localCheckpoint
-    lineage truncation; rows-only BY DESIGN: per-iteration float sums
-    reassociate across partitionings, so no engine-portable bit-exact
-    twin exists (exactness vs a dense solver is pinned in
-    tests/test_graph.py at 1e-9)."""
-    from .operators.graph import pagerank
+    lineage truncation. Catalog tier runs the EXACT-INTEGER form
+    (ranks as BIGINTs in 1e-12 units; ``rank DIV outdeg``
+    contributions; ``base + (85*sum) DIV 100`` update): every step is
+    exactly defined on the bits, so a 10-step unrolled-CTE DuckDB twin
+    hash-checks the whole iteration end to end — the float production
+    path (operators/graph.py::pagerank, same plan shape) stays
+    rows-only-by-nature and is pinned vs a dense solver at 1e-9 in
+    tests/test_graph.py. Quantization error vs the real-valued
+    iteration is < iters*(deg+2)/1e12 per node, far below
+    rank-ordering resolution."""
+    from .operators.graph import pagerank_exact_scaled
 
     edges = _copurchase_edges_cached(spark, sf_dir)
-    pr = pagerank(edges, damping=0.85, max_iter=10, tol=None)
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return pagerank_exact_scaled(edges, iters=10)
 
 
 @register(
@@ -6174,6 +6213,132 @@ def a24_moments_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_corr_probe_sql("spark"))
 
 
+# --- a42_spearman: rank correlation, exact integer end to end ----------
+# Spearman rho = Pearson over average ranks; 2*avg_rank is ALWAYS an
+# integer (lo+hi of the tie span = 2*rank() + ties - 1), so the whole
+# statistic reuses a24's exact-integer machinery: one co-moment scan
+# over integer ranks, signed rho^2 in ppm via 3-step integer long
+# division. Scaling both rank vectors by 2 leaves the correlation
+# unchanged.
+
+_SPEAR_COLS = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"}
+_SPEAR_PAIRS = [("d", "p"), ("d", "q"), ("p", "q")]
+
+
+def _spearman_sql(dialect: str) -> str:
+    """Shared moment+division tail; `dialect` in {spark, duckdb}.
+
+    Spark reads ranks from the __spearman_ranks temp view (built by the
+    sharded avg_rank2 operator — no single-reducer window); DuckDB
+    derives the identical integers from plain global windows. Reduction
+    shifts (10^8 on |cov| and var before squaring) keep num/den inside
+    38-digit decimals up to sf~0.3 with relative slack ~1e-15; widen by
+    10^2 per 10x rows (a24's rule)."""
+    sp = dialect == "spark"
+    dcast = (
+        (lambda e, p: f"CAST({e} AS DECIMAL({p},0))")
+        if sp
+        else (lambda e, p: f"CAST({e} AS HUGEINT)")
+    )
+    idiv = (
+        (lambda x, y: f"({x} div {y})")
+        if sp
+        else (lambda x, y: f"CAST(CAST({x} AS HUGEINT) // CAST({y} AS HUGEINT) AS BIGINT)")
+    )
+    if sp:
+        ranks = "SELECT r_q, r_p, r_d FROM __spearman_ranks"
+    else:
+        rank_cols = ", ".join(
+            f"2 * rank() OVER (ORDER BY {c}) + count(*) OVER (PARTITION BY {c}) - 1 AS r_{k}"
+            for k, c in _SPEAR_COLS.items()
+        )
+        ranks = f"SELECT {rank_cols} FROM lineitem"
+    sums = [dcast("count(*)", 8) + " AS n"]
+    for k in _SPEAR_COLS:
+        sums.append(dcast(f"sum(r_{k})", 14) + f" AS s_{k}")
+    for key in ["qq", "pp", "dd", "qp", "qd", "dp"]:
+        a, b = key[0], key[1]
+        inner = f"CAST(r_{a} * r_{b} AS DECIMAL(16,0))" if sp else f"r_{a} * r_{b}"
+        sums.append(dcast(f"sum({inner})", 22) + f" AS s_{key}")
+
+    def case(sel):
+        return (
+            "CASE i "
+            + " ".join(
+                f"WHEN {i} THEN {sel(a, b)}"
+                for i, (a, b) in enumerate(_SPEAR_PAIRS, 1)
+            )
+            + " END"
+        )
+
+    def skey(a, b):
+        return a + b if a + b in ("qq", "pp", "dd", "qp", "qd", "dp") else b + a
+
+    cov = lambda a, b: f"(n * s_{skey(a, b)} - s_{a} * s_{b})"  # noqa: E731
+    var = lambda c: f"(n * s_{c}{c} - s_{c} * s_{c})"  # noqa: E731
+    covr = lambda a, b: idiv(f"abs({cov(a, b)})", "100000000")  # noqa: E731
+    varr = lambda c: idiv(var(c), "100000000")  # noqa: E731
+    sign = lambda a, b: (  # noqa: E731
+        f"CAST(CASE WHEN {cov(a, b)} > 0 THEN 1 "
+        f"WHEN {cov(a, b)} < 0 THEN -1 ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+WITH r AS ({ranks}),
+m AS (SELECT {", ".join(sums)} FROM r),
+pair AS (
+    SELECT {case(lambda a, b: "'" + _SPEAR_COLS[a] + "'")} AS col_a,
+           {case(lambda a, b: "'" + _SPEAR_COLS[b] + "'")} AS col_b,
+           {case(sign)} AS rho2_sign,
+           {case(covr)} AS covr,
+           {case(lambda a, b: varr(a))} AS vara,
+           {case(lambda a, b: varr(b))} AS varb
+    FROM m CROSS JOIN (VALUES (1), (2), (3)) AS t(i)
+),
+ld AS (
+    SELECT col_a, col_b, rho2_sign,
+           {dcast('covr', 16)} * {dcast('covr', 16)} AS num,
+           {dcast('vara', 16)} * {dcast('varb', 16)} AS den
+    FROM pair
+),
+s0 AS (SELECT *, {idiv('num', 'den')} AS q0 FROM ld),
+s1 AS (SELECT *, {dcast(f"num - {dcast('q0', 2)} * den", 32)} AS r0 FROM s0),
+s2 AS (SELECT *, {idiv('(r0 * 1000)', 'den')} AS q1 FROM s1),
+s3 AS (SELECT *, {dcast(f"r0 * 1000 - {dcast('q1', 4)} * den", 32)} AS r1 FROM s2),
+s4 AS (SELECT *, {idiv('(r1 * 1000)', 'den')} AS q2 FROM s3)
+SELECT col_a, col_b, rho2_sign,
+       CAST(q0 * 1000000 + q1 * 1000 + q2 AS BIGINT) AS rho2_ppm
+FROM s4
+ORDER BY col_a, col_b
+"""
+
+
+@register("a42_spearman", _spearman_sql("duckdb"))
+def a42_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix over three lineitem measures,
+    emitted as signed rho^2 in EXACT integer parts-per-million — the
+    outlier-robust association statistic Pearson (a24) is not.
+
+    Rank transform: 2*average-rank (ties averaged) is an exact BIGINT,
+    computed DISTRIBUTED by operators/rows.py::avg_rank2 (value-range
+    shards + bounded local windows + driver-side offsets — never a
+    single-reducer global sort); the oracle derives the identical
+    integers from plain windows. Everything downstream is a24's
+    exact-integer machinery: ONE co-moment scan, 3-step integer long
+    division, zero doubles anywhere — bit-identical on any engine by
+    construction. Scale: 3 rank shuffles (inherent to ranking 3
+    columns) + one partial+final aggregate."""
+    from .operators.rows import avg_rank2
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    r = li
+    for k, c in _SPEAR_COLS.items():
+        r = avg_rank2(r, c, f"r_{k}")
+    r.select("r_q", "r_p", "r_d").createOrReplaceTempView("__spearman_ranks")
+    return spark.sql(_spearman_sql("spark"))
+
+
 @register(
     "text_bm25_topk",
     """
@@ -6246,6 +6411,42 @@ def split_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return split_kfold(docs, "doc_id", "lang", k=5)
+
+
+@register(
+    "split_group_kfold",
+    f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(({_BUCKET_SQL.format(key="user_id")}) % 5 AS INT) AS fold
+        FROM events
+    )
+    SELECT fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY fold
+    """,
+)
+def split_group_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware 5-fold split over events keyed on user_id — every
+    event of a user lands in the same fold (fold = md5-bucket(user) %
+    5), the leakage-free CV split row-level k-fold can't give you:
+    with per-row folds one user's history straddles train and
+    validation and identity features leak across the boundary. The
+    assignment is a narrow per-row expression (no shuffle, no window,
+    stable under corpus growth); the catalog emits the per-fold
+    user/event audit the split consumer reads."""
+    from .operators.sample import group_kfold
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return (
+        group_kfold(ev, "user_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
 
 
 @register(
@@ -7147,17 +7348,64 @@ def split_time_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_series_cv_folds(ev, "ts", k=5, horizon_days=7)
 
 
-@register("sim_diverse_kcenter")  # rows-only: iterative float argmin has
-# no SQL twin; determinism + diversity property pinned in tests
+def _kcenter_sql(k: int = 10) -> str:
+    """Unrolled k-step greedy farthest-point oracle: u{i} accumulates
+    the selected set; each step re-derives every candidate's
+    floor-9dp max cosine to the selection (list_inner_product ==
+    Spark's left-to-right unrolled chain) and picks the (cs ASC, id)
+    argmin — restating diverse_kcenter_portable's traversal exactly."""
+    steps = []
+    for i in range(1, k):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT p.vec_id,
+               floor(max(list_inner_product(p.vec, s.vec) / (p.nrm * s.nrm))
+                     * 1000000000.0) / 1000000000.0 AS cs
+        FROM v p CROSS JOIN u{i - 1} s
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM u{i - 1})
+        GROUP BY p.vec_id
+    ),
+    s{i} AS (
+        SELECT v.vec_id, v.vec, v.nrm, pk.cs, {i} AS rank
+        FROM (SELECT vec_id, cs FROM d{i} ORDER BY cs ASC, vec_id LIMIT 1) pk
+        JOIN v ON v.vec_id = pk.vec_id
+    ),
+    u{i} AS MATERIALIZED (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    u0 AS (
+        SELECT vec_id, vec, nrm, CAST(NULL AS DOUBLE) AS cs, 0 AS rank
+        FROM v ORDER BY vec_id LIMIT 1
+    ),
+    {chain}
+    SELECT CAST(rank AS INT) AS rank, vec_id, cs AS max_cos_to_prior
+    FROM u{k - 1} ORDER BY rank
+    """
+
+
+@register("sim_diverse_kcenter", _kcenter_sql())
 def sim_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10 maximally-diverse embeddings by greedy farthest-point
-    (k-center 2-approx): each round one Arrow-dgemm corpus scan + a
-    1-row TakeOrdered; the selected set is bounded driver metadata.
-    The coreset/eval-set de-clustering primitive."""
-    from .operators.similarity import diverse_kcenter
+    (k-center 2-approx): each round one corpus scan + a 1-row
+    TakeOrdered; the selected set is bounded driver metadata. The
+    coreset/eval-set de-clustering primitive. Catalog tier runs the
+    PORTABLE scorer (codegen left-to-right dot vs literal selected
+    vectors, floor-9dp max-cosine, id tiebreak) so a k-step
+    unrolled-CTE DuckDB twin hash-checks the whole traversal; the
+    Arrow-dgemm production tier (diverse_kcenter, same greedy + plan
+    shape) stays rows-only-by-nature (BLAS reassociates sums) with
+    determinism + diversity pinned in tests."""
+    from .operators.similarity import diverse_kcenter_portable
 
     emb = _t(spark, sf_dir, "embeddings")
-    return diverse_kcenter(emb, "vec_id", "embedding", k=10)
+    return diverse_kcenter_portable(emb, "vec_id", "embedding", k=10)
 
 
 @register(
@@ -8127,6 +8375,230 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return binary_hamming_topk(emb, qs, k=10, rerank=50)
+
+
+@register(
+    "sim_recall_eval",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), bscored AS (
+        SELECT q_id, vec_id, {_SIM_SQL_COS} AS sim
+        FROM q CROSS JOIN v WHERE q_id <> vec_id
+    ), bf AS (
+        SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY sim DESC, vec_id) AS rnk
+            FROM bscored
+        ) WHERE rnk <= 10
+    ), ham AS (
+        SELECT q_id, vec_id,
+               CAST(len(list_filter(generate_series(1, 64),
+                    i -> (q_vec[i] > 0) <> (vec[i] > 0))) AS INT) AS hamming
+        FROM q CROSS JOIN v WHERE q_id <> vec_id
+    ), short AS (
+        SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY hamming, vec_id) AS hr
+            FROM ham
+        ) WHERE hr <= 50
+    ), rescored AS (
+        SELECT s.q_id, s.vec_id,
+               floor((list_inner_product(q.q_vec, v.vec) /
+                      (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                       sqrt(list_inner_product(v.vec, v.vec))))
+                     * 1000000.0) / 1000000.0 AS sim
+        FROM short s JOIN q USING (q_id) JOIN v USING (vec_id)
+    ), ann AS (
+        SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY sim DESC, vec_id) AS rnk
+            FROM rescored
+        ) WHERE rnk <= 10
+    )
+    SELECT b.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(a.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf b LEFT JOIN ann a ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+    GROUP BY b.q_id
+    """,
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the binary-Hamming ANN against the exact
+    brute-force top-10, per query — the index-quality audit every ANN
+    deployment runs before trusting the approximate path. Composes the
+    two already-proven rankers (sim_topk_bruteforce,
+    sim_binary_hamming) and counts the id-set intersection, so the
+    whole metric is deterministic and hash-checks end to end. Scale:
+    both rankers are |q|-bounded scans; the intersection is a
+    |q|*10-row broadcast join."""
+    from .operators.similarity import binary_hamming_topk, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = brute_force_topk(emb, qs, k=10).select("q_id", "vec_id")
+    ann = (
+        binary_hamming_topk(emb, qs, k=10, rerank=50)
+        .select("q_id", "vec_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        bf.join(ann, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double") / 10.0
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _mmr_sql(k: int = 10, n_cand: int = 20) -> str:
+    """Unrolled k-step MMR oracle: cand = floor-6dp cosine top-n_cand
+    for query vec_id=0; each step re-derives every unselected
+    candidate's ``0.7*rel - 0.3*max_pair_cos`` (pair cosines
+    floor-6dp; list_inner_product == the driver greedy's left-to-right
+    float64 fold) and picks the (mmr DESC, id) argmax."""
+    steps = []
+    for i in range(1, k):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * max(
+                   floor((list_inner_product(c.vec, s.vec) / (c.nrm * s.nrm))
+                         * 1000000.0) / 1000000.0) AS mmr
+        FROM cand c CROSS JOIN u{i - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM u{i - 1})
+        GROUP BY c.vec_id, c.rel
+    ),
+    s{i} AS (
+        SELECT c.vec_id, c.vec, c.nrm, c.rel, pk.mmr, {i} AS rank
+        FROM (SELECT vec_id, mmr FROM d{i}
+              ORDER BY mmr DESC, vec_id LIMIT 1) pk
+        JOIN cand c USING (vec_id)
+    ),
+    u{i} AS MATERIALIZED (SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+          FROM v WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT vec_id, vec, nrm, rel FROM (
+            SELECT v.vec_id, v.vec, v.nrm,
+                   floor((list_inner_product(q.q_vec, v.vec)
+                          / (q.q_nrm * v.nrm)) * 1000000.0)
+                       / 1000000.0 AS rel,
+                   row_number() OVER (
+                       ORDER BY floor((list_inner_product(q.q_vec, v.vec)
+                                       / (q.q_nrm * v.nrm)) * 1000000.0)
+                                    / 1000000.0 DESC, v.vec_id) AS rnk
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+        ) WHERE rnk <= {n_cand}
+    ),
+    u0 AS (
+        SELECT vec_id, vec, nrm, rel, 0.7 * rel AS mmr, 0 AS rank
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {chain}
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr
+    FROM u{k - 1} ORDER BY rank
+    """
+
+
+@register("sim_mmr_rerank", _mmr_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell-Goldstein): the
+    top-20 cosine candidates of query vec_id=0 greedily reduced to the
+    10 that maximize ``0.7*rel - 0.3*max_sim_to_selected`` — the
+    relevance-vs-redundancy diversification every RAG retrieval stack
+    runs after ANN recall. Candidate cut is the distributed
+    brute-force scorer (one corpus scan); the greedy runs over the 20
+    collected candidates (bounded index metadata). Pair cosines are
+    left-to-right float64 folds floor-truncated to 6 dp, so the
+    unrolled-CTE oracle restates the traversal bit-for-bit."""
+    from .operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, query_id=0, k=10, n_cand=20)
+
+
+def _zipf_sql(dialect: str) -> str:
+    """Zipf slope over the top-200 token frequencies; shared text both
+    dialects except the array-explode spelling. ln values are
+    floor-truncated to 9 dp and summed as exact DECIMALs (the libm
+    quantize-before-sum idiom); the final slope is ONE fixed double
+    division floor-truncated to 6 dp — identical textual form both
+    sides."""
+    if dialect == "spark":
+        toks = (
+            "SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS token FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+            " AS token FROM documents"
+        )
+    return f"""
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM ({toks}) GROUP BY token
+    ),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200),
+    rk AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM top
+    ),
+    q AS (
+        SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000.0)
+                    / 1000000000.0 AS DECIMAL(12,9)) AS x,
+               CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0)
+                    / 1000000000.0 AS DECIMAL(12,9)) AS y
+        FROM rk
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DECIMAL(4,0)) AS m,
+               CAST(sum(x) AS DECIMAL(16,9)) AS sx,
+               CAST(sum(y) AS DECIMAL(16,9)) AS sy,
+               CAST(sum(x * x) AS DECIMAL(24,18)) AS sxx,
+               CAST(sum(x * y) AS DECIMAL(24,18)) AS sxy
+        FROM q
+    )
+    SELECT CAST(m AS BIGINT) AS n_points,
+           floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS zipf_slope
+    FROM m
+    """
+
+
+@register("text_zipf_fit", _zipf_sql("duckdb"))
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-200 tokens — the naturalness fingerprint of
+    a text corpus (natural language sits near -1; templated or spammy
+    corpora flatten). A corpus-health gate next to Gopher rules in the
+    quality family. Scale: one token-count aggregate (partial+final),
+    a 200-row TakeOrdered, then constant work — the window runs over
+    200 rows, never the full vocabulary. ln values quantize to 9-dp
+    decimals before summation (libm idiom); slope is one fixed double
+    division, floor-6dp."""
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(_zipf_sql("spark"))
 
 
 @register(

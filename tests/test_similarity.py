@@ -537,6 +537,34 @@ def test_diverse_kcenter_deterministic_under_partitioning(spark):
     assert a == b
 
 
+def test_diverse_kcenter_portable_agrees_with_dgemm_tier(spark):
+    """The portable (codegen literal-scan) tier selects the SAME
+    traversal as the Arrow-dgemm production tier on the fixture — the
+    two differ only in float summation order, which the 9-dp
+    truncation + id tiebreak absorbs."""
+    from gcpdatapipelines_spark.operators.similarity import diverse_kcenter_portable
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = [(r.rank, r.vec_id) for r in diverse_kcenter(emb, k=5).collect()]
+    b = [(r.rank, r.vec_id) for r in diverse_kcenter_portable(emb, k=5).collect()]
+    assert a == b
+
+
+def test_diverse_kcenter_portable_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.operators.similarity import diverse_kcenter_portable
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = [
+        (r.rank, r.vec_id, r.max_cos_to_prior)
+        for r in diverse_kcenter_portable(emb, k=4).collect()
+    ]
+    b = [
+        (r.rank, r.vec_id, r.max_cos_to_prior)
+        for r in diverse_kcenter_portable(emb.repartition(9), k=4).collect()
+    ]
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup within-cell pair scan (the scale-safe semantic-dedup recipe)
 # ---------------------------------------------------------------------------
