@@ -370,38 +370,25 @@ def growth_accounting(
     )
 
 
-def markov_attribution(
+def _markov_transition_counts(
     events: DataFrame,
     user_col: str,
     ts_col: str,
     channel_col: str,
     conversion: str,
     order_col: str | None = None,
-) -> DataFrame:
-    """Markov removal-effect channel attribution (first-order
-    absorbing chain): each user's journey = channel sequence up to
-    the FIRST conversion event (absorbing CONV) or journey end
-    (absorbing NULL); a channel's credit is its removal effect — the
-    relative drop in START→CONV probability when the channel is
-    deleted (its outgoing mass redirected to NULL) — normalized into
-    shares of total conversions.
-
-    Scale split: transition counting is the ONLY data-sized work (one
-    user-keyed window pass + a hash agg over ≤ (k+2)² state pairs);
-    the chain solve runs on the driver over that bounded matrix
-    (channels are a catalog-sized domain — same bounded-metadata
-    invariant as IVF centroids). numpy.linalg solves the absorbing
-    system exactly, so the result is deterministic.
-
-    Returns (channel, removal_effect, attribution_share,
-    attributed_conversions) ordered by channel."""
-    import numpy as np
+) -> dict:
+    """{(src, dst): n}: first-order transition counts over journeys cut
+    at the first conversion, with START virtual source, CONV absorbing
+    conversion, and NULL absorbing journey-end. The distributed half of
+    both Markov tiers: one user-keyed window pass + a hash agg over
+    <= (k+2)^2 state pairs; only that bounded table is collected."""
     from pyspark.sql import Window
 
     ev = events.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
-        *( [F.col(order_col).alias("__o")] if order_col else [] ),
+        *([F.col(order_col).alias("__o")] if order_col else []),
         F.when(F.col(channel_col) == conversion, F.lit("CONV"))
         .otherwise(F.col(channel_col))
         .alias("__st"),
@@ -430,12 +417,129 @@ def markov_attribution(
             F.col("dst").alias("src"), F.col("__tail").alias("dst")
         )
     )
-    counts = {
+    return {
         (r["src"], r["dst"]): r["n"]
         for r in trans.groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
         .collect()  # bounded: <= (k+2)^2 rows, k = channel-domain size
     }
+
+
+def markov_attribution_quantized(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion: str,
+    order_col: str | None = None,
+    steps: int = 60,
+) -> DataFrame:
+    """Markov removal-effect attribution, exact-integer tier: the
+    absorbing-chain conversion probability is computed as the
+    ``steps``-step absorption probability in 1e-12 units via integer
+    power iteration — x_{t+1}(s) = (sum_d n(s,d) * val_t(d)) // tot(s)
+    with val(CONV) = 1e12, val(NULL) = val(removed) = 0 — instead of
+    the float linear solve (:func:`markov_attribution`, which stays as
+    the production tier). Every operation is integer and both engines'
+    integer division truncates toward zero, so the result is
+    bit-identical by construction and a textually-unrolled DuckDB twin
+    hash-checks the whole iteration (queries._markov_sql). x_t is
+    monotone nondecreasing and bounded, so 60 steps is far past the
+    fixture journeys' absorption horizon; the VALUE is defined as the
+    60-step probability, which both sides compute exactly regardless.
+
+    Same scale split as the float tier: transition counting is the
+    only data-sized work; the iteration runs on the bounded
+    <= (k+2)^2 table (here in exact python ints; BIGINT headroom needs
+    total transitions * 1e12 < 2^63 — lower the scale past ~9e6
+    transitions per source state).
+
+    Returns (channel, removal_effect_ppm, share_ppm,
+    attributed_conversions_c) ordered by channel, all BIGINT."""
+    counts = _markov_transition_counts(
+        events, user_col, ts_col, channel_col, conversion, order_col
+    )
+    by_src: dict[str, list] = {}
+    for (s, d), c in counts.items():
+        by_src.setdefault(s, []).append((d, c))
+    tot = {s: sum(c for _, c in lst) for s, lst in by_src.items()}
+    channels = sorted(s for s in by_src if s != "START")
+
+    def absorb(removed: str | None) -> int:
+        x: dict[str, int] = {}
+        for _ in range(steps):
+            nx = {}
+            for s, lst in by_src.items():
+                if s == removed:
+                    continue
+                acc = 0
+                for d, c in lst:
+                    if d == "CONV":
+                        val = 1_000_000_000_000
+                    elif d == "NULL" or d == removed:
+                        val = 0
+                    else:
+                        val = x.get(d, 0)
+                    acc += c * val
+                nx[s] = acc // tot[s]
+            x = nx
+        return x.get("START", 0)
+
+    base = absorb(None)
+    total_conv = sum(c for (s, d), c in counts.items() if d == "CONV")
+    eff = {
+        c: max(0, 1_000_000 - (absorb(c) * 1_000_000) // base)
+        if base > 0
+        else 0
+        for c in channels
+    }
+    tot_eff = sum(eff.values())
+    rows = [
+        (
+            c,
+            eff[c],
+            (eff[c] * 1_000_000) // tot_eff if tot_eff > 0 else 0,
+            (total_conv * 100 * eff[c]) // tot_eff if tot_eff > 0 else 0,
+        )
+        for c in channels
+    ]
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel STRING, removal_effect_ppm BIGINT, share_ppm BIGINT,"
+        " attributed_conversions_c BIGINT",
+    ).orderBy("channel")
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Markov removal-effect channel attribution (first-order
+    absorbing chain): each user's journey = channel sequence up to
+    the FIRST conversion event (absorbing CONV) or journey end
+    (absorbing NULL); a channel's credit is its removal effect — the
+    relative drop in START→CONV probability when the channel is
+    deleted (its outgoing mass redirected to NULL) — normalized into
+    shares of total conversions.
+
+    Scale split: transition counting is the ONLY data-sized work (one
+    user-keyed window pass + a hash agg over ≤ (k+2)² state pairs);
+    the chain solve runs on the driver over that bounded matrix
+    (channels are a catalog-sized domain — same bounded-metadata
+    invariant as IVF centroids). numpy.linalg solves the absorbing
+    system exactly, so the result is deterministic.
+
+    Returns (channel, removal_effect, attribution_share,
+    attributed_conversions) ordered by channel."""
+    import numpy as np
+
+    counts = _markov_transition_counts(
+        events, user_col, ts_col, channel_col, conversion, order_col
+    )
     channels = sorted(
         {s for s, _ in counts if s not in ("START",)}
         | {d for _, d in counts if d not in ("CONV", "NULL")}

@@ -498,6 +498,7 @@ def kcore(
     src: str = "u",
     dst: str = "v",
     max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, degree): the k-core of the undirected graph — the
     maximal subgraph where every node keeps at least ``k`` neighbors
@@ -512,7 +513,14 @@ def kcore(
     a handful; each round is one hash-agg degree count + one
     semi-join, with localCheckpoint truncating lineage like
     :func:`connected_components`. The fixpoint test is a cheap
-    count() (a 1-value job, not a data transfer)."""
+    count() (a 1-value job, not a data transfer).
+
+    With ``strict=False`` the semantics become a bounded
+    ``max_iter``-round peel: peeling is idempotent at fixpoint, so
+    the result equals the true k-core whenever the graph converges
+    within the budget, and otherwise is the deterministic partial
+    peel — exactly what :func:`kcore_unrolled_sql` expresses, making
+    the pair oracle-hashable at any data scale."""
     edges = (
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -542,7 +550,8 @@ def kcore(
             break
         edges, n_edges = pruned, n_pruned
     else:
-        raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+        if strict:
+            raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return (
         sym.groupBy("u")
@@ -550,6 +559,50 @@ def kcore(
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def kcore_unrolled_sql(
+    edges_cte: str, k: int = 3, rounds: int = 16
+) -> str:
+    """DuckDB twin of the bounded peel (``kcore(strict=False,
+    max_iter=rounds)``): ``rounds`` textually-unrolled
+    degree-filter stages over the edge CTE. Peeling is idempotent at
+    fixpoint, so any budget >= the data's convergence depth (8 at
+    sf0.01, 2× margin here) reproduces the true k-core bit-for-bit.
+
+    ``edges_cte`` is a named CTE body like ``"e AS (SELECT u, v ...)"``
+    whose output is the deduped undirected edge list with u < v.
+
+    Every stage is AS MATERIALIZED: each round references the previous
+    edge set several times (degree union + two IN filters), so plain
+    inlining would expand the plan exponentially in ``rounds`` (the
+    first attempt died opening ~5^16 parquet scans)."""
+    parts = [
+        f"WITH {edges_cte.strip()}, e0 AS MATERIALIZED (SELECT u, v FROM e)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+        SELECT n, count(*) AS deg
+        FROM (SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i}) s
+        GROUP BY 1
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{i}
+        WHERE u IN (SELECT n FROM d{i} WHERE deg >= {k})
+          AND v IN (SELECT n FROM d{i} WHERE deg >= {k})
+    )"""
+        )
+    parts.append(
+        f""", dfin AS (
+        SELECT n, count(*) AS deg
+        FROM (SELECT u AS n FROM e{rounds}
+              UNION ALL SELECT v AS n FROM e{rounds}) s
+        GROUP BY 1
+    )
+    SELECT n AS node, CAST(deg AS BIGINT) AS degree
+    FROM dfin WHERE deg >= {k}"""
+    )
+    return "".join(parts)
 
 
 def bfs_levels(
@@ -727,3 +780,68 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         ).alias("q_total")
     )
     return scored.drop("__t").crossJoin(F.broadcast(q))
+
+
+def jaccard_neighbors_topk(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 25,
+) -> DataFrame:
+    """Top-k node pairs by neighborhood Jaccard similarity
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the set-overlap companion to
+    :func:`adamic_adar_topk` (Adamic–Adar weights rare hubs; Jaccard
+    asks how interchangeable two nodes are, the substitute-product /
+    duplicate-entity signal). Existing edges are NOT excluded: an
+    adjacent pair with near-identical neighborhoods is exactly what a
+    merge-candidates list wants.
+
+    The score is carried as exact-integer parts-per-million
+    (common * 1_000_000 div (deg_a + deg_b - common)) — no doubles
+    anywhere, so the pair is oracle-hashable bit-for-bit and the top-k
+    cut under the (score, u, v) tiebreak is fully deterministic.
+
+    Scale shape: same envelope as triangle/Adamic–Adar counting — one
+    partial-agg degree pass, ONE self-equi-join of the adjacency on
+    the shared-neighbor center (bounded by max degree; cap celebrity
+    neighborhoods upstream on skew-heavy graphs), a map-side-combinable
+    pair count, two broadcast-sized degree joins, and a TakeOrdered
+    cut — no global sort, no cartesian."""
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    a = sym.select(F.col("v").alias("w"), F.col("u").alias("na"))
+    b = sym.select(F.col("v").alias("w"), F.col("u").alias("nb"))
+    common = (
+        a.join(b, "w")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy(F.col("na").alias("u"), F.col("nb").alias("v"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        common.join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+        )
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.col("deg_u"),
+            F.col("deg_v"),
+            F.expr(
+                "CAST(n_common * 1000000 div (deg_u + deg_v - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("u"), F.col("v")
+    ).limit(k)

@@ -170,6 +170,127 @@ def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
     """
 
 
+def hll_rollup(
+    df: DataFrame, shard_col: str, key_col: str, p: int = 9
+) -> DataFrame:
+    """Mergeable distinct-count rollup in md5-mode: per-shard HLL
+    registers (the KB-sized state a 100 TB pipeline persists per
+    day/partition) max-merged into one union estimate — the same
+    registers, dyadic-exact fold, and small-range correction as
+    :func:`hll_distinct`, so the whole rollup is deterministic and
+    oracle-hashable (the production DataSketches tier lives in
+    agg.hll_shard_sketches/hll_merge_estimate; its estimates are
+    engine-native and pinned by band tests instead).
+
+    Plan shape at scale: the per-shard partial is a hash aggregate
+    whose output is bounded by shards x 2^p rows; the merge is a
+    second bounded max-aggregate; the fact is scanned once. n_exact
+    rides along as the audit (drop in production).
+
+    Returns ONE row: (n_shards, m, n_exact, v_empty, hll_estimate,
+    rel_err)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    keyed = df.select(
+        F.col(shard_col).alias("shard"), _h60(F.col(key_col)).alias("h")
+    ).selectExpr("shard", f"h % {m} AS bucket", f"h div {m} AS w")
+    per_shard = keyed.groupBy("shard", "bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)"
+            f" ELSE {w_bits + 1} END)"
+        ).alias("rho")
+    )
+    merged = per_shard.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    n_shards = per_shard.select("shard").distinct().agg(
+        F.count("*").alias("n_shards")
+    )
+    n_exact = df.select(F.countDistinct(key_col).alias("n_exact"))
+    summed = merged.agg(
+        F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+        F.count("*").alias("v_occupied"),
+    )
+    scale = float(1 << 52)
+    out = summed.crossJoin(n_shards).crossJoin(n_exact).select(
+        F.col("n_shards"),
+        F.lit(m).alias("m"),
+        F.col("n_exact"),
+        (F.lit(m) - F.col("v_occupied")).cast("long").alias("v_empty"),
+        trunc_dp(
+            F.lit(alpha * m * m)
+            / (
+                (
+                    F.col("s_scaled")
+                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+                )
+                / F.lit(scale)
+            ),
+            6,
+        ).alias("hll_raw"),
+    )
+    corrected = F.when(
+        (F.col("hll_raw") <= 2.5 * m) & (F.col("v_empty") > 0),
+        trunc_dp(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")), 6),
+    ).otherwise(F.col("hll_raw"))
+    return out.select(
+        "n_shards",
+        "m",
+        "n_exact",
+        "v_empty",
+        corrected.alias("hll_estimate"),
+        trunc_dp(
+            F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+def hll_rollup_sql(
+    table: str, shard_expr: str, key_expr: str, p: int = 9
+) -> str:
+    """DuckDB twin of :func:`hll_rollup` (same constants, same fold;
+    the per-shard -> merged two-level max mirrors the Spark plan)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    w_bits = HASH_BITS - p
+    h = _h60_sql(key_expr)
+    scale = float(1 << 52)
+    return f"""
+    WITH keyed AS (
+        SELECT shard, h % {m} AS bucket, h // {m} AS w
+        FROM (SELECT {shard_expr} AS shard, {h} AS h FROM {table})
+    ), per_shard AS (
+        SELECT shard, bucket,
+               max(CASE WHEN w > 0 THEN {w_bits} - CAST(floor(log2(w)) AS BIGINT)
+                        ELSE {w_bits + 1} END) AS rho
+        FROM keyed GROUP BY shard, bucket
+    ), merged AS (
+        SELECT bucket, max(rho) AS rho FROM per_shard GROUP BY bucket
+    ), s AS (
+        SELECT sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+               count(*) AS v_occupied
+        FROM merged
+    ), e AS (
+        SELECT (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM per_shard)
+                   AS n_shards,
+               CAST({m} AS INTEGER) AS m,
+               (SELECT count(DISTINCT {key_expr}) FROM {table}) AS n_exact,
+               CAST({m} - v_occupied AS BIGINT) AS v_empty,
+               floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                      / {scale!r})) * 1000000.0) / 1000000.0 AS hll_raw
+        FROM s
+    )
+    SELECT n_shards, m, n_exact, v_empty,
+           CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
+                THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
+                ELSE hll_raw END AS hll_estimate,
+           floor((abs(CASE WHEN hll_raw <= 2.5 * {m} AND v_empty > 0
+                          THEN floor(({m}.0 * ln({m}.0 / v_empty)) * 1000000.0) / 1000000.0
+                          ELSE hll_raw END - n_exact) / n_exact) * 1000000.0) / 1000000.0 AS rel_err
+    FROM e
+    """
+
+
 def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     """KMV (k-minimum-values / bottom-k theta) cardinality estimate:
     keep the k smallest normalized hashes u = h / 2^60 of the DISTINCT

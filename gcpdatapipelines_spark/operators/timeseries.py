@@ -957,3 +957,72 @@ def cusum_alarms(
         trunc_dp(F.col("__h"), 6).alias("__hr"),
     )
     return out.filter(F.col("cusum") > F.col("__hr")).drop("__hr")
+
+
+def theil_sen_trend(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """(key, n_days, n_pairs, theil_sen_slope): robust per-key trend —
+    the median of all pairwise slopes of the daily value series
+    (Theil–Sen estimator, Sen 1968). Up to ~29% of the days can be
+    arbitrarily corrupted without moving the estimate, which is why it
+    belongs next to the OLS fit (agg.trend_fit / a16): one spend-spike
+    day drags OLS but not Theil–Sen.
+
+    Scale shape: the fact collapses to the calendar-bounded daily grid
+    FIRST (one partial+final decimal agg), so the pair self-join is
+    |days|^2/2 per key — bounded by the span of the calendar, never by
+    fact rows; at 100 TB the pair stage is the same few-million-row
+    job it is at 100 GB. The median is an explicit order-statistic
+    (row_number over slope; mean of the two middles for even counts) —
+    no interpolation rule to disagree on, so the value is
+    oracle-hashable bit-for-bit. Slope division and the two-middle
+    mean are single deterministic double ops."""
+    day = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / 86400.0
+    ).cast("long")
+    daily = (
+        df.groupBy(F.col(key).alias("__k"), day.alias("__d"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("__v")
+        )
+    )
+    a = daily.select(
+        F.col("__k"), F.col("__d").alias("__d1"), F.col("__v").alias("__v1")
+    )
+    b = daily.select(
+        F.col("__k"), F.col("__d").alias("__d2"), F.col("__v").alias("__v2")
+    )
+    pairs = a.join(b, "__k").filter(F.col("__d1") < F.col("__d2")).select(
+        "__k",
+        (
+            (F.col("__v2") - F.col("__v1"))
+            / (F.col("__d2") - F.col("__d1")).cast("double")
+        ).alias("__slope"),
+    )
+    w = Window.partitionBy("__k").orderBy("__slope")
+    ranked = pairs.select(
+        "__k",
+        "__slope",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy("__k")).alias("__n"),
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+    )
+    days = daily.groupBy("__k").agg(F.count("*").alias("n_days"))
+    med = mid.groupBy("__k").agg(
+        F.max("__n").alias("n_pairs"), F.avg("__slope").alias("__med")
+    )
+    return (
+        med.join(days, "__k")
+        .select(
+            F.col("__k").alias(key),
+            F.col("n_days"),
+            F.col("n_pairs"),
+            trunc_dp(F.col("__med"), 6).alias("theil_sen_slope"),
+        )
+    )

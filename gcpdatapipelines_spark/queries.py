@@ -4681,6 +4681,40 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_jaccard_neighbors",
+    f"""
+    WITH {_COPURCHASE_EDGE_SQL},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    common AS (
+        SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS n_common
+        FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+        GROUP BY 1, 2
+    )
+    SELECT c.u, c.v, n_common,
+           da.deg AS deg_u, db.deg AS deg_v,
+           CAST(n_common * 1000000 // (da.deg + db.deg - n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM common c JOIN deg da ON c.u = da.n JOIN deg db ON c.v = db.n
+    ORDER BY jaccard_ppm DESC, c.u, c.v LIMIT 25
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 node pairs by neighborhood Jaccard similarity in the
+    supported co-purchase graph — the set-overlap companion to
+    graph_adamic_adar (how interchangeable are two parts?), the
+    substitute-product / duplicate-entity signal. Score is exact
+    integer ppm (common * 1e6 div union) — no doubles anywhere, fully
+    deterministic under the (score, u, v) tiebreak. One wedge
+    self-join bounded by max degree + two degree joins + TakeOrdered;
+    no global sort, no cartesian."""
+    from .operators.graph import jaccard_neighbors_topk
+
+    edges = _copurchase_edges_cached(spark, sf_dir)
+    return jaccard_neighbors_topk(edges, k=25)
+
+
+@register(
     "w15_attribution",
     """
     WITH t AS (
@@ -6340,6 +6374,49 @@ def a42_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a43_theil_sen",
+    """
+    WITH daily AS (
+        SELECT event_type AS k,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.k, (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+    ), ranked AS (
+        SELECT k, slope,
+               row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM pairs
+    ), med AS (
+        SELECT k, CAST(max(n) AS BIGINT) AS n_pairs, avg(slope) AS m
+        FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY k
+    ), days AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY k
+    )
+    SELECT med.k AS event_type, n_days, n_pairs,
+           floor(m * 1000000.0) / 1000000.0 AS theil_sen_slope
+    FROM med JOIN days ON med.k = days.k
+    """,
+)
+def a43_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type trend: the Theil–Sen slope (median of all
+    pairwise slopes) of the daily value series — up to ~29% of the
+    days can be arbitrarily corrupted without moving it, which the OLS
+    fit (a16_trend_per_user family) cannot claim. The fact collapses
+    to the calendar-bounded daily grid FIRST, so the pair join is
+    |days|^2/2 per key regardless of fact size; the median is an
+    explicit order-statistic (no interpolation rule to disagree on),
+    making the value oracle-hashable."""
+    from .operators.timeseries import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "event_type", "ts", "value")
+
+
+@register(
     "text_bm25_topk",
     """
     WITH toks AS (
@@ -6893,20 +6970,31 @@ def w21_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a26_hll_rollup")  # rows-only: DataSketches HLL binary sketches
-# have no DuckDB twin; determinism + accuracy pinned in tests (merged
-# estimate == direct whole-data sketch, and within rsd of exact)
-def a26_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count maintenance: per-source HLL sketches of
-    event users merged into one union estimate — the 100 TB shape
-    where per-day/partition sketches (KB each) answer any cross-shard
-    distinct query without re-scanning the fact. One partial-agg
-    sketch pass + a KB-sized merge."""
-    from .operators.agg import hll_merge_estimate, hll_shard_sketches
+def _register_hll_rollup():
+    from .operators.sketches import hll_rollup_sql
 
-    ev = _t(spark, sf_dir, "events")
-    sk = hll_shard_sketches(ev, F.col("event_type"), "user_id", lg_k=12)
-    return hll_merge_estimate(sk)
+    @register(
+        "a26_hll_rollup",
+        hll_rollup_sql("events", "event_type", "user_id", p=9),
+    )
+    def a26_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mergeable distinct-count maintenance: per-source HLL
+        registers of event users max-merged into one union estimate —
+        the 100 TB shape where per-day/partition sketches (KB each)
+        answer any cross-shard distinct query without re-scanning the
+        fact. md5-mode registers + the dyadic-exact fold make the whole
+        rollup oracle-hashable (was rows-only through r5); the
+        production DataSketches tier (agg.hll_shard_sketches /
+        hll_merge_estimate) stays pinned by band tests. Two bounded
+        hash-aggs over one fact scan; only shards x 2^9 register rows
+        ever shuffle."""
+        from .operators.sketches import hll_rollup
+
+        ev = _t(spark, sf_dir, "events")
+        return hll_rollup(ev, "event_type", "user_id", p=9)
+
+
+_register_hll_rollup()
 
 
 @register(
@@ -7666,19 +7754,30 @@ def w24_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(ev, "user_id", "ts", period_days=7)
 
 
-@register("graph_kcore")  # rows-only: iterative peeling has no
-# (non-recursive-aggregate) SQL twin; python-model parity + core
-# invariants pinned in tests/test_graph.py
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the supported co-purchase graph: survivors of
-    iterative degree-<3 peeling with their within-core degrees — the
-    density filter behind community/spam-ring mining. Monotone
-    shrinkage, a handful of hash-agg + semi-join rounds with
-    checkpointed lineage."""
-    from .operators.graph import kcore
+def _register_kcore():
+    from .operators.graph import kcore_unrolled_sql
 
-    edges = _copurchase_edges_cached(spark, sf_dir)
-    return kcore(edges, k=3)
+    @register(
+        "graph_kcore",
+        kcore_unrolled_sql(_COPURCHASE_EDGE_SQL, k=3, rounds=16),
+    )
+    def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3-core of the supported co-purchase graph: survivors of
+        iterative degree-<3 peeling with their within-core degrees —
+        the density filter behind community/spam-ring mining. Monotone
+        shrinkage, a handful of hash-agg + semi-join rounds with
+        checkpointed lineage. Peeling is idempotent at fixpoint, so the
+        bounded 16-round form (2× the sf0.01 convergence depth) equals
+        the true k-core and a 16-stage unrolled-CTE DuckDB twin
+        hash-checks the whole iteration (was rows-only through r5);
+        python-model parity stays pinned in tests/test_graph.py."""
+        from .operators.graph import kcore
+
+        edges = _copurchase_edges_cached(spark, sf_dir)
+        return kcore(edges, k=3, max_iter=16, strict=False)
+
+
+_register_kcore()
 
 
 @register(
@@ -10289,39 +10388,248 @@ def sketch_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sliding_distinct(ev, "user_id", "ts", window_days=7, p=9)
 
 
-@register("w29_markov_attribution")  # rows-only: the absorbing-chain
-# solve (numpy over the bounded transition matrix) has no SQL twin;
-# hand-solved-chain + first-conversion-cut parity pinned in
-# tests/test_round6_ops.py
+def _markov_sql(conv: str = "purchase", steps: int = 60) -> str:
+    """DuckDB twin of funnel.markov_attribution_quantized: the same
+    transition counting, then ``steps`` textually-unrolled
+    integer-power-iteration stages over the bounded (chain, state)
+    vector (every removal chain iterates in the same table; HUGEINT
+    accumulate, BIGINT state). Stages are AS MATERIALIZED — each
+    references the previous one plus the shared transition table, and
+    plain inlining would grow the plan exponentially (the kcore
+    lesson)."""
+    head = f"""
+    WITH ev AS (
+        SELECT user_id AS u, ts, event_id AS o,
+               CASE WHEN event_type = '{conv}' THEN 'CONV'
+                    ELSE event_type END AS st
+        FROM events
+    ), flagged AS (
+        SELECT u, ts, o, st,
+               count(CASE WHEN st = 'CONV' THEN 1 END)
+                   OVER (PARTITION BY u ORDER BY ts, o
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pc
+        FROM ev
+    ), f2 AS (
+        SELECT u, ts, o, st FROM flagged WHERE pc = 0
+    ), stepped AS (
+        SELECT u,
+               coalesce(lag(st) OVER w, 'START') AS src,
+               st AS dst,
+               CASE WHEN lead(st) OVER w IS NULL AND st <> 'CONV'
+                    THEN 'NULL' END AS tail
+        FROM f2 WINDOW w AS (PARTITION BY u ORDER BY ts, o)
+    ), tr0 AS (
+        SELECT src, dst FROM stepped
+        UNION ALL
+        SELECT dst AS src, tail AS dst FROM stepped WHERE tail IS NOT NULL
+    ), cnt AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr0 GROUP BY 1, 2
+    ), tr AS MATERIALIZED (
+        SELECT c.src, c.dst, c.n, t.tot
+        FROM cnt c JOIN (SELECT src, sum(n) AS tot FROM cnt GROUP BY 1) t
+             USING (src)
+    ), chains AS MATERIALIZED (
+        SELECT 'FULL' AS chain
+        UNION ALL
+        SELECT DISTINCT src AS chain FROM cnt WHERE src <> 'START'
+    ), x0 AS (
+        SELECT chain, CAST('' AS VARCHAR) AS state, CAST(0 AS BIGINT) AS x
+        FROM chains WHERE 1 = 0
+    )"""
+    stage = """, x{nxt} AS MATERIALIZED (
+        SELECT ch.chain, tr.src AS state,
+               CAST(sum(CAST(tr.n AS HUGEINT) * CASE
+                       WHEN tr.dst = 'CONV' THEN 1000000000000
+                       WHEN tr.dst = 'NULL' THEN 0
+                       WHEN tr.dst = ch.chain THEN 0
+                       ELSE coalesce(x.x, 0) END)
+                    // CAST(max(tr.tot) AS HUGEINT) AS BIGINT) AS x
+        FROM chains ch CROSS JOIN tr
+        LEFT JOIN x{cur} x ON x.chain = ch.chain AND x.state = tr.dst
+        WHERE tr.src <> ch.chain
+        GROUP BY ch.chain, tr.src
+    )"""
+    body = "".join(
+        stage.format(cur=t, nxt=t + 1) for t in range(steps)
+    )
+    tail = f""", base AS (
+        SELECT x AS b FROM x{steps} WHERE chain = 'FULL' AND state = 'START'
+    ), eff AS (
+        SELECT chain AS channel,
+               CASE WHEN b > 0
+                    THEN greatest(0, 1000000 -
+                        CAST(CAST(x AS HUGEINT) * 1000000
+                             // CAST(b AS HUGEINT) AS BIGINT))
+                    ELSE 0 END AS removal_effect_ppm
+        FROM x{steps} CROSS JOIN base
+        WHERE chain <> 'FULL' AND state = 'START'
+    ), tots AS (
+        SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS tot_eff,
+               (SELECT CAST(sum(n) AS BIGINT) FROM cnt
+                WHERE dst = 'CONV') AS total_conv
+        FROM eff
+    )
+    SELECT channel,
+           CAST(removal_effect_ppm AS BIGINT) AS removal_effect_ppm,
+           CAST(CASE WHEN tot_eff > 0
+                THEN removal_effect_ppm * 1000000 // tot_eff
+                ELSE 0 END AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN tot_eff > 0
+                THEN total_conv * 100 * removal_effect_ppm // tot_eff
+                ELSE 0 END AS BIGINT) AS attributed_conversions_c
+    FROM eff CROSS JOIN tots
+    ORDER BY channel
+    """
+    return head + body + tail
+
+
+@register("w29_markov_attribution", _markov_sql())
 def w29_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution over user event journeys:
     click/view/signup/error earn credit for purchases by how much
     START->CONV probability drops when each channel is deleted from
     the first-order chain. Transition counting is the only data-sized
     work (one user-keyed window pass + a <= (k+2)^2 hash agg); the
-    exact linear solve runs driver-side on that bounded matrix."""
-    from .operators.funnel import markov_attribution
+    absorbing-chain solve is the exact-integer 60-step power
+    iteration of funnel.markov_attribution_quantized, bit-mirrored by
+    a 60-stage unrolled-CTE DuckDB twin (was rows-only through r5 —
+    the float numpy solve stays as the production tier, pinned in
+    tests/test_round6_ops.py)."""
+    from .operators.funnel import markov_attribution_quantized
 
     ev = _t(spark, sf_dir, "events")
-    return markov_attribution(
+    return markov_attribution_quantized(
         ev, "user_id", "ts", "event_type", "purchase", "event_id"
     )
 
 
-@register("w30_shapley_attribution")  # rows-only: the factorial-
-# weighted coalition sum runs driver-side over the bounded 2^k
-# coalition table; hand-solved Shapley + post-conversion-cut parity
-# pinned in tests/test_round6_ops.py
+# --- w30_shapley_attribution: exact-integer Shapley, no enumeration ----
+# Each observed coalition M contributes to channel i's Shapley sum in
+# exactly two roles: as v(S∪i) with S = M\{i} when i ∈ M (weight
+# +(|M|-1)!(k-|M|)!), and as v(S) with S = M when i ∉ M (weight
+# -|M|!(k-1-|M|)!). Unobserved coalitions have v = 0 (the
+# simplified-Shapley convention, Zhao et al. 1804.05327) and so
+# contribute nothing — which collapses the classic sum over all 2^k
+# subsets into ONE pass over the observed-coalition table, fully
+# SQL-expressible. Coalition values are quantized to exact integers
+# (v12 = conv*1e12 div n), the factorial-weighted sum is a BIGINT
+# aggregate (order-free), and both engines' integer division truncates
+# toward zero (verified: -7 div 2 == -7 // 2 == -3), so the whole
+# statistic is bit-identical by construction. BIGINT headroom: terms
+# are bounded by (k-1)!*1e12, fine for channel domains k <= 7; at
+# larger k or >9.2e6 conversions per coalition, lower the 1e12 scale.
+
+
+def _shapley_sql(dialect: str, conv: str = "purchase") -> str:
+    sp = dialect == "spark"
+    table = "events"
+    mkset = (
+        "array_join(array_sort(array_distinct(collect_list("
+        f"CASE WHEN event_type <> '{conv}' THEN event_type END))), ',')"
+        if sp
+        else "array_to_string(list_sort(list_distinct("
+        f"list(event_type) FILTER (event_type <> '{conv}'))), ',')"
+    )
+    members = "split(set_str, ',')" if sp else "string_split(set_str, ',')"
+    contains = (
+        f"array_contains({members}, ch)" if sp else f"list_contains({members}, ch)"
+    )
+    setsz = f"size({members})" if sp else f"len({members})"
+    fact = (
+        (lambda x: f"factorial({x})")
+        if sp
+        else (lambda x: f"CAST(factorial(CAST({x} AS INTEGER)) AS BIGINT)")
+    )
+    idiv = (
+        (lambda x, y: f"({x} div {y})")
+        if sp
+        else (
+            lambda x, y: f"CAST(CAST({x} AS HUGEINT) // CAST({y} AS HUGEINT)"
+            " AS BIGINT)"
+        )
+    )
+    return f"""
+    WITH pre AS (
+        SELECT user_id, event_type
+        FROM (
+            SELECT user_id, event_type,
+                   count(CASE WHEN event_type = '{conv}' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prior_conv
+            FROM {table}
+        ) t WHERE prior_conv = 0
+    ), per_user AS (
+        SELECT user_id, {mkset} AS set_str,
+               max(CASE WHEN event_type = '{conv}' THEN 1 ELSE 0 END) AS conv
+        FROM pre GROUP BY user_id
+    ), coal AS (
+        SELECT set_str, {setsz} AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS nc
+        FROM per_user WHERE set_str <> '' GROUP BY set_str
+    ), v AS (
+        SELECT set_str, s, n, nc,
+               {idiv('nc * 1000000000000', 'n')} AS v12
+        FROM coal
+    ), chan AS (
+        SELECT DISTINCT ch FROM (
+            SELECT {"explode(" + members + ")" if sp else "unnest(" + members + ")"} AS ch
+            FROM coal
+        ) x
+    ), kk AS (
+        SELECT CAST(count(*) AS INTEGER) AS k FROM chan
+    ), terms AS (
+        SELECT ch,
+               CASE WHEN {contains}
+                    THEN {fact('s - 1')} * {fact('k - s')} * v12
+                    ELSE -{fact('s')} * {fact('greatest(k - 1 - s, 0)')} * v12
+               END AS term
+        FROM chan CROSS JOIN v CROSS JOIN kk
+        WHERE NOT ({contains} = FALSE AND s = k)
+    ), shap AS (
+        SELECT ch, CAST(sum(term) AS BIGINT) AS shap_q FROM terms GROUP BY ch
+    ), micro AS (
+        SELECT ch,
+               {idiv('shap_q', "(" + fact('k') + " * 1000000)")} AS sv_micro
+        FROM shap CROSS JOIN kk
+    ), tot AS (
+        SELECT CAST(sum(CASE WHEN sv_micro > 0 THEN sv_micro ELSE 0 END)
+                    AS BIGINT) AS pos_tot,
+               (SELECT CAST(sum(nc) AS BIGINT) FROM coal) AS total_conv
+        FROM micro
+    )
+    SELECT ch AS channel,
+           CAST(sv_micro AS BIGINT) AS shapley_micro,
+           CAST(CASE WHEN pos_tot > 0 AND sv_micro > 0
+                THEN {idiv('sv_micro * 1000000', 'pos_tot')}
+                ELSE 0 END AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN pos_tot > 0 AND sv_micro > 0
+                THEN {idiv('total_conv * 100 * sv_micro', 'pos_tot')}
+                ELSE 0 END AS BIGINT) AS attributed_conversions_c
+    FROM micro CROSS JOIN tot
+    ORDER BY channel
+    """
+
+
+@register("w30_shapley_attribution", _shapley_sql("duckdb"))
 def w30_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shapley-value channel attribution (order-free companion to
-    w29_markov_attribution): coalition values = observed conversion
-    rates per distinct pre-purchase channel set; exact Shapley over
-    the <= 2^k observed coalitions, normalized into conversion
-    shares. Distributed work ends at a 2^k-row aggregate."""
-    from .operators.funnel import shapley_attribution
+    w29_markov_attribution), exact-integer end to end: coalition
+    values = quantized observed conversion rates per distinct
+    pre-purchase channel set; each channel's Shapley sum collapses to
+    ONE factorial-weighted pass over the observed coalitions (see
+    _shapley_sql — unobserved coalitions contribute 0, so no 2^k
+    enumeration), making it fully distributed (no driver round-trip,
+    upgraded from the r4 collect() tier) AND oracle-hashable
+    (rows-only through r5). Distributed work: one user-keyed window
+    pass + hash aggs ending in <= 2^k coalition rows; the Shapley
+    tail is a bounded channels x coalitions broadcast join."""
+    from .io import load_tables
 
-    ev = _t(spark, sf_dir, "events")
-    return shapley_attribution(ev, "user_id", "ts", "event_type", "purchase")
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(_shapley_sql("spark"))
 
 
 @register(

@@ -4,6 +4,8 @@ sf0.01 (what the driver uses)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -53,7 +55,17 @@ def test_rows_only_driver_canon(spark, name):
 # events-touching oracle query and assert the read_table runtime pin keeps
 # the output bit-identical to DuckDB's naive read.
 
-TS_QUERIES = sorted(k for k, v in ORACLES.items() if "events" in v.lower())
+# every events-touching oracle (the ts column lives there), plus any oracle
+# that emits epoch/unix values from the other naive-timestamp tables
+# (orders.o_orderdate, lineitem.l_shipdate) — e.g. w26_rfm_segments'
+# epoch(o_orderdate) output is an absolute instant too. Naive-literal
+# predicates (o_orderdate < TIMESTAMP '...') shift with the column under a
+# non-UTC session and so stay tz-invariant; only emitted instants can drift.
+TS_QUERIES = sorted(
+    k
+    for k, v in ORACLES.items()
+    if "events" in v.lower() or re.search(r"epoch|unix", v.lower())
+)
 
 
 @pytest.fixture(scope="module")
