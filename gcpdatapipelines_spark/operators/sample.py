@@ -546,3 +546,86 @@ def time_series_cv_folds(
             ).alias("n_test"),
         )
     )
+
+
+def concat_chunk_pack(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int = 2048,
+    nshards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk packing (the GPT-pretraining layout): documents
+    are concatenated in deterministic ``id_col`` order into one global
+    token stream and split at fixed ``capacity`` boundaries — documents
+    span chunks rather than leaving tail padding (the complement of
+    :func:`pack_sequences`' FFD bins, which never split a document but
+    can't be expressed without sequential state).
+
+    Returns one row per document: (id, n_tokens, start_off,
+    first_chunk, last_chunk, chunks_spanned) — everything a loader
+    needs to materialize any chunk, all exact integers.
+
+    Scale shape (the dense_ids pattern): the global exclusive running
+    sum is computed by value-range sharding on the id — each shard runs
+    ONE bounded local cumsum window, and per-shard base offsets (the
+    only driver state: nshards totals) lift local sums to global
+    offsets. No single-reducer global window anywhere; at 100 TB every
+    shard packs independently. The oracle twin IS the plain global
+    window — sharding is a lossless physical optimization."""
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+    )
+    mx = rows.agg(F.max("__id").alias("m")).first()["m"]
+    if mx is None:
+        return rows.select(
+            F.col("__id").alias(id_col),
+            F.col("__len").alias("n_tokens"),
+            F.lit(None).cast("long").alias("start_off"),
+            F.lit(None).cast("long").alias("first_chunk"),
+            F.lit(None).cast("long").alias("last_chunk"),
+            F.lit(None).cast("long").alias("chunks_spanned"),
+        )
+    width = max(1, int(mx) // nshards + 1)
+    sharded = rows.withColumn(
+        "__shard", (F.col("__id").cast("long") / width).cast("long")
+    )
+    totals = (
+        sharded.groupBy("__shard").agg(F.sum("__len").alias("t")).collect()
+    )
+    base, run = {}, 0
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        base[r["__shard"]] = run
+        run += r["t"]
+    omap = F.create_map(
+        *[F.lit(v) for kv in sorted(base.items()) for v in kv]
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum("__len").over(w), F.lit(0)) + omap[F.col("__shard")]
+    ).cast("long")
+    out = sharded.select(
+        F.col("__id").alias(id_col),
+        F.col("__len").alias("n_tokens"),
+        start.alias("start_off"),
+    )
+    first = F.expr(f"start_off div {capacity}")
+    last = F.expr(
+        f"CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) div {capacity}"
+        f" ELSE start_off div {capacity} END"
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_off",
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("chunks_spanned"),
+    )

@@ -7220,6 +7220,59 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_concat_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                                                       '[^a-z0-9]+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), offs AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_off
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, start_off,
+           CAST(start_off // 2048 AS BIGINT) AS first_chunk,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (start_off + n_tokens - 1) // 2048
+                ELSE start_off // 2048 END AS BIGINT) AS last_chunk,
+           CAST((CASE WHEN n_tokens > 0
+                 THEN (start_off + n_tokens - 1) // 2048
+                 ELSE start_off // 2048 END) - start_off // 2048 + 1
+                AS BIGINT) AS chunks_spanned
+    FROM offs
+    """,
+)
+def sample_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing (the GPT-pretraining layout, the
+    complement of sample_pack_sequences' FFD bins): documents
+    concatenated in doc_id order into one global token stream, split
+    at fixed 2048-token boundaries — documents span chunks, no tail
+    padding. Emits per-doc (n_tokens, start_off, first/last_chunk,
+    chunks_spanned), all exact integers. The global exclusive running
+    sum uses the dense_ids value-range-shard pattern (bounded local
+    windows + nshards driver offsets — never a single-reducer global
+    window); the oracle twin is the plain global window, proving the
+    sharded plan lossless."""
+    from .operators.sample import concat_chunk_pack
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("n_tokens"),
+    )
+    return concat_chunk_pack(d, "doc_id", "n_tokens", capacity=2048)
+
+
+@register(
     "sim_hard_negatives",
     f"""
     WITH q AS (

@@ -341,3 +341,66 @@ def test_shapley_sql_tier_agrees_with_python_model(spark, tmp_path):
     for c in py:
         assert abs(sq[c].shapley_micro / 1e6 - py[c].shapley_value) < 1e-4
         assert abs(sq[c].share_ppm / 1e6 - py[c].attribution_share) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# concat_chunk_pack
+# ---------------------------------------------------------------------------
+
+
+def test_concat_chunk_pack_matches_python_model(spark):
+    from gcpdatapipelines_spark.operators.sample import concat_chunk_pack
+
+    lens = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(lens, "doc_id long, n long")
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.start_off,
+            r.first_chunk,
+            r.last_chunk,
+            r.chunks_spanned,
+        )
+        for r in concat_chunk_pack(df, "doc_id", "n", capacity=256).collect()
+    }
+    off = 0
+    for i, n in lens:
+        first = off // 256
+        last = (off + n - 1) // 256 if n > 0 else first
+        assert got[i] == (n, off, first, last, last - first + 1)
+        off += n
+
+
+def test_concat_chunk_pack_stream_is_contiguous(spark):
+    from gcpdatapipelines_spark.operators.sample import concat_chunk_pack
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 50 + 1) for i in range(500)], "doc_id long, n long"
+    )
+    rows = sorted(
+        concat_chunk_pack(df, "doc_id", "n", capacity=128).collect(),
+        key=lambda r: r.doc_id,
+    )
+    off = 0
+    for r in rows:
+        assert r.start_off == off  # no gaps, no overlaps
+        off += r.n_tokens
+    assert all(r.chunks_spanned >= 1 for r in rows)
+
+
+def test_concat_chunk_pack_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.operators.sample import concat_chunk_pack
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 99 + 1) for i in range(300)], "doc_id long, n long"
+    )
+    a = sorted(
+        map(tuple, concat_chunk_pack(df, "doc_id", "n", 64).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            concat_chunk_pack(df.repartition(23), "doc_id", "n", 64).collect(),
+        )
+    )
+    assert a == b
