@@ -376,6 +376,7 @@ def incremental_neardup(
     num_perm: int = 64,
     bands: int = 16,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup admission: admit documents from an ingest
     increment that collide with the standing corpus in NO LSH band,
@@ -397,9 +398,14 @@ def incremental_neardup(
     collide, min(a, b) is admitted regardless of batch ordering, so
     replaying a batch yields identical output. One shuffle on the
     bucket key; the state anti-join is bucket-keyed too.
+
+    ``hash_fn="md5"`` switches to the engine-parity signature family
+    (lsh_band_keys), making the whole admission decision
+    oracle-checkable; production keeps xxhash64.
     """
     keys = lsh_band_keys(
-        new_df, id_col, text_col, n, num_perm, bands, shingles=shingles
+        new_df, id_col, text_col, n, num_perm, bands,
+        shingles=shingles, hash_fn=hash_fn,
     )
     if band_state is not None:
         seen = band_state.select("band", "bucket").distinct()

@@ -2327,9 +2327,79 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_incremental_neardup")  # rows-only: xxhash64 band keys
-# have no DuckDB twin (same reason as dedup_minhash_lsh); sequential-
-# batch parity and state shape are pinned in tests/test_streaming.py
+def _incremental_neardup_sql(num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of the md5-mode incremental admission: the same
+    md5/universal-hash band keys as _minhash_lsh_sql computed once for
+    ALL docs, the corpus half reduced to distinct (band, bucket) state,
+    the increment half admitted iff every band is clear of the state
+    AND the doc is the bucket-min within the increment."""
+    from .operators.dedup import _MINHASH_P, minhash_perm_constants
+
+    consts = minhash_perm_constants(num_perm)
+    mins = ",\n               ".join(
+        f"min(({a} * b + {bb}) % {_MINHASH_P}) AS h{s}"
+        for s, (a, bb) in enumerate(consts)
+    )
+    rpb = num_perm // bands
+    band_idx = ", ".join(str(t) for t in range(bands))
+    buckets = ",\n                       ".join(
+        "concat_ws(',', " + ", ".join(f"h{t * rpb + j}" for j in range(rpb)) + ")"
+        for t in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(l) - 4),
+                       i -> array_to_string(l[i:i+4], ' ')))
+               ELSE [array_to_string(l, ' ')] END) AS shingle
+        FROM toks
+    ), hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                   % {_MINHASH_P} AS b
+        FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM hb GROUP BY doc_id
+    ), bb AS MATERIALIZED (
+        SELECT doc_id,
+               unnest([{band_idx}]) AS band,
+               unnest([{buckets}]) AS bucket
+        FROM sigs
+    ), half AS (
+        SELECT CAST(max(doc_id) // 2 AS BIGINT) AS h FROM documents
+    ), state AS (
+        SELECT DISTINCT band, bucket FROM bb, half WHERE doc_id <= h
+    ), clear AS MATERIALIZED (
+        SELECT i.doc_id, i.band, i.bucket
+        FROM (SELECT bb.* FROM bb, half WHERE doc_id > h) i
+        LEFT JOIN state s ON i.band = s.band AND i.bucket = s.bucket
+        WHERE s.band IS NULL
+    ), survivors AS (
+        SELECT doc_id FROM clear GROUP BY doc_id
+        HAVING count(*) = {bands}
+    ), fkeys AS MATERIALIZED (
+        SELECT c.* FROM clear c JOIN survivors USING (doc_id)
+    ), mins AS (
+        SELECT band, bucket, min(doc_id) AS min_id FROM fkeys GROUP BY 1, 2
+    ), clash AS (
+        SELECT DISTINCT f.doc_id
+        FROM fkeys f JOIN mins m ON f.band = m.band AND f.bucket = m.bucket
+        WHERE f.doc_id <> m.min_id
+    )
+    SELECT doc_id FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM clash)
+    """
+
+
+@register("dedup_incremental_neardup", _incremental_neardup_sql())
 def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission (the streaming-corpus MinHash
     shape): the first half of the corpus stands as LSH band keys only
@@ -2338,7 +2408,9 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus in NO band, deduped within itself by the
     deterministic bucket-min rule. One signature pass + bucket-keyed
     anti-join per increment; state grows with the admitted corpus
-    only."""
+    only. md5-mode band keys make the whole admission decision
+    oracle-hashable (was rows-only through r5 on xxhash64 keys —
+    production keeps xxhash64, pinned in tests/test_streaming.py)."""
     from .operators.dedup import incremental_neardup, lsh_band_keys
 
     d = _t(spark, sf_dir, "documents")
@@ -2349,10 +2421,12 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = lsh_band_keys(
         corpus, "doc_id", "text",
         shingles=sh.filter(F.col("doc_id") <= half),
+        hash_fn="md5",
     )
     admitted, _ = incremental_neardup(
         increment, state, "doc_id", "text",
         shingles=sh.filter(F.col("doc_id") > half),
+        hash_fn="md5",
     )
     return admitted
 
