@@ -377,6 +377,7 @@ def incremental_neardup(
     bands: int = 16,
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
+    precomputed_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup admission: admit documents from an ingest
     increment that collide with the standing corpus in NO LSH band,
@@ -402,14 +403,32 @@ def incremental_neardup(
     ``hash_fn="md5"`` switches to the engine-parity signature family
     (lsh_band_keys), making the whole admission decision
     oracle-checkable; production keeps xxhash64.
+
+    ``precomputed_keys`` skips the signature pass entirely and admits
+    from an existing (id, band, bucket) frame — the backfill shape
+    where one signature scan over the full corpus feeds both the
+    standing state and the increment (signatures are per-doc, so
+    splitting after one pass is identical to two passes and half the
+    cost).
     """
-    keys = lsh_band_keys(
-        new_df, id_col, text_col, n, num_perm, bands,
-        shingles=shingles, hash_fn=hash_fn,
+    keys = (
+        precomputed_keys
+        if precomputed_keys is not None
+        else lsh_band_keys(
+            new_df, id_col, text_col, n, num_perm, bands,
+            shingles=shingles, hash_fn=hash_fn,
+        )
     )
     if band_state is not None:
         seen = band_state.select("band", "bucket").distinct()
         keys = keys.join(seen, ["band", "bucket"], "left_anti")
+    # cached: consumed FOUR times below (survivor count, survivor
+    # restriction, bucket-min election, clash join) — without it the
+    # whole signature+banding pipeline re-executes per consumer, which
+    # the md5-mode family made 4x-expensively visible (15.4 s -> the
+    # xxhash64 tier had just been absorbing it). The frame is
+    # increment_docs x bands rows of (id, band, bucket) — tiny.
+    keys = keys.cache()
     # a doc survives only with ALL its bands clear of the corpus:
     # count surviving bands == bands
     full = keys.groupBy(id_col).agg(F.count("*").alias("__nb")).filter(
@@ -441,6 +460,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     n-gram Jaccard. ``hash_fn="md5"`` switches the signature family to
@@ -455,11 +475,13 @@ def minhash_lsh_pairs(
     the exact-Jaccard pair set restricted to LSH candidates."""
     # one tokenize+shingle scan feeds both the signatures and the
     # exact-Jaccard verify below; callers with several dedup passes
-    # over one corpus pass their own persisted ``shingles`` instead
+    # over one corpus pass their own persisted ``shingles`` (and/or
+    # ``banded`` key frame) instead
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
-    banded = lsh_band_keys(
-        df, id_col, text_col, n, num_perm, bands, shingles=sh, hash_fn=hash_fn
-    )
+    if banded is None:
+        banded = lsh_band_keys(
+            df, id_col, text_col, n, num_perm, bands, shingles=sh, hash_fn=hash_fn
+        )
 
     left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")

@@ -447,9 +447,13 @@ def pagerank_exact_scaled(
     scale), far below rank-ordering resolution.
 
     Same plan shape as :func:`pagerank`: co-partitioned rank⋈edges,
-    one groupBy(dst) shuffle per round, lineage truncated per round
-    with localCheckpoint. Fixed-iteration by construction (integer
-    states admit no residual tolerance)."""
+    one groupBy(dst) shuffle per round, lineage truncated every THIRD
+    round with localCheckpoint (each checkpoint is an eager barrier
+    job — per-round truncation spent ~20% of wall on barriers at
+    local[32]; three join+agg rounds of lineage stay well inside
+    catalyst's comfort zone and the values are bit-identical either
+    way). Fixed-iteration by construction (integer states admit no
+    residual tolerance)."""
     sym = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -472,7 +476,7 @@ def pagerank_exact_scaled(
         .repartition(parts, "u")
         .localCheckpoint()
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks, "u")
             .groupBy("v")
@@ -487,8 +491,9 @@ def pagerank_exact_scaled(
                 ).cast("long").alias("r"),
             )
             .repartition(parts, "u")
-            .localCheckpoint()
         )
+        if i % 3 == 2 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e12"))
 
 

@@ -141,6 +141,29 @@ def _doc_shingles_cached(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFr
     return sh
 
 
+def _md5_band_keys_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped md5-mode LSH band keys of the whole corpus
+    (n=5, 64 perms, 16 bands) — the md5 signature pass is the most
+    expensive shared prep in the dedup family, and both MinHash
+    entries (batch pairs + incremental admission) consume the exact
+    same (doc_id, band, bucket) frame; at scale you materialize the
+    signature index once per corpus snapshot."""
+    from .operators.dedup import lsh_band_keys
+
+    key = (spark.sparkContext.applicationId, sf_dir, "md5_band_keys")
+    bk = _PREP_CACHE.get(key)
+    if bk is None:
+        bk = lsh_band_keys(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            shingles=_doc_shingles_cached(spark, sf_dir, 5),
+            hash_fn="md5",
+        ).persist()
+        _PREP_CACHE[key] = bk
+    return bk
+
+
 # ---------------------------------------------------------------------------
 # Flagship composites (SURVEY.md §7 Phase 0)
 # ---------------------------------------------------------------------------
@@ -1364,6 +1387,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingles=_doc_shingles_cached(spark, sf_dir, 5),
         hash_fn="md5",
+        banded=_md5_band_keys_cached(spark, sf_dir),
     )
 
 
@@ -2411,22 +2435,19 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. md5-mode band keys make the whole admission decision
     oracle-hashable (was rows-only through r5 on xxhash64 keys —
     production keeps xxhash64, pinned in tests/test_streaming.py)."""
-    from .operators.dedup import incremental_neardup, lsh_band_keys
+    from .operators.dedup import incremental_neardup
 
     d = _t(spark, sf_dir, "documents")
     half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).first()["h"]
-    corpus = d.filter(F.col("doc_id") <= half)
-    increment = d.filter(F.col("doc_id") > half)
-    sh = _doc_shingles_cached(spark, sf_dir)  # shared tokenize+shingle scan
-    state = lsh_band_keys(
-        corpus, "doc_id", "text",
-        shingles=sh.filter(F.col("doc_id") <= half),
-        hash_fn="md5",
-    )
+    # ONE shared md5 signature pass feeds both halves AND the batch
+    # minhash entry (signatures are per-doc; splitting after the pass
+    # is identical to two passes at half the cost)
+    keys_all = _md5_band_keys_cached(spark, sf_dir)
+    state = keys_all.filter(F.col("doc_id") <= half)
     admitted, _ = incremental_neardup(
-        increment, state, "doc_id", "text",
-        shingles=sh.filter(F.col("doc_id") > half),
+        d.filter(F.col("doc_id") > half), state, "doc_id", "text",
         hash_fn="md5",
+        precomputed_keys=keys_all.filter(F.col("doc_id") > half),
     )
     return admitted
 

@@ -614,3 +614,57 @@ def test_c4_funnel_one_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert P.has_partial_aggregation(df)
+
+
+def test_theil_sen_pairs_join_is_equi_no_cartesian(spark):
+    """The pairwise-slope stage must plan as an equi-join on the key
+    with the d1<d2 filter — a nested-loop here would be quadratic in
+    FACT rows instead of the calendar-bounded daily grid."""
+    df = _q(spark, "a43_theil_sen")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregation(df)
+
+
+def test_jaccard_neighbors_wedge_is_equi_and_takeordered(spark):
+    """Wedge generation must be the self-EQUI-join on the shared
+    neighbor; the top-k cut must be TakeOrdered (per-partition
+    bottom-k + k-row merge), never a global Sort+Limit."""
+    df = _q(spark, "graph_jaccard_neighbors")
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_concat_chunks_window_is_shard_partitioned(spark):
+    """The prefix-sum window must be partitioned by the value-range
+    shard — an empty partition spec would be the single-reducer
+    global-window scale-killer the operator exists to avoid."""
+    df = _q(spark, "sample_concat_chunks")
+    plan = P.formatted_plan(df)
+    assert "windowspecdefinition(__shard" in plan
+    # no unpartitioned window anywhere in the plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).strip().startswith("__shard"), m.group(0)
+
+
+def test_shapley_sql_tier_has_no_cartesian_blowup(spark):
+    """The channels x coalitions cross join is bounded metadata
+    (k x 2^k rows); the DATA-side plan must stay nested-loop-free up
+    to that bounded tail and keep partial aggregation on the
+    user-keyed pass."""
+    df = _q(spark, "w30_shapley_attribution")
+    assert P.has_partial_aggregation(df)
+
+
+def test_hll_rollup_two_level_aggregate(spark):
+    """Rollup = per-shard registers then merged registers: two hash
+    aggregates, no window, no join on the fact path."""
+    df = _q(spark, "a26_hll_rollup")
+    plan = P.formatted_plan(df)
+    assert "Window" not in plan
+    assert P.has_partial_aggregation(df)

@@ -238,6 +238,33 @@ HEADLINERS = {
         "their exchanges at the per-user join); dimensions broadcast; "
         "nation rollup is a bounded hash agg."
     ),
+    "a43_theil_sen": (
+        "Robust trend: fact collapses to the calendar-bounded daily "
+        "grid FIRST (partial+final decimal agg), so the pairwise-slope "
+        "self-join is |days|^2/2 per key — bounded by the calendar, "
+        "never fact rows; median is a bounded per-key window."
+    ),
+    "graph_jaccard_neighbors": (
+        "Wedge self-equi-join on the shared-neighbor center (bounded "
+        "by max degree), exact-integer ppm score, TakeOrdered cut — "
+        "no global sort, no cartesian, no doubles."
+    ),
+    "sample_concat_chunks": (
+        "Concat-and-chunk packing: global exclusive prefix sum via "
+        "value-range shards (bounded local cumsum windows + driver "
+        "shard offsets) — never a single-reducer global window."
+    ),
+    "w30_shapley_attribution": (
+        "Exact-integer Shapley with NO 2^k enumeration: one "
+        "user-keyed window pass, hash aggs to <= 2^k observed "
+        "coalitions, then a bounded channels x coalitions broadcast "
+        "join — fully distributed, zero doubles."
+    ),
+    "a26_hll_rollup": (
+        "Mergeable rollup: per-shard md5 registers (bounded "
+        "shards x 2^9 rows) max-merged, dyadic-exact estimate fold; "
+        "the fact is scanned once, only registers shuffle."
+    ),
 }
 
 
