@@ -404,3 +404,34 @@ def test_concat_chunk_pack_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# incremental_neardup: precomputed-keys fast path == compute-fresh path
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_precomputed_keys_path_identical(spark):
+    from gcpdatapipelines_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_band_keys,
+    )
+
+    docs = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog number {i%7}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter("doc_id < 30")
+    inc = df.filter("doc_id >= 30")
+    state = lsh_band_keys(corpus, "doc_id", "text", hash_fn="md5")
+    fresh, _ = incremental_neardup(
+        inc, state, "doc_id", "text", hash_fn="md5"
+    )
+    pre = lsh_band_keys(inc, "doc_id", "text", hash_fn="md5")
+    fast, _ = incremental_neardup(
+        inc, state, "doc_id", "text", hash_fn="md5", precomputed_keys=pre
+    )
+    assert sorted(r.doc_id for r in fresh.collect()) == sorted(
+        r.doc_id for r in fast.collect()
+    )
