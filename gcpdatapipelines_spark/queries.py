@@ -11569,6 +11569,60 @@ def j13_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a45_quantile_treatment",
+    """
+    WITH v AS (
+        SELECT user_id % 2 AS arm, value FROM events
+        WHERE event_type = 'purchase'
+    ), q AS (
+        SELECT arm,
+               [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+                quantile_cont(value, 0.75)] AS qs
+        FROM v GROUP BY arm
+    ), l AS (
+        SELECT arm, unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS q FROM q
+    )
+    SELECT a.p AS p, a.q AS q_control, b.q AS q_treat, b.q - a.q AS qte
+    FROM l a JOIN l b ON a.p = b.p
+    WHERE a.arm = 0 AND b.arm = 1
+    ORDER BY a.p
+    """,
+)
+def a45_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the a25 A/B split (arm =
+    user_id parity): per-arm exact interpolated quartiles of purchase
+    value and their treat-minus-control differences — the
+    distribution-level readout the mean-level t-test (a25) misses
+    (a treatment that moves only the tail has QTE(p75) != 0 with a
+    flat mean). Quarter probabilities keep the interpolation weights
+    binary-exact (the a18 idiom), and the single subtraction per row
+    is deterministic, so the whole output is oracle-hashable. One
+    per-arm sort via percentile(value, array(...)); the arm pivot is
+    a 3-row self-join."""
+    from .operators.agg import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    armed = ev.select(
+        (F.col("user_id") % 2).alias("arm"), F.col("value")
+    )
+    q = exact_quantiles(armed, "arm", ["value"], [0.25, 0.5, 0.75])
+    a = q.filter(F.col("arm") == 0).select("p", F.col("value_q").alias("q_control"))
+    b = q.filter(F.col("arm") == 1).select("p", F.col("value_q").alias("q_treat"))
+    return (
+        a.join(b, "p")
+        .select(
+            "p",
+            "q_control",
+            "q_treat",
+            (F.col("q_treat") - F.col("q_control")).alias("qte"),
+        )
+        .orderBy("p")
+    )
+
+
+@register(
     "a44_ks_test",
     """
     WITH f AS (

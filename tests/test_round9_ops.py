@@ -435,3 +435,41 @@ def test_incremental_precomputed_keys_path_identical(spark):
     assert sorted(r.doc_id for r in fresh.collect()) == sorted(
         r.doc_id for r in fast.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# a45_quantile_treatment: tail-only effects visible where the mean is flat
+# ---------------------------------------------------------------------------
+
+
+def test_qte_sees_tail_only_treatment(spark):
+    from gcpdatapipelines_spark.operators.agg import exact_quantiles
+
+    # control: uniform 1..100; treatment: same but top decile doubled —
+    # median flat, p75 shifted
+    rows = [(0, float(v)) for v in range(1, 101)]
+    rows += [(1, float(v) if v <= 90 else float(v) * 2) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "arm int, value double")
+    q = {
+        (r.arm, r.p): r.value_q
+        for r in exact_quantiles(df, "arm", ["value"], [0.25, 0.5, 0.75]).collect()
+    }
+    assert q[(1, 0.5)] == q[(0, 0.5)]  # median untouched
+    assert q[(1, 0.25)] == q[(0, 0.25)]
+    assert q[(0, 0.75)] == 75.25
+    assert q[(1, 0.75)] == q[(0, 0.75)]  # p75 still inside untouched range
+    # the doubled decile shows up at p95-ish; use 0.95 to see it
+    q2 = {
+        (r.arm, r.p): r.value_q
+        for r in exact_quantiles(df, "arm", ["value"], [0.95]).collect()
+    }
+    assert q2[(1, 0.95)] > q2[(0, 0.95)]
+
+
+def test_qte_catalog_entry_partitioning_invariant(spark):
+    from gcpdatapipelines_spark.queries import SPARK_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    a = [tuple(r) for r in SPARK_QUERIES["a45_quantile_treatment"](spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in SPARK_QUERIES["a45_quantile_treatment"](spark, SF_SMOKE).collect()]
+    assert a == b and len(a) == 3
