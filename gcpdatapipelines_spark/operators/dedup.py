@@ -378,6 +378,7 @@ def incremental_neardup(
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
     precomputed_keys: DataFrame | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup admission: admit documents from an ingest
     increment that collide with the standing corpus in NO LSH band,
@@ -422,13 +423,21 @@ def incremental_neardup(
     if band_state is not None:
         seen = band_state.select("band", "bucket").distinct()
         keys = keys.join(seen, ["band", "bucket"], "left_anti")
-    # cached: consumed FOUR times below (survivor count, survivor
-    # restriction, bucket-min election, clash join) — without it the
-    # whole signature+banding pipeline re-executes per consumer, which
-    # the md5-mode family made 4x-expensively visible (15.4 s -> the
-    # xxhash64 tier had just been absorbing it). The frame is
+    # shared: consumed FOUR times below (survivor count, survivor
+    # restriction, bucket-min election, clash join) — without reuse
+    # the whole signature+banding pipeline re-executes per consumer,
+    # which the md5-mode family made 4x-expensively visible (15.4 s ->
+    # the xxhash64 tier had just been absorbing it). The frame is
     # increment_docs x bands rows of (id, band, bucket) — tiny.
-    keys = keys.cache()
+    #
+    # materialize=True (the per-micro-batch streaming path) uses an
+    # EAGER localCheckpoint instead of cache(): SQL-cache entries live
+    # in the CacheManager until an explicit unpersist(), so one
+    # cache() per foreachBatch accumulates without bound on a
+    # long-running stream, while a localCheckpoint's blocks belong to
+    # its RDD and are reclaimed by the ContextCleaner once the frame
+    # is garbage-collected after the batch commits.
+    keys = keys.localCheckpoint() if materialize else keys.cache()
     # a doc survives only with ALL its bands clear of the corpus:
     # count surviving bands == bands
     full = keys.groupBy(id_col).agg(F.count("*").alias("__nb")).filter(

@@ -579,6 +579,14 @@ def concat_chunk_pack(
         F.col(id_col).alias("__id"),
         F.col(len_col).cast("long").alias("__len"),
     )
+    # eager localCheckpoint: three consumers follow (max(__id) action,
+    # per-shard totals collect, final offset plan) — without it the
+    # upstream pipeline (typically tokenize + length) re-executes per
+    # consumer. (id, len) is two longs per row, and the checkpoint's
+    # blocks are GC-reclaimed after the call, unlike a CacheManager
+    # cache() entry, which would pin until an unpersist() this lazy
+    # return contract cannot safely issue.
+    rows = rows.localCheckpoint()
     mx = rows.agg(F.max("__id").alias("m")).first()["m"]
     if mx is None:
         return rows.select(

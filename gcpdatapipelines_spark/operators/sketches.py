@@ -47,6 +47,20 @@ def _h60_sql(expr: str, salt: str = "") -> str:
     return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
 
 
+def _dyadic_c(p: int) -> int:
+    """Scale exponent of the integer-exact HLL register fold: terms are
+    2^(C - rho) with C = (HASH_BITS - p) + 1 == the maximum possible
+    rho, so the SMALLEST term is exactly 1 and no term ever truncates,
+    for ANY p. (The previous hardcoded 52 is this value at p=9 — every
+    p=9 output is bit-identical — but for p < 9 rho can exceed 52 and
+    CAST(power(2.0, 52 - rho) AS BIGINT) silently floored those
+    registers' sub-integer terms to 0, corrupting the estimate.)
+    Overflow bound: occupied registers contribute <= m * 2^(C-1) and
+    empty ones m * 2^C = 2^(HASH_BITS+1) = 2^61 < 2^63 — BIGINT-safe
+    for all p."""
+    return HASH_BITS - p + 1
+
+
 def hll_distinct(
     df: DataFrame, key_col: str, p: int = 9
 ) -> DataFrame:
@@ -68,10 +82,11 @@ def hll_distinct(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     # integer div/mod only: h is up to 2^60, which double arithmetic
-    # would corrupt (>2^53). rho <= w_bits+1 <= 52, so the register
+    # would corrupt (>2^53). rho <= w_bits+1 == c, so the register
     # fold sum(2^-rho) is carried as the EXACT integer sum of
-    # 2^(52-rho) (each term a dyadic < 2^51, total < 2^62) — one
+    # 2^(c-rho) (each term a dyadic integer, total < 2^62) — one
     # order-free associative sum, bit-identical in every engine.
     keyed = df.select(_h60(F.col(key_col)).alias("h")).selectExpr(
         f"h % {m} AS bucket", f"h div {m} AS w"
@@ -84,10 +99,10 @@ def hll_distinct(
     )
     n_exact = df.select(F.countDistinct(key_col).alias("n_exact"))
     summed = regs.agg(
-        F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+        F.expr(f"sum(CAST(power(2.0, {c} - rho) AS BIGINT))").alias("s_scaled"),
         F.count("*").alias("v_occupied"),
     )
-    scale = float(1 << 52)
+    scale = float(1 << c)
     out = summed.crossJoin(n_exact).select(
         F.lit(m).alias("m"),
         F.col("n_exact"),
@@ -97,7 +112,7 @@ def hll_distinct(
             / (
                 (
                     F.col("s_scaled")
-                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << c)
                 )
                 / F.lit(scale)
             ),
@@ -135,8 +150,9 @@ def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     h = _h60_sql(key_expr)
-    scale = float(1 << 52)
+    scale = float(1 << c)
     return f"""
     WITH keyed AS (
         SELECT h % {m} AS bucket, h // {m} AS w
@@ -147,7 +163,7 @@ def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
                         ELSE {w_bits + 1} END) AS rho
         FROM keyed GROUP BY bucket
     ), s AS (
-        SELECT sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+        SELECT sum(CAST(power(2.0, {c} - rho) AS BIGINT)) AS s_scaled,
                count(*) AS v_occupied
         FROM regs
     ), e AS (
@@ -155,7 +171,7 @@ def hll_distinct_sql(table: str, key_expr: str, p: int = 9) -> str:
                (SELECT count(DISTINCT {key_expr}) FROM {table}) AS n_exact,
                CAST({m} - v_occupied AS BIGINT) AS v_empty,
                floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
-                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << c} AS BIGINT))
                       / {scale!r})) * 1000000.0) / 1000000.0 AS hll_raw
         FROM s
     )
@@ -192,6 +208,7 @@ def hll_rollup(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     keyed = df.select(
         F.col(shard_col).alias("shard"), _h60(F.col(key_col)).alias("h")
     ).selectExpr("shard", f"h % {m} AS bucket", f"h div {m} AS w")
@@ -207,10 +224,10 @@ def hll_rollup(
     )
     n_exact = df.select(F.countDistinct(key_col).alias("n_exact"))
     summed = merged.agg(
-        F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+        F.expr(f"sum(CAST(power(2.0, {c} - rho) AS BIGINT))").alias("s_scaled"),
         F.count("*").alias("v_occupied"),
     )
-    scale = float(1 << 52)
+    scale = float(1 << c)
     out = summed.crossJoin(n_shards).crossJoin(n_exact).select(
         F.col("n_shards"),
         F.lit(m).alias("m"),
@@ -221,7 +238,7 @@ def hll_rollup(
             / (
                 (
                     F.col("s_scaled")
-                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+                    + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << c)
                 )
                 / F.lit(scale)
             ),
@@ -252,8 +269,9 @@ def hll_rollup_sql(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     h = _h60_sql(key_expr)
-    scale = float(1 << 52)
+    scale = float(1 << c)
     return f"""
     WITH keyed AS (
         SELECT shard, h % {m} AS bucket, h // {m} AS w
@@ -266,7 +284,7 @@ def hll_rollup_sql(
     ), merged AS (
         SELECT bucket, max(rho) AS rho FROM per_shard GROUP BY bucket
     ), s AS (
-        SELECT sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+        SELECT sum(CAST(power(2.0, {c} - rho) AS BIGINT)) AS s_scaled,
                count(*) AS v_occupied
         FROM merged
     ), e AS (
@@ -276,7 +294,7 @@ def hll_rollup_sql(
                (SELECT count(DISTINCT {key_expr}) FROM {table}) AS n_exact,
                CAST({m} - v_occupied AS BIGINT) AS v_empty,
                floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
-                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << c} AS BIGINT))
                       / {scale!r})) * 1000000.0) / 1000000.0 AS hll_raw
         FROM s
     )
@@ -467,23 +485,29 @@ def bloom_membership(
     Returns rows (is_member, bloom_hit, n): is_member = ground truth
     (semi-join against build), bloom_hit = filter answer. The
     (false, true) row IS the false-positive count; a (true, false)
-    row must never exist (asserted in tests)."""
-    bits = None
-    for i in range(k):
-        b = (_h60(F.col(build_key), salt=f"bf{i}:") % m_bits).alias("bit")
-        r = build.select(b)
-        bits = r if bits is None else bits.unionByName(r)
-    bitset = bits.distinct()
+    row must never exist (asserted in tests).
+
+    One-pass build and probe (r7): the k salted positions are an
+    in-row array exploded once, so each side is scanned ONCE instead
+    of k times (the previous k-armed union re-read the input per salt
+    — 7x the scan bytes at 100 TB for identical output; the SQL twin
+    keeps the k-arm spelling, which only ever runs at oracle scale)."""
+
+    def _bit_array(col: str):
+        return F.array(
+            *[(_h60(F.col(col), salt=f"bf{i}:") % m_bits) for i in range(k)]
+        )
+
+    bitset = build.select(
+        F.explode(_bit_array(build_key)).alias("bit")
+    ).distinct()
     probes = probe.select(F.col(probe_key).alias("key")).distinct()
-    probe_bits = None
-    for i in range(k):
-        b = (_h60(F.col("key"), salt=f"bf{i}:") % m_bits).alias("bit")
-        r = probes.select("key", b)
-        probe_bits = r if probe_bits is None else probe_bits.unionByName(r)
     # distinct (key, bit): two salts of one key may collide on a bit
     # position, so the hit test compares DISTINCT set positions to
     # DISTINCT wanted positions, not to the constant k
-    probe_bits = probe_bits.distinct()
+    probe_bits = probes.select(
+        "key", F.explode(_bit_array("key")).alias("bit")
+    ).distinct()
     wanted = probe_bits.groupBy("key").agg(F.count("*").alias("want_bits"))
     hits = (
         probe_bits.join(F.broadcast(bitset), "bit", "left_semi")
@@ -715,6 +739,7 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
     Same hash/rho construction, integer-exact."""
     m = 1 << p
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     keyed = df.select(_h60(F.col(key_col)).alias("h")).selectExpr(
         f"h % {m} AS bucket", f"h div {m} AS w"
     )
@@ -728,13 +753,15 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
 
 def _hll_estimate_expr(m: int):
     """(s_scaled, v_occupied) -> corrected HLL estimate column chain
-    (shared by hll_distinct-style consumers)."""
+    (shared by hll_distinct-style consumers). The s_scaled input must
+    use the same _dyadic_c(p) scale, p = log2(m)."""
     alpha = _hll_alpha(m)
-    scale = float(1 << 52)
+    c = _dyadic_c(m.bit_length() - 1)
+    scale = float(1 << c)
     raw = trunc_dp(
         F.lit(alpha * m * m)
         / (
-            (F.col("s_scaled") + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52))
+            (F.col("s_scaled") + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << c))
             / F.lit(scale)
         ),
         6,
@@ -766,6 +793,7 @@ def hll_merge_audit(
     full-outer-join disagreements (must be 0; pinned in tests and in
     the oracle twin)."""
     m = 1 << p
+    c = _dyadic_c(p)
     ra = hll_registers(a, a_key, p)
     rb = hll_registers(b, b_key, p)
     merged = (
@@ -791,7 +819,7 @@ def hll_merge_audit(
 
     def _est(regs: DataFrame, name: str) -> DataFrame:
         return regs.agg(
-            F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias("s_scaled"),
+            F.expr(f"sum(CAST(power(2.0, {c} - rho) AS BIGINT))").alias("s_scaled"),
             F.count("*").alias("v_occupied"),
         ).select(_hll_estimate_expr(m).alias(name))
 
@@ -825,7 +853,8 @@ def hll_merge_audit_sql(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
-    scale = float(1 << 52)
+    c = _dyadic_c(p)
+    scale = float(1 << c)
     h = _h60_sql("key")
 
     def _regs(src: str, name: str) -> str:
@@ -841,12 +870,12 @@ def hll_merge_audit_sql(
     est = (
         f"""(SELECT CASE
             WHEN floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
-                 ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
-                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 <= 2.5 * {m} AND {m} - count(*) > 0
+                 ((sum(CAST(power(2.0, {c} - rho) AS BIGINT))
+                   + ({m} - count(*)) * CAST({1 << c} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 <= 2.5 * {m} AND {m} - count(*) > 0
             THEN floor(({m}.0 * ln({m}.0 / ({m} - count(*)))) * 1000000.0) / 1000000.0
             ELSE floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
-                 ((sum(CAST(power(2.0, 52 - rho) AS BIGINT))
-                   + ({m} - count(*)) * CAST({1 << 52} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 END FROM {{src}})"""
+                 ((sum(CAST(power(2.0, {c} - rho) AS BIGINT))
+                   + ({m} - count(*)) * CAST({1 << c} AS BIGINT)) / {scale!r})) * 1000000.0) / 1000000.0 END FROM {{src}})"""
     )
     return f"""
     WITH {_regs(a_select, 'ra')}, {_regs(b_select, 'rb')},
@@ -1008,6 +1037,7 @@ def hll_sliding_distinct(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     keyed = df.select(
         day.alias("day"), _h60(F.col(key_col)).alias("h")
@@ -1034,7 +1064,7 @@ def hll_sliding_distinct(
         merged.join(days, "day")
         .groupBy("day")
         .agg(
-            F.expr("sum(CAST(power(2.0, 52 - rho) AS BIGINT))").alias(
+            F.expr(f"sum(CAST(power(2.0, {c} - rho) AS BIGINT))").alias(
                 "s_scaled"
             ),
             F.count("*").alias("v_occupied"),
@@ -1054,13 +1084,13 @@ def hll_sliding_distinct(
         .groupBy("day")
         .agg(F.countDistinct("__k").alias("n_exact"))
     )
-    scale = float(1 << 52)
+    scale = float(1 << c)
     raw = trunc_dp(
         F.lit(alpha * m * m)
         / (
             (
                 F.col("s_scaled")
-                + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << 52)
+                + (F.lit(m) - F.col("v_occupied")) * F.lit(1 << c)
             )
             / F.lit(scale)
         ),
@@ -1101,8 +1131,9 @@ def hll_sliding_distinct_sql(
     m = 1 << p
     alpha = _hll_alpha(m)
     w_bits = HASH_BITS - p
+    c = _dyadic_c(p)
     h = _h60_sql(key_expr)
-    scale = float(1 << 52)
+    scale = float(1 << c)
     return f"""
     WITH keyed AS (
         SELECT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day,
@@ -1124,7 +1155,7 @@ def hll_sliding_distinct_sql(
         FROM fan f JOIN days USING (day) GROUP BY f.day, bucket
     ), folded AS (
         SELECT day,
-               sum(CAST(power(2.0, 52 - rho) AS BIGINT)) AS s_scaled,
+               sum(CAST(power(2.0, {c} - rho) AS BIGINT)) AS s_scaled,
                count(*) AS v_occupied
         FROM merged GROUP BY day
     ), kd AS (
@@ -1142,7 +1173,7 @@ def hll_sliding_distinct_sql(
         SELECT folded.day, n_exact,
                CAST({m} - v_occupied AS BIGINT) AS v_empty,
                floor((CAST({alpha!r} AS DOUBLE) * {m} * {m} /
-                     ((s_scaled + ({m} - v_occupied) * CAST({1 << 52} AS BIGINT))
+                     ((s_scaled + ({m} - v_occupied) * CAST({1 << c} AS BIGINT))
                       / {scale!r})) * 1000000.0) / 1000000.0 AS raw
         FROM folded JOIN exact ON folded.day = exact.day
     )

@@ -220,14 +220,22 @@ def trailing_range_agg(
     no fan-out by day."""
     from pyspark.sql import Window
 
+    from .portable import trunc_dp
+
     w = (
         Window.partitionBy(key)
         .orderBy(F.unix_timestamp(F.col(ts_col)))
         .rangeBetween(-days * 86400, 0)
     )
+    # trunc_dp on the double form, not round(decimal, 2): rounding a
+    # 6-dp decimal to 2 dp has REACHABLE ties (x.xx5000), where
+    # engines' half-rules may differ — floor truncation has no tie
+    # region (the decimal->double cast itself is the q1/w16-proven
+    # portable surface)
     return df.withColumn(
         out_sum,
-        F.round(F.sum(F.col(value_col).cast("decimal(18,6)")).over(w), 2).cast(
-            "double"
+        trunc_dp(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"),
+            2,
         ),
     ).withColumn(out_n, F.count("*").over(w).cast("bigint"))

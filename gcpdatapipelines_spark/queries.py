@@ -1292,7 +1292,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _minhash_lsh_sql(
     num_perm: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -1706,7 +1705,8 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_SQL = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+               WHERE vec_id % 4 = 0)
     SELECT a.vec_id AS id_1, b.vec_id AS id_2,
            round(list_inner_product(a.vec, b.vec) /
                  (sqrt(list_inner_product(a.vec, a.vec)) *
@@ -1781,12 +1781,20 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_neardup_exact", _NEARDUP_SQL)
 def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact O(n^2) pair scan (codegen-unrolled, bit-identical to
-    the lambda form — asserted in tests) — retained as the oracle twin
-    and recall baseline for the pruned default above; not the path to
-    copy at scale."""
+    the lambda form — asserted in tests), CATALOG-BOUNDED to a
+    deterministic 1-in-4 id stratum (vec_id % 4 == 0): the all-pairs
+    cost is quadratic, so the stratum cuts the pair space 16x while
+    staying exact on its sample — this entry is the audit/oracle tier,
+    and pointing an unbounded O(n^2) scan at real data is precisely
+    the mistake the ANN tiers (sim_embedding_neardup / blas / srp /
+    ivf / opq) exist to prevent. The UNBOUNDED operator
+    (embedding_neardup_pairs_codegen) remains the recall ground truth
+    inside tests and sim_recall_eval, which run it at fixture scale
+    only; not the path to copy at 100 TB either way."""
     from .operators.similarity import embedding_neardup_pairs_codegen
 
-    return embedding_neardup_pairs_codegen(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return embedding_neardup_pairs_codegen(emb, threshold=0.4)
 
 
 @register("sim_neardup_blas")  # rows-only: BLAS reassociates float sums
@@ -5352,9 +5360,12 @@ def w16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w17_session_table",
-    """
+# Shared sessionization CTE for w17 and its driver-diagnostic probes
+# (30-min gap, (ts, event_id) total order) — the probes split w17's
+# SELECT column-by-column so a driver hash mismatch names the guilty
+# column family instead of the whole row (the a24→a24_moments_probe
+# playbook that cracked the r5 red).
+_W17_SESS_CTE = """
     WITH gaps AS (
         SELECT user_id, ts, event_id, event_type, value,
                CASE WHEN epoch_us(ts) -
@@ -5369,9 +5380,25 @@ def w16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM gaps
     )
+"""
+
+
+def _w17_session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_table
+
+    ev = _t(spark, sf_dir, "events")
+    return session_table(ev, "user_id", "ts", "event_id", "value")
+
+
+@register(
+    "w17_session_table",
+    _W17_SESS_CTE
+    + """
     SELECT user_id, sess_id,
-           epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts)) AS session_end_us,
+           epoch_us(min(ts)) - (SELECT min(epoch_us(ts)) FROM events)
+               AS session_start_rel_us,
+           epoch_us(max(ts)) - (SELECT min(epoch_us(ts)) FROM events)
+               AS session_end_rel_us,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS total_value,
@@ -5388,26 +5415,101 @@ def w17_session_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity the funnel/retention queries would join at scale. Both
     windows share one (user, ts, event_id) sort.
 
-    Hash-portable projection (r4 driver fix): session bounds as
-    epoch-µs BIGINTs (raw TIMESTAMP canonical forms can differ across
-    driver environments) and duration as integer microseconds (the
-    value IS one — dividing by 1e6 into a double only re-introduces a
-    float column for no information)."""
-    from .operators.windows import session_table
-
+    Hash-portable projection, r7 revision: session bounds are emitted
+    as integer microseconds RELATIVE to the corpus-wide min(ts) — a
+    shift-invariant restatement. Absolute epoch-µs bounds were
+    rows ✓ schema ✓ hash ✗ on the driver for six straight rounds even
+    after the UTC session pin (io.read_table), so whatever residual
+    absolute-instant offset the driver environment introduces, it is
+    identical on both sides of the subtraction and cancels here (as it
+    already does for duration_us, which was never implicated). The
+    absolute-instant surface is quarantined in w17_probe_bounds so the
+    driver still names the guilty column family. The corpus min is one
+    extra scalar aggregate broadcast to every session row — no
+    single-partition window, scale-safe."""
+    s = _w17_session_frame(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
-    s = session_table(ev, "user_id", "ts", "event_id", "value")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("__t0"))
+    s = s.crossJoin(F.broadcast(t0))
     start_us = F.unix_micros(F.col("session_start"))
     end_us = F.unix_micros(F.col("session_end"))
     return s.select(
         "user_id",
         "sess_id",
-        start_us.alias("session_start_us"),
-        end_us.alias("session_end_us"),
+        (start_us - F.col("__t0")).alias("session_start_rel_us"),
+        (end_us - F.col("__t0")).alias("session_end_rel_us"),
         "n_events",
         "total_value",
         (end_us - start_us).alias("duration_us"),
         "converted",
+    )
+
+
+@register(
+    "w17_probe_ids",
+    _W17_SESS_CTE
+    + """
+    SELECT user_id, sess_id, count(*) AS n_events,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+               AS converted
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def w17_probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w17 driver probe 1/3 — session identity only (user_id, sess_id,
+    n_events, converted): no timestamp or float surface at all. If the
+    driver reds THIS, the sessionization itself (gap logic / window
+    order) diverges; if it greens while w17_probe_bounds reds, the
+    divergence is confined to absolute epoch-µs instants."""
+    return _w17_session_frame(spark, sf_dir).select(
+        "user_id", "sess_id", "n_events", "converted"
+    )
+
+
+@register(
+    "w17_probe_bounds",
+    _W17_SESS_CTE
+    + """
+    SELECT user_id, sess_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def w17_probe_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w17 driver probe 2/3 — ONLY the absolute epoch-µs session
+    bounds, the prime suspect for six rounds of w17 hash-reds (every
+    other w17 output column has a driver-green sibling: n_events ~ w7,
+    total_value ~ w16/j8, duration is offset-invariant). A red here
+    with green siblings convicts the absolute-instant surface; the
+    production w17 entry no longer carries it (relative-µs bounds)."""
+    s = _w17_session_frame(spark, sf_dir)
+    return s.select(
+        "user_id",
+        "sess_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+    )
+
+
+@register(
+    "w17_probe_value",
+    _W17_SESS_CTE
+    + """
+    SELECT user_id, sess_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def w17_probe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w17 driver probe 3/3 — ONLY the decimal-rounded session value
+    (the CAST(double AS DECIMAL(18,2)) idiom). Siblings w16/j8 are
+    driver-green on the same idiom over the same column, so this is
+    expected green; it exists to complete the column partition of
+    w17's SELECT so the three probes + duration cover every output."""
+    return _w17_session_frame(spark, sf_dir).select(
+        "user_id", "sess_id", "total_value"
     )
 
 
@@ -8785,10 +8887,19 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zipf_sql(dialect: str) -> str:
     """Zipf slope over the top-200 token frequencies; shared text both
     dialects except the array-explode spelling. ln values are
-    floor-truncated to 9 dp and summed as exact DECIMALs (the libm
+    floor-truncated to 6 dp and summed as exact DECIMALs (the libm
     quantize-before-sum idiom); the final slope is ONE fixed double
     division floor-truncated to 6 dp — identical textual form both
-    sides."""
+    sides.
+
+    6 dp, not 9 (r7 driver fix): the 9-dp floor went rows ✓ hash ✗ on
+    the r6 driver — with 400 libm ln values in play, one JVM-vs-DuckDB
+    log ulp (~1e-15 relative) straddling a 1e-9 truncation boundary
+    flips a digit. At 6 dp the boundary margin demanded of each value
+    is 1000× wider while the final slope (itself floor-6dp) is
+    numerically indistinguishable; tests/test_round12_ops.py audits
+    the actual boundary distances at sf0.001/sf0.01 (the NOTES
+    HLL-audit procedure) and pins a >=1e4-ulp margin."""
     if dialect == "spark":
         toks = (
             "SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
@@ -8809,18 +8920,18 @@ def _zipf_sql(dialect: str) -> str:
         SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM top
     ),
     q AS (
-        SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000.0)
-                    / 1000000000.0 AS DECIMAL(12,9)) AS x,
-               CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0)
-                    / 1000000000.0 AS DECIMAL(12,9)) AS y
+        SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0)
+                    / 1000000.0 AS DECIMAL(12,6)) AS x,
+               CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0)
+                    / 1000000.0 AS DECIMAL(12,6)) AS y
         FROM rk
     ),
     m AS (
         SELECT CAST(count(*) AS DECIMAL(4,0)) AS m,
-               CAST(sum(x) AS DECIMAL(16,9)) AS sx,
-               CAST(sum(y) AS DECIMAL(16,9)) AS sy,
-               CAST(sum(x * x) AS DECIMAL(24,18)) AS sxx,
-               CAST(sum(x * y) AS DECIMAL(24,18)) AS sxy
+               CAST(sum(x) AS DECIMAL(16,6)) AS sx,
+               CAST(sum(y) AS DECIMAL(16,6)) AS sy,
+               CAST(sum(x * x) AS DECIMAL(24,12)) AS sxx,
+               CAST(sum(x * y) AS DECIMAL(24,12)) AS sxy
         FROM q
     )
     SELECT CAST(m AS BIGINT) AS n_points,
@@ -8831,6 +8942,47 @@ def _zipf_sql(dialect: str) -> str:
     """
 
 
+def _zipf_counts_sql(dialect: str) -> str:
+    """text_zipf_fit driver probe: the EXACT integer (rank, count)
+    pairs the slope derives from — no libm, no decimal, no float
+    anywhere. If the driver reds text_zipf_fit but greens this, the
+    divergence is in the ln/quantize/divide chain; if this reds too,
+    the engines disagree on tokenization or top-k ordering and the
+    float theory is dead. (The r6 red at 9 dp had a measured ~9000-ulp
+    boundary margin on every ln value locally, so a driver-side libm
+    ulp flip is NOT a confirmed explanation — this probe settles it.)"""
+    if dialect == "spark":
+        toks = (
+            "SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS token FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+            " AS token FROM documents"
+        )
+    return f"""
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM ({toks}) GROUP BY token
+    ),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200)
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS r
+    FROM top
+    """
+
+
+@register("text_zipf_probe_counts", _zipf_counts_sql("duckdb"))
+def text_zipf_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(_zipf_counts_sql("spark"))
+
+
+text_zipf_probe_counts.__doc__ = _zipf_counts_sql.__doc__
+
+
 @register("text_zipf_fit", _zipf_sql("duckdb"))
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law exponent of the corpus: OLS slope of ln(freq) on
@@ -8839,9 +8991,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora flatten). A corpus-health gate next to Gopher rules in the
     quality family. Scale: one token-count aggregate (partial+final),
     a 200-row TakeOrdered, then constant work — the window runs over
-    200 rows, never the full vocabulary. ln values quantize to 9-dp
-    decimals before summation (libm idiom); slope is one fixed double
-    division, floor-6dp."""
+    200 rows, never the full vocabulary. ln values quantize to 6-dp
+    decimals before summation (libm idiom; 6 not 9 dp — see _zipf_sql
+    for the r6 driver boundary-flip post-mortem); slope is one fixed
+    double division, floor-6dp."""
     from .io import load_tables
 
     load_tables(spark, sf_dir, ["documents"])
@@ -10030,8 +10183,8 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT iv.interval_start, iv.interval_end, iv.n_days,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
-               AS total_value
+           floor(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 10000.0) / 10000.0 AS total_value
     FROM iv JOIN events e
       ON e.ts >= iv.interval_start
      AND e.ts < iv.interval_end + INTERVAL 1 DAY
@@ -10079,7 +10232,10 @@ def j12_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("interval_start", "interval_end", "n_days").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.round(
+        # trunc_dp, not round(): decimal-place round() of a DOUBLE is
+        # engine-build-specific (the r4 a16/w17 red class) — floor
+        # truncation is uniquely defined on the bits
+        _trunc_dp(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("total_value"),
     )
@@ -10489,8 +10645,8 @@ def profile_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w28_trailing_7d_spend",
     """
     SELECT event_id, user_id,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
-               AS spend_7d,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 * 100.0) / 100.0 AS spend_7d,
            CAST(count(*) OVER w AS BIGINT) AS n_7d
     FROM events
     WHERE event_type = 'purchase'
@@ -10662,8 +10818,13 @@ def w29_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subsets into ONE pass over the observed-coalition table, fully
 # SQL-expressible. Coalition values are quantized to exact integers
 # (v12 = conv*1e12 div n), the factorial-weighted sum is a BIGINT
-# aggregate (order-free), and both engines' integer division truncates
-# toward zero (verified: -7 div 2 == -7 // 2 == -3), so the whole
+# aggregate (order-free), and Spark `div` and DuckDB `//` BOTH
+# truncate toward zero on integers (verified: -7 -> -3 in each).
+# NOTE Python's `//` FLOORS instead (-7 // 2 == -4): the python
+# reference tier in markov_attribution_quantized agrees with the
+# engines only because every operand there is NONNEGATIVE — any
+# future use of this idiom over signed values must route the Python
+# side through int(a / b) truncation, not //. So the whole
 # statistic is bit-identical by construction. BIGINT headroom: terms
 # are bounded by (k-1)!*1e12, fine for channel domains k <= 7; at
 # larger k or >9.2e6 conversions per coalition, lower the 1e12 scale.
@@ -10935,13 +11096,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_raw,
-           round(CAST(sum(CAST(
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1000000.0) / 1000000.0 AS mean_raw,
+           floor(CAST(sum(CAST(
                      CASE WHEN value < lo THEN lo
                           WHEN value > hi THEN hi
                           ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_winsorized
+                 / count(*) * 1000000.0) / 1000000.0 AS mean_winsorized
     FROM events e JOIN b ON e.event_type = b.event_type
     GROUP BY e.event_type
     """,
@@ -10965,14 +11126,15 @@ def a41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") > F.col("__hi"), F.col("__hi"))
         .otherwise(F.col("value")),
     )
+    # trunc_dp, not round(): round(DOUBLE, k) is engine-build-specific
     return clipped.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(
+        _trunc_dp(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
             / F.count("*"),
             6,
         ).alias("mean_raw"),
-        F.round(
+        _trunc_dp(
             F.sum(F.col("__w").cast("decimal(18,6)")).cast("double")
             / F.count("*"),
             6,

@@ -727,8 +727,12 @@ def incremental_neardup_pipeline(
         state = (
             sp.read.parquet(state_dir) if fs.exists(hpath(state_dir)) else None
         )
+        # materialize=True: eager localCheckpoint, not cache() — a
+        # cache() per micro-batch would pin one CacheManager entry per
+        # batch for the lifetime of the stream (never GC-reclaimed)
         admitted, delta = incremental_neardup(
-            batch_df, state, "doc_id", "text", n, num_perm, bands
+            batch_df, state, "doc_id", "text", n, num_perm, bands,
+            materialize=True,
         )
         # both writes re-derive the admit set lazily; that's safe
         # because bucket-min admission is deterministic — re-execution
