@@ -180,10 +180,21 @@ def _unrolled_pair_sim_floor_sql(dim: int) -> str:
     ``floor(sim * 1e6) / 1e6`` — uniquely defined on the identical
     left-to-right chain bits on every engine build (portable.trunc_dp
     rationale), unlike decimal-place round whose implementation varies
-    per build."""
+    per build.
+
+    The outer CAST(... AS DOUBLE) is load-bearing: in Spark SQL the
+    literal ``1000000.0`` is DECIMAL(8,1), so ``floor(...) /
+    1000000.0`` types as DECIMAL(30,9) — which pandas renders as
+    object(Decimal) while the DuckDB twin's DOUBLE renders float64; a
+    dtype-sensitive driver hash flips on every row even though the
+    rational values are identical (the local gate coerces to float64
+    and can never catch it). CAST of the exact m/1e6 decimal to double
+    is correctly rounded and bit-equal to DuckDB's double division of
+    the same rational."""
     pair_dot = " + ".join(f"a{i} * b{i}" for i in range(dim))
     return (
-        f"floor((({pair_dot}) / (n1 * n2)) * 1000000.0) / 1000000.0 AS sim"
+        f"CAST(floor((({pair_dot}) / (n1 * n2)) * 1000000.0)"
+        f" / 1000000.0 AS DOUBLE) AS sim"
     )
 
 
@@ -1598,7 +1609,20 @@ def diverse_kcenter_portable(
     Scale shape is unchanged: selected set = bounded driver metadata,
     each round ONE codegen scan + a 1-row TakeOrdered, no shuffle, no
     Python workers. k driver-synchronized rounds is the greedy's
-    inherent data dependency."""
+    inherent data dependency.
+
+    Incremental fold (r7 perf): the running max-cos-to-selected is
+    carried as a ``__best`` column and each round folds in ONLY the
+    newest center — ``greatest()`` on doubles is exact and
+    order-insensitive, so ``greatest(best, cos_new)`` is bit-identical
+    to re-evaluating ``greatest(cos_0..cos_r)`` from scratch (the
+    unchanged k-round unrolled-CTE oracle keeps proving it end to
+    end), while the per-round expression drops from 64·r to 64 terms:
+    O(n·k) total instead of O(n·k²). Each round localCheckpoints the
+    narrow (id, e*, nrm, __best) frame so the next round scans
+    materialized blocks instead of replaying the whole fold lineage
+    (which would silently restore the O(n·k²) cost at every action);
+    blocks are RDD-owned and GC-reclaimed after the call."""
     wide = _widened(vectors, id_col, vec_col, dim).persist()
     first = wide.orderBy(F.col(id_col)).limit(1).collect()[0]
     sel = [
@@ -1610,28 +1634,28 @@ def diverse_kcenter_portable(
             float(first["nrm"]),
         )
     ]
+    keep = [id_col, *[f"e{i}" for i in range(dim)], "nrm"]
+    cur = wide
+    have_best = False
     for rnd in range(1, k):
-        # cosine vs each selected literal vector: left-to-right chain,
-        # constants folded at plan time (64*|sel| literal casts)
-        pair_exprs = []
-        for _, _, _, sv, snrm in sel:
-            dot = " + ".join(
-                f"e{i} * CAST({sv[i]!r} AS DOUBLE)" for i in range(dim)
-            )
-            pair_exprs.append(f"(({dot}) / (nrm * CAST({snrm!r} AS DOUBLE)))")
-        cs = (
-            pair_exprs[0]
-            if len(pair_exprs) == 1
-            else "greatest(" + ", ".join(pair_exprs) + ")"
+        # cosine vs the NEWEST selected literal vector only:
+        # left-to-right chain, constants folded at plan time
+        _, newest_id, _, sv, snrm = sel[-1]
+        dot = " + ".join(
+            f"e{i} * CAST({sv[i]!r} AS DOUBLE)" for i in range(dim)
         )
-        already = [s[1] for s in sel]
+        cos = f"(({dot}) / (nrm * CAST({snrm!r} AS DOUBLE)))"
+        best = f"greatest(__best, {cos})" if have_best else cos
+        cur = (
+            cur.filter(F.col(id_col) != F.lit(newest_id))
+            .selectExpr(*keep, f"{best} AS __best")
+            .localCheckpoint()
+        )
+        have_best = True
         nxt = (
-            wide.filter(~F.col(id_col).isin(already))
-            .selectExpr(
-                id_col,
-                *[f"e{i}" for i in range(dim)],
-                "nrm",
-                f"floor(({cs}) * 1000000000.0) / 1000000000.0 AS __cs",
+            cur.selectExpr(
+                *keep,
+                "floor(__best * 1000000000.0) / 1000000000.0 AS __cs",
             )
             .orderBy(F.col("__cs").asc(), F.col(id_col))
             .limit(1)

@@ -5376,11 +5376,21 @@ _W17_SESS_CTE = """
         FROM events
     ), sess AS (
         SELECT user_id, ts, event_type, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sess_id
         FROM gaps
     )
 """
+# ^ the CAST(... AS BIGINT) on sess_id is load-bearing: DuckDB's window
+# sum(INTEGER) returns HUGEINT, which pandas renders as float64 while
+# Spark's sum(int) window is int64 — rows/schema compare equal but a
+# dtype-sensitive value hash flips on EVERY row. The local gate coerces
+# int/float before comparing (tools/check_oracle.compare), which is
+# exactly why six rounds of local-green/driver-red never reproduced.
+# w17's green siblings never EMIT the window sum (w7 outputs
+# count(DISTINCT sess_id); w16/j8 have no session id at all).
 
 
 def _w17_session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8935,11 +8945,17 @@ def _zipf_sql(dialect: str) -> str:
         FROM q
     )
     SELECT CAST(m AS BIGINT) AS n_points,
-           floor(CAST(m * sxy - sx * sy AS DOUBLE)
-                 / CAST(m * sxx - sx * sx AS DOUBLE)
-                 * 1000000.0) / 1000000.0 AS zipf_slope
+           CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE)
+                      * 1000000.0) / 1000000.0 AS DOUBLE) AS zipf_slope
     FROM m
     """
+    # ^ outer CAST(.. AS DOUBLE): Spark parses the 1000000.0 literal as
+    # DECIMAL, typing the un-cast slope DECIMAL(30,9) -> pandas
+    # object(Decimal) vs the DuckDB twin's float64 — a dtype-sensitive
+    # driver hash flips while the local (coercing) gate stays green.
+    # Very likely THE r6 text_zipf_fit red; the 9->6dp coarsening above
+    # is belt-and-braces for the (already-audited) libm margin.
 
 
 def _zipf_counts_sql(dialect: str) -> str:

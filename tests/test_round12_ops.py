@@ -253,6 +253,81 @@ def test_bloom_one_pass_matches_legacy_values(spark):
 
 
 # ---------------------------------------------------------------------------
+# catalog-wide dtype parity: the driver's value hash is dtype-sensitive
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_dtype_parity(spark):
+    """For every oracle-backed query, the (Spark output type, DuckDB
+    output type) pair per column must come from the DRIVER-PROVEN
+    compatibility set. The driver's canonicalizer hashes pandas values
+    where dtype/repr matters; the local compare coerces int/float and
+    so can never catch the two killer classes this test bans:
+
+    - DuckDB HUGEINT (window/scalar sum of INTEGER) -> pandas float64
+      vs Spark int64: w17_session_table's six-round rows✓schema✓hash✗.
+    - Spark DecimalType output (``x / 1000000.0`` — Spark parses the
+      literal as DECIMAL) -> pandas object(Decimal) vs DuckDB DOUBLE
+      float64: text_zipf_fit's r6 red.
+
+    Proven-benign pairs (green driver rows cited): spark int32 / duck
+    BIGINT (w1_rank_orders r02), spark timestamp / duck DATE
+    (w13_rollup_chain r04), spark double / duck DECIMAL (a18 r04 —
+    duck decimals land float64)."""
+    import duckdb as _dd
+    import os
+
+    from gcpdatapipelines_spark.io import TABLES
+    from pyspark.sql import types as T
+
+    con = _dd.connect()
+    for t in TABLES:
+        p = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def compatible(s, d):
+        d = d.upper()
+        if d.startswith("HUGEINT"):
+            return False  # float64 in pandas vs spark int64 — driver red
+        if isinstance(s, T.DecimalType):
+            # spark decimal -> object(Decimal); only safe if duck also
+            # emits a decimal of identical (p, s)
+            return d == f"DECIMAL({s.precision},{s.scale})"
+        if isinstance(s, (T.LongType, T.IntegerType, T.ShortType)):
+            return d in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT")
+        if isinstance(s, (T.DoubleType, T.FloatType)):
+            return d in ("DOUBLE", "FLOAT") or d.startswith("DECIMAL")
+        if isinstance(s, T.StringType):
+            return d == "VARCHAR"
+        if isinstance(s, T.BooleanType):
+            return d == "BOOLEAN"
+        if isinstance(s, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return d in ("DATE",) or d.startswith("TIMESTAMP")
+        return False
+
+    problems = []
+    for name, sql in Q.ORACLE_SQL.items():
+        try:
+            r = con.sql(sql)
+            dtypes = dict(zip(r.columns, [str(t) for t in r.types]))
+        except Exception as e:  # oracle must at least plan on the fixture
+            problems.append(f"{name}: duck error {e}")
+            continue
+        schema = Q.SPARK_QUERIES[name](spark, SF_SMOKE).schema
+        for f in schema.fields:
+            d = dtypes.get(f.name)
+            if d is None:
+                problems.append(f"{name}.{f.name}: column missing in oracle")
+            elif not compatible(f.dataType, d):
+                problems.append(
+                    f"{name}.{f.name}: spark={f.dataType.simpleString()} "
+                    f"duck={d}"
+                )
+    assert not problems, "\n".join(problems)
+
+
+# ---------------------------------------------------------------------------
 # incremental_neardup materialize mode (ADVICE r6: unbounded cache)
 # ---------------------------------------------------------------------------
 
