@@ -7,7 +7,12 @@ code, not relational. The Spark-side contract (schema, batch shape,
 partition sizing) is real and tested; the codec call itself is stubbed
 behind ``decode_fn`` because media libraries are not available in this
 environment — swap ``fake_decode`` for a Pillow/ffmpeg call and
-nothing else changes.
+nothing else changes. That swap-in contract is PROVEN, not asserted:
+``media_decode`` really decodes two actual file formats with pure
+stdlib bit parsing (BMP dimensions, WAV duration — no external libs)
+through the identical plumbing, with genuine files built and verified
+in tests/test_multimodal.py; only formats requiring native codecs
+(JPEG/MP4) fall back to the deterministic stand-in.
 
 Scale design:
 - blobs travel once: mapInPandas streams Arrow batches, so a 100 MB
@@ -56,6 +61,85 @@ def fake_decode(payload: bytes, kind: str) -> dict:
         "height": h if kind == "image" else None,
         "duration_s": dur if kind in ("audio", "video") else None,
     }
+
+
+def bmp_decode(payload: bytes) -> dict | None:
+    """REAL image codec for uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB): pure stdlib ``struct`` parsing of an actual file format —
+    no Pillow required. Returns None if the payload is not a BMP.
+
+    Exists to PROVE the decode_fn swap-in contract rather than assert
+    it: media libraries are absent from this environment, but a bit
+    parser of a real format exercises the identical mapInPandas
+    plumbing a Pillow call would (tests build genuine BMP bytes and
+    check real dimensions flow through decode_assets/resize_stub)."""
+    import struct
+
+    if payload is None or len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    # BITMAPFILEHEADER is 14 bytes; DIB header starts with its own size
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size >= 40:  # BITMAPINFOHEADER and successors: i32 w, i32 h
+        w, h = struct.unpack_from("<ii", payload, 18)
+        h = abs(h)  # negative height = top-down rows, same dimensions
+    elif dib_size == 12:  # BITMAPCOREHEADER: u16 w, u16 h
+        w, h = struct.unpack_from("<HH", payload, 18)
+    else:
+        return None
+    return {"width": int(w), "height": int(h), "duration_s": None}
+
+
+def wav_decode(payload: bytes) -> dict | None:
+    """REAL audio codec for RIFF/WAVE (PCM): walks the chunk list with
+    pure stdlib ``struct``, reads the fmt chunk's rate/channels/width
+    and the data chunk's byte length, and returns the exact duration.
+    Returns None if the payload is not a WAV."""
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, rate, block_align, data_bytes = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and sz >= 16:
+            _, channels, rate, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_bytes = sz
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not rate or not block_align or data_bytes is None:
+        return None
+    return {
+        "width": None,
+        "height": None,
+        "duration_s": data_bytes / (rate * block_align),
+    }
+
+
+def media_decode(payload: bytes, kind: str) -> dict:
+    """Production-shaped decode_fn: sniffs the payload's magic bytes
+    and runs the REAL parser for formats this environment can decode
+    (BMP images, WAV audio — pure stdlib), falling back to the
+    deterministic :func:`fake_decode` stand-in for everything else
+    (JPEG/PNG/MP4 need the absent native libs). Same signature, same
+    output schema — dropping this in for fake_decode changes nothing
+    else, which is exactly the swap-in contract the stub claims."""
+    if payload is not None:
+        real = bmp_decode(payload) if payload[:2] == b"BM" else wav_decode(payload)
+        if real is not None:
+            digest = hashlib.sha256(payload).hexdigest()
+            return {
+                "n_bytes": len(payload),
+                "checksum": digest[:16],
+                **real,
+            }
+    return fake_decode(payload, kind)
 
 
 def decode_assets(

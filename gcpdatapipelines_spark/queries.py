@@ -2157,13 +2157,23 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mm_decode_features")  # rows-only: mapInPandas stub, not SQL
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset decode via Arrow-batched mapInPandas: fabricates a
-    binary assets table from documents, runs the (stubbed) codec, and
-    returns typed features. Exercises the real Spark plumbing — binary
-    schema, Arrow batches, derived feature columns."""
-    from .operators.multimodal import decode_assets, text_to_fake_assets
+    binary assets table from documents, runs the production-shaped
+    codec dispatch (media_decode: REAL stdlib BMP/WAV bit parsers for
+    decodable formats, deterministic stand-in fallback for the
+    native-lib ones — these text-byte payloads all take the fallback,
+    so output is unchanged), and returns typed features. Exercises the
+    real Spark plumbing — binary schema, Arrow batches, magic-byte
+    sniffing, derived feature columns."""
+    from .operators.multimodal import (
+        decode_assets,
+        media_decode,
+        text_to_fake_assets,
+    )
 
     assets = text_to_fake_assets(_t(spark, sf_dir, "documents"))
-    return decode_assets(assets).select("asset_id", "kind", "n_bytes", "checksum")
+    return decode_assets(assets, media_decode).select(
+        "asset_id", "kind", "n_bytes", "checksum"
+    )
 
 
 @register(

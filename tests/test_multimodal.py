@@ -108,3 +108,108 @@ def test_phash_plan_equijoin_never_cartesian(spark):
     plan = phash_neardup_pairs(df, hash_col="ph")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# real-codec proof: the decode_fn swap-in contract executed, not asserted
+# ---------------------------------------------------------------------------
+
+
+def _real_bmp(width: int, height: int) -> bytes:
+    """Build a genuine 24-bit uncompressed BMP file in memory (pure
+    struct — the same bytes Paint would write)."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = (b"\x7f\x00\xff" * width + b"\x00" * pad) * height
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    return hdr + dib + pixels
+
+
+def _real_wav(seconds: float, rate: int = 8000) -> bytes:
+    """Build a genuine PCM WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * int(rate * seconds))
+    return buf.getvalue()
+
+
+def test_media_decode_real_bmp_and_wav_through_spark_plumbing(spark):
+    """media_decode parses REAL file bytes (BMP dims, WAV duration)
+    through the exact mapInPandas path the fake stand-in uses — the
+    'swap decode_fn and nothing else changes' claim, executed."""
+    from gcpdatapipelines_spark.operators.multimodal import (
+        decode_assets,
+        media_decode,
+    )
+
+    rows = [
+        (1, "image", _real_bmp(640, 480), None),
+        (2, "audio", _real_wav(2.5), None),
+        (3, "image", b"not a real image payload", None),  # fallback path
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id BIGINT, kind STRING, payload BINARY, meta MAP<STRING,STRING>"
+    )
+    out = {r.asset_id: r for r in decode_assets(df, media_decode).collect()}
+    assert (out[1].width, out[1].height) == (640, 480)
+    assert out[1].duration_s is None
+    assert out[2].duration_s == 2.5 and out[2].width is None
+    # non-decodable payload falls back to the deterministic stand-in
+    assert out[3].n_bytes == len(rows[2][2]) and out[3].checksum is not None
+
+
+def test_media_decode_real_dims_drive_resize(spark):
+    """Real decoded dimensions flow into the resize arithmetic —
+    the downstream relational contract is codec-agnostic."""
+    from gcpdatapipelines_spark.operators.multimodal import (
+        media_decode,
+        resize_stub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", _real_bmp(1024, 256), None)],
+        "asset_id BIGINT, kind STRING, payload BINARY, meta MAP<STRING,STRING>",
+    )
+    r = resize_stub(df, max_dim=256, decode_fn=media_decode).first()
+    assert (r.width, r.height) == (1024, 256)
+    assert (r.out_width, r.out_height) == (256, 64)
+
+
+def test_bmp_decode_variants_and_rejects():
+    from gcpdatapipelines_spark.operators.multimodal import bmp_decode
+
+    assert bmp_decode(_real_bmp(7, 3)) == {
+        "width": 7,
+        "height": 3,
+        "duration_s": None,
+    }
+    # top-down BMP stores negative height; dimensions are the same
+    import struct
+
+    b = bytearray(_real_bmp(5, 4))
+    struct.pack_into("<i", b, 22, -4)
+    assert bmp_decode(bytes(b))["height"] == 4
+    assert bmp_decode(b"BM") is None
+    assert bmp_decode(b"\x89PNG13213213132132131321") is None
+    assert bmp_decode(None) is None
+
+
+def test_wav_decode_exact_duration_and_rejects():
+    from gcpdatapipelines_spark.operators.multimodal import wav_decode
+
+    w = wav_decode(_real_wav(1.25, rate=16000))
+    assert w["duration_s"] == 1.25
+    assert wav_decode(b"RIFFxxxxNOPE" + b"\x00" * 40) is None
+    assert wav_decode(b"") is None

@@ -203,6 +203,18 @@ HEADLINERS = {
         "Bounded 7x fan-out of distinct (user, day) pairs + one distinct "
         "aggregate — no per-day re-scan, no window COUNT DISTINCT."
     ),
+    "w17_session_table": (
+        "ONE (user, ts, event_id) sort shared by the gap-lag and "
+        "session-sum windows, one rollup; bounds emitted relative to a "
+        "broadcast 1-row corpus min — shift-invariant, no single-"
+        "partition window anywhere."
+    ),
+    "sketch_bloom_filter": (
+        "k salted bit positions from ONE scan per side via "
+        "explode(array(h0..h6)) — the k-armed union form re-read each "
+        "side k times; bit set and membership audit stay broadcast-"
+        "joined aggregates."
+    ),
     "dedup_incremental_neardup": (
         "Corpus state is distinct band keys; increment signatures join it "
         "bucket-keyed (anti), then bucket-min — no O(n^2), no text "
