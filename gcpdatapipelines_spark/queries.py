@@ -2154,7 +2154,26 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("mm_decode_features")  # rows-only: mapInPandas stub, not SQL
+@register(
+    "mm_decode_features",
+    # full oracle (r7 upgrade from rows-only): this entry's OUTPUT
+    # columns (byte length + sha256-prefix checksum over utf8 payloads,
+    # kind cycling) are deterministic functions DuckDB can restate —
+    # the mapInPandas/Arrow plumbing and the codec dispatch run on the
+    # Spark side and must reproduce them bit-for-bit. width/height/
+    # duration stay OUT of the projection (digest-derived stand-ins on
+    # the fallback path — engine-specific by design).
+    """
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN text IS NULL THEN 0
+                ELSE octet_length(encode(text)) END AS n_bytes,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE substr(sha256(text), 1, 16) END AS checksum
+    FROM documents
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset decode via Arrow-batched mapInPandas: fabricates a
     binary assets table from documents, runs the production-shaped
@@ -2594,9 +2613,32 @@ def mm_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample")  # rows-only: the duration comes from the
-# stubbed codec (mapInPandas), so no SQL twin exists; the explode
-# arithmetic itself is pinned in tests/test_multimodal.py
+@register(
+    "mm_frame_sample",
+    # full oracle (r7 upgrade from rows-only): the stand-in duration is
+    # a deterministic digest function — (sha256 hex chars 9..12 as int)
+    # % 36000 / 100 — which DuckDB restates exactly, so the whole
+    # decode → per-video frame-list explode is hash-checked end to end.
+    # floor() before the INT cast is load-bearing: Spark CAST(double AS
+    # INT) truncates, DuckDB's ROUNDS — floor makes them agree.
+    """
+    WITH vids AS (
+        SELECT doc_id AS asset_id,
+               (CAST(concat('0x', substr(sha256(text), 9, 4)) AS BIGINT)
+                % 36000) / 100.0 AS dur
+        FROM documents
+        WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(unnest(generate_series(
+               0, greatest(CAST(floor(dur / 1.0) AS INT) - 1, 0))) AS INT)
+               AS frame_idx,
+           CAST(unnest(generate_series(
+               0, greatest(CAST(floor(dur / 1.0) AS INT) - 1, 0))) AS INT)
+               * 1.0 AS frame_ts_s
+    FROM vids
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing at catalog scale: decode-stub the
     fabricated video assets, explode each into (asset_id, frame_idx,
