@@ -514,3 +514,116 @@ def test_temperature_sample_matches_quota_model(spark, sizes, alpha):
         share = math.floor((p[gi] / tot) * 1e12) / 1e12
         want = min(n, math.floor(50.0 * share))
         assert got.get(f"g{gi}", 0) == want
+
+
+# ---------------------------------------------------------------------------
+# round-12 additions: bloom one-pass vs a python reference model, and the
+# incremental k-center fold vs the brute greedy
+# ---------------------------------------------------------------------------
+
+
+BLOOM_KEYS = st.lists(
+    st.integers(min_value=0, max_value=60), min_size=1, max_size=30
+)
+
+
+@given(build=BLOOM_KEYS, probe=BLOOM_KEYS)
+@SLOW
+def test_bloom_confusion_matches_python_model(spark, build, probe):
+    """The one-pass explode bloom must reproduce a literal python model
+    of the same salted-md5 bit construction: identical hit set, and
+    never a false negative."""
+    import hashlib
+
+    from gcpdatapipelines_spark.operators.sketches import bloom_membership
+
+    k, m_bits = 4, 256
+
+    def bits(key):
+        out = set()
+        for i in range(k):
+            h = int(
+                hashlib.md5(f"bf{i}:{key}".encode()).hexdigest()[:15], 16
+            )
+            out.add(h % m_bits)
+        return out
+
+    bitset = set()
+    for key in set(build):
+        bitset |= bits(key)
+    expected = {}
+    for key in set(probe):
+        is_member = key in set(build)
+        hit = bits(key) <= bitset
+        expected[(is_member, hit)] = expected.get((is_member, hit), 0) + 1
+
+    bdf = spark.createDataFrame([(x,) for x in build], "k INT")
+    pdf_ = spark.createDataFrame([(x,) for x in probe], "k INT")
+    got = {
+        (r.is_member, r.bloom_hit): r.n
+        for r in bloom_membership(bdf, pdf_, "k", "k", k=k, m_bits=m_bits).collect()
+    }
+    assert got == expected
+    assert (True, False) not in got
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(vecs=VECS)
+@SLOW
+def test_kcenter_incremental_fold_matches_brute_greedy(spark, vecs):
+    """The O(nk) incremental greatest() fold must select the identical
+    ids, in order, as a literal python farthest-point greedy computed
+    with the same floor-9dp rounding — greatest() exactness is the
+    whole proof, so any divergence here is a real bug."""
+    import math
+
+    from gcpdatapipelines_spark.operators.similarity import (
+        diverse_kcenter_portable,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = min(4, len(rows))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = [
+        (r.rank, r.vec_id)
+        for r in diverse_kcenter_portable(
+            df, "vec_id", "embedding", k=k, dim=4
+        ).collect()
+    ]
+
+    # python model — same float32 widening, same chain order, floor-9dp
+    import numpy as np
+
+    wide = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    nrm = {i: math.sqrt(sum(x * x for x in v)) for i, v in wide.items()}
+    sel = [min(wide)]
+    best = {}
+    while len(sel) < k:
+        newest = sel[-1]
+        for i in wide:
+            if i in sel:
+                continue
+            dot = 0.0
+            for a, b in zip(wide[i], wide[newest]):
+                dot += a * b
+            cos = dot / (nrm[i] * nrm[newest])
+            best[i] = max(best.get(i, -math.inf), cos)
+        cand = [
+            (math.floor(best[i] * 1e9) / 1e9, i)
+            for i in wide
+            if i not in sel
+        ]
+        cand.sort()
+        sel.append(cand[0][1])
+    want = [(r, i) for r, i in enumerate(sel)]
+    assert got == want

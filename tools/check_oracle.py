@@ -80,6 +80,45 @@ def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     s, d = normalize(spark_pd), normalize(duck_pd)
+    # dtype-KIND gate (r7, the w17/text_zipf_fit lesson): the driver's
+    # value hash is dtype-sensitive, but the float coercion below makes
+    # this local compare blind to int64-vs-float64 (DuckDB HUGEINT) and
+    # Decimal-object-vs-float64 (Spark decimal from a `x / 1000000.0`
+    # decimal literal) — both were local-green / driver-red for rounds.
+    # Driver-proven-benign pairs stay unflagged: int32 vs int64 (same
+    # kind 'i'), duck DECIMAL→float64 vs spark double (both 'f'),
+    # datetime64 vs object(date) (datetimes exempt).
+    import datetime as _dt
+    import decimal as _dec
+
+    for c in spark_pd.columns:
+        sk = spark_pd[c].dtype.kind
+        dk = duck_pd[c].dtype.kind
+        kinds = {sk, dk}
+        if kinds == {"i", "f"} or kinds == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={spark_pd[c].dtype} "
+                f"oracle={duck_pd[c].dtype} (driver hash WOULD MISMATCH "
+                f"— int-vs-float, the HUGEINT/decimal-literal class)"
+            )
+        elif "O" in kinds and kinds & {"i", "u", "f"}:
+            obj = spark_pd[c] if sk == "O" else duck_pd[c]
+            head = obj.dropna().head(3)
+            if any(isinstance(v, _dec.Decimal) for v in head):
+                problems.append(
+                    f"col {c}: spark={spark_pd[c].dtype} oracle="
+                    f"{duck_pd[c].dtype} with Decimal objects vs numeric "
+                    f"(driver hash WOULD MISMATCH)"
+                )
+            elif not all(
+                isinstance(v, (_dt.date, _dt.datetime)) for v in head
+            ):
+                problems.append(
+                    f"col {c}: object-vs-numeric dtype pair "
+                    f"spark={spark_pd[c].dtype} oracle={duck_pd[c].dtype}"
+                )
+    if problems:
+        return problems
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
