@@ -86,6 +86,23 @@ def test_w17_probes_partition_the_select(spark):
     }
 
 
+def test_w17_relative_bounds_plan_broadcasts_the_corpus_min(spark):
+    """The corpus-min subtraction must enter the plan as a broadcast of
+    a 1-row aggregate — not a cartesian product and not a global
+    window (which would single-partition the session table)."""
+    plan = (
+        Q.queries()["w17_session_table"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # both windows share ONE (user, ts, event_id) sort: exactly one
+    # user-keyed exchange feeds the window pair
+    assert plan.count("Window") >= 1
+
+
 def test_w17_relative_bounds_consistent_with_absolute(spark):
     """rel = abs - min(abs) row-for-row, and duration matches both
     forms — the probes and the production entry describe ONE session
