@@ -627,3 +627,69 @@ def test_kcenter_incremental_fold_matches_brute_greedy(spark, vecs):
         sel.append(cand[0][1])
     want = [(r, i) for r, i in enumerate(sel)]
     assert got == want
+
+
+SESS_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # user
+        st.integers(min_value=0, max_value=7200),     # seconds offset
+        st.integers(min_value=0, max_value=99),       # event_id
+        st.sampled_from(["view", "purchase"]),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=16),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@given(evs=SESS_EVENTS)
+@SLOW
+def test_session_table_matches_python_model(spark, evs):
+    """windows.session_table vs a literal python sessionizer over
+    random event streams — pins the exact gap semantics (a gap of
+    EXACTLY 1800 s does NOT split: strict >), the (ts, event_id)
+    tiebreak under equal timestamps, and the per-session aggregates."""
+    from gcpdatapipelines_spark.operators.windows import session_table
+
+    rows = [
+        (u, 1_600_000_000_000_000 + s * 1_000_000, e, t, float(v))
+        for u, s, e, t, v in evs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, us LONG, event_id INT, event_type STRING, value DOUBLE"
+    ).selectExpr(
+        "user_id", "timestamp_micros(us) AS ts", "event_id", "event_type", "value"
+    )
+    got = {
+        (r.user_id, r.sess_id): (
+            r.n_events,
+            r.converted,
+            int(r.duration_s * 1_000_000),
+        )
+        for r in session_table(df, "user_id", "ts", "event_id", "value").collect()
+    }
+
+    # python model
+    from collections import defaultdict
+    import decimal
+
+    by_user = defaultdict(list)
+    for u, us, e, t, v in rows:
+        by_user[u].append((us, e, t, v))
+    want = {}
+    for u, lst in by_user.items():
+        lst.sort()
+        sess, prev = 0, None
+        members = defaultdict(list)
+        for us, e, t, v in lst:
+            if prev is not None and us - prev > 1800 * 1_000_000:
+                sess += 1
+            members[sess].append((us, t, v))
+            prev = us
+        for sid, ms in members.items():
+            n = len(ms)
+            conv = 1 if any(t == "purchase" for _, t, _ in ms) else 0
+            dur = max(us for us, _, _ in ms) - min(us for us, _, _ in ms)
+            want[(u, sid)] = (n, conv, dur)
+    assert got == want
