@@ -270,6 +270,30 @@ def test_bloom_one_pass_matches_legacy_values(spark):
 
 
 # ---------------------------------------------------------------------------
+# winnowing: the k-gram hash must stay inside codegen (no interpreted HOF)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_hashes_in_codegen_not_hof(spark):
+    """The per-gram hash must be a plain per-row expression after an
+    explode of the position range — a higher-order transform() lambda
+    is INTERPRETED row-by-row and dominated the operator at ~300
+    grams/doc (r7: 6.5 -> 4.2 s solo at sf0.1 from this change
+    alone)."""
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.text import winnowing_fingerprints
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    out = winnowing_fingerprints(d, "doc_id", "text", k=20, window=8, hash_fn="md5")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(" not in plan  # no interpreted HOF on the hot path
+    assert "explode(sequence(" in plan
+    # and the gram hashing semantics: first/last full windows included
+    rows = out.groupBy().count().first()[0]
+    assert rows > 0
+
+
+# ---------------------------------------------------------------------------
 # catalog-wide dtype parity: the driver's value hash is dtype-sensitive
 # ---------------------------------------------------------------------------
 
