@@ -124,6 +124,28 @@ def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+def _simhash_md5_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped shared prep: md5-family SimHash signatures
+    (doc_id, sig_hi, sig_lo) — the oracle-parity twin of
+    :func:`_simhash_cached`, consumed by both the text near-dup
+    detector (dedup_simhash) and the media phash stand-in
+    (mm_phash_neardup). Same 100 TB rationale: one signature pass per
+    corpus, every detector reads the materialized table."""
+    from .operators.dedup import simhash_md5
+
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash_md5")
+    sig = _PREP_CACHE.get(key)
+    if sig is None:
+        sig = simhash_md5(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            tokens_df=_doc_tokens_cached(spark, sf_dir),
+        ).persist()
+        _PREP_CACHE[key] = sig
+    return sig
+
+
 def _doc_shingles_cached(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     from .operators.dedup import doc_shingles
 
@@ -1391,10 +1413,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _simhash_md5_sql(max_hamming: int = 3) -> str:
+def _simhash_md5_sql(max_hamming: int = 3, kinded: bool = False) -> str:
     """DuckDB twin of the md5-mode SimHash pipeline: two 32-bit md5
     halves per token, per-bit +1/-1 votes, sign-bit fold into two
-    positive words, 16-bit pigeonhole banding, xor+bit_count verify."""
+    positive words, 16-bit pigeonhole banding, xor+bit_count verify.
+
+    ``kinded=True`` is the media-asset (mm_phash_neardup) variant: each
+    doc carries a modality kind (the text_to_fake_assets doc_id%3
+    cycle), the band equi-join adds kind to its key (image-to-image
+    only, matching the Spark plan where kind lives inside the shuffle
+    key), and the output is (asset_a, asset_b, kind, hamming)."""
     lo_votes = ",\n               ".join(
         f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS lo{b}"
         for b in range(32)
@@ -1411,6 +1439,15 @@ def _simhash_md5_sql(max_hamming: int = 3) -> str:
         f"(CASE WHEN lo{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(32)
     )
+    kind_expr = (
+        "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]"
+    )
+    kind_sig = f", {kind_expr} AS kind" if kinded else ""
+    kind_chunk = ", kind" if kinded else ""
+    kind_join = " AND a.kind = b.kind" if kinded else ""
+    kind_cand = ", a.kind AS kind" if kinded else ""
+    id_a, id_b = ("asset_a", "asset_b") if kinded else ("id_1", "id_2")
+    kind_out = ", kind" if kinded else ""
     return f"""
     WITH toks AS (
         SELECT doc_id,
@@ -1431,26 +1468,26 @@ def _simhash_md5_sql(max_hamming: int = 3) -> str:
                {hi_votes}
         FROM h GROUP BY doc_id
     ), sigs AS (
-        SELECT doc_id,
+        SELECT doc_id{kind_sig},
                {sig_hi} AS sig_hi,
                {sig_lo} AS sig_lo
         FROM votes
     ), chunks AS (
-        SELECT doc_id, sig_hi, sig_lo,
+        SELECT doc_id{kind_chunk}, sig_hi, sig_lo,
                unnest([0, 1, 2, 3]) AS chunk,
                unnest([(sig_lo >> 0) & 65535, (sig_lo >> 16) & 65535,
                        (sig_hi >> 0) & 65535, (sig_hi >> 16) & 65535])
                    AS piece
         FROM sigs
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+        SELECT DISTINCT a.doc_id AS {id_a}, b.doc_id AS {id_b}{kind_cand},
                a.sig_hi AS hi1, a.sig_lo AS lo1,
                b.sig_hi AS hi2, b.sig_lo AS lo2
         FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.piece = b.piece
+          ON a.chunk = b.chunk AND a.piece = b.piece{kind_join}
          AND a.doc_id < b.doc_id
     )
-    SELECT id_1, id_2,
+    SELECT {id_a}, {id_b}{kind_out},
            CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS INT)
                AS hamming
     FROM cand
@@ -1475,6 +1512,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         max_hamming=3,
+        sig_df=_simhash_md5_cached(spark, sf_dir),
     )
 
 
@@ -7121,26 +7159,37 @@ def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(ev, "user_id", "ts", "event_type", "event_id", k=20, max_len=8)
 
 
-@register("mm_phash_neardup")  # rows-only: the hash-sketch signature has
-# no DuckDB twin (same precedent as dedup_simhash); the banding+verify
-# plumbing is the contract, pinned by tests incl. a planted-pair check
+@register("mm_phash_neardup", _simhash_md5_sql(kinded=True))
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media assets by perceptual-hash Hamming banding
-    (pigeonhole chunks -> equi-join candidates -> exact bit_count
-    verify). The perceptual hash is a labeled STAND-IN — a content
-    SimHash of the decoded payload, locality-sensitive like a real
-    pHash so the fixture yields true near-dup pairs; a Pillow-based
-    pHash drops in via ``hash_col`` with no other change. Never a
-    pair scan."""
-    from .operators.multimodal import phash_neardup_pairs
+    WITHIN asset kind (pigeonhole chunks -> (kind, chunk, piece)
+    equi-join candidates -> exact bit_count verify). The perceptual
+    hash is a labeled STAND-IN — a content SimHash of the decoded
+    payload, locality-sensitive like a real pHash so the fixture
+    yields true near-dup pairs; a Pillow-based pHash drops into the
+    signature frame with no other change. Never a pair scan.
+
+    Upgraded from rows-only (r8): the catalog runs the md5-family
+    two-word signature exactly as dedup_simhash does, so signatures,
+    kind-scoped banding, and the xor+bit_count verify all hash-check
+    against the DuckDB twin. Production keeps the xxhash64 single-word
+    path (phash_neardup_pairs)."""
+    from .operators.multimodal import phash_neardup_pairs_md5
 
     # payload == utf8(text) in the fabricated assets table, so the
     # stand-in phash is the SHARED per-session signature table — at
     # 100 TB the signature pass runs once per corpus, not per consumer
-    sig = _simhash_cached(spark, sf_dir).select(
-        F.col("doc_id").alias("asset_id"), F.col("simhash").alias("phash")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    return phash_neardup_pairs(sig, max_hamming=3, hash_col="phash")
+    sig = _simhash_md5_cached(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        "sig_hi",
+        "sig_lo",
+    )
+    return phash_neardup_pairs_md5(sig, max_hamming=3)
 
 
 @register(

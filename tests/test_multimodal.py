@@ -111,6 +111,58 @@ def test_phash_plan_equijoin_never_cartesian(spark):
 
 
 # ---------------------------------------------------------------------------
+# phash_neardup_pairs_md5 (kind-scoped, oracle-parity signature family)
+# ---------------------------------------------------------------------------
+
+from gcpdatapipelines_spark.operators.multimodal import phash_neardup_pairs_md5  # noqa: E402
+
+
+def _two_word_sig_rows():
+    # sig planted as two positive 32-bit words; a-b differ in 2 bits of
+    # sig_lo, a-c in 20 bits, d == a; e matches a bit-for-bit but is a
+    # different kind -> must NOT pair.
+    base_hi, base_lo = 0x0F0F0F0F, 0x1111000011 & 0xFFFFFFFF
+    return [
+        (1, "image", base_hi, base_lo),
+        (2, "image", base_hi, base_lo ^ 0b11),        # hamming 2
+        (3, "image", base_hi, base_lo ^ ((1 << 20) - 1)),  # hamming 20
+        (4, "image", base_hi, base_lo),               # hamming 0
+        (5, "audio", base_hi, base_lo),               # identical, wrong kind
+    ]
+
+
+def test_phash_md5_kind_scoped_pairs(spark):
+    df = spark.createDataFrame(
+        _two_word_sig_rows(),
+        "asset_id BIGINT, kind STRING, sig_hi BIGINT, sig_lo BIGINT",
+    )
+    out = {
+        (r.asset_a, r.asset_b): (r.kind, r.hamming)
+        for r in phash_neardup_pairs_md5(df, max_hamming=3).collect()
+    }
+    assert out == {
+        (1, 2): ("image", 2),
+        (1, 4): ("image", 0),
+        (2, 4): ("image", 2),
+    }
+
+
+def test_phash_md5_plan_kind_in_join_key_never_cartesian(spark):
+    df = spark.createDataFrame(
+        _two_word_sig_rows(),
+        "asset_id BIGINT, kind STRING, sig_hi BIGINT, sig_lo BIGINT",
+    )
+    q = phash_neardup_pairs_md5(df)._jdf.queryExecution()
+    plan = q.executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # kind must be INSIDE the equi-join key (pre-shuffle candidate cut),
+    # not a post-join filter
+    optimized = q.optimizedPlan().toString()
+    assert "__k2" in optimized
+
+
+# ---------------------------------------------------------------------------
 # real-codec proof: the decode_fn swap-in contract executed, not asserted
 # ---------------------------------------------------------------------------
 
