@@ -36,6 +36,40 @@ from pyspark.sql import functions as F
 
 from .portable import trunc_dp
 
+_CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+_constraint_warned = False
+
+
+def _check_constraint_propagation(spark) -> None:
+    """Advisory check, NOT a conf write: the widened-vector operators
+    unroll 64-term arithmetic chains, and Catalyst constraint
+    inference is super-linear in chain depth — with it enabled the
+    optimizer stalls for tens of seconds at dim=64. The repo's session
+    factory (session.get_spark) disables it session-wide and documents
+    why; a session built elsewhere gets one warning instead of an
+    operator silently flipping a global optimizer conf under
+    co-resident workloads (the conf affects optimization effort only,
+    never results)."""
+    global _constraint_warned
+    if _constraint_warned:
+        return
+    try:
+        enabled = spark.conf.get(_CONSTRAINT_CONF, "true") != "false"
+    except Exception:
+        enabled = False
+    if enabled:
+        import warnings
+
+        warnings.warn(
+            f"{_CONSTRAINT_CONF} is enabled; the unrolled-vector "
+            "operators may spend tens of seconds in optimizer "
+            "constraint inference. Build sessions with "
+            "gcpdatapipelines_spark.session.get_spark (which disables "
+            "it) or set it to false yourself.",
+            stacklevel=3,
+        )
+    _constraint_warned = True
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -238,11 +272,13 @@ def embedding_neardup_pairs_codegen(
     embedding_neardup_pairs_pruned (same scoring expressions joined
     through a sound cell-pair candidate set, provably equal output).
 
-    Side effect: disables spark.sql.constraintPropagation for the
-    session — Catalyst's constraint inference is super-linear in the
-    depth of the 64-term arithmetic chain and stalls the optimizer;
-    the conf only affects optimization effort, never results."""
-    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    Requires spark.sql.constraintPropagation disabled (the session
+    factory's default): Catalyst's constraint inference is super-linear
+    in the depth of the 64-term arithmetic chain and stalls the
+    optimizer; the conf only affects optimization effort, never
+    results. Enabled sessions get a one-time warning — operators never
+    write session confs themselves."""
+    _check_constraint_propagation(vectors.sparkSession)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     wide = _widened(vectors, id_col, vec_col, dim)
@@ -434,7 +470,7 @@ def embedding_neardup_pairs_pruned(
     identical either way (both score with the same unrolled chain);
     which plan ran is visible in .explain (block equi-joins vs one
     declared cross)."""
-    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    _check_constraint_propagation(vectors.sparkSession)
     fallback_frac = 0.5
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
@@ -490,9 +526,7 @@ def semdedup_pairs_seeded(
 
     Returns (id_1 < id_2, sim) with sim from the same codegen-unrolled
     left-to-right chain as the exact scan."""
-    vectors.sparkSession.conf.set(
-        "spark.sql.constraintPropagation.enabled", "false"
-    )
+    _check_constraint_propagation(vectors.sparkSession)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     v = vectors.select(
@@ -1254,6 +1288,7 @@ def srp_signatures(
     bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    mode: str = "gaussian",
 ) -> DataFrame:
     """Signed-random-projection (hyperplane) LSH signatures for cosine
     similarity (Charikar, STOC 2002): bit i = [dot(v, h_i) >= 0] for
@@ -1271,15 +1306,32 @@ def srp_signatures(
     selectExpr) produces a ~60 KB expression whose analysis/codegen
     costs tens of driver seconds at dim=64 — measured, not guessed.
     Narrow one-pass op: no shuffle, batch-local, scales with the scan.
-    Output: (id, band_0..band_{bands-1})."""
+    Output: (id, band_0..band_{bands-1}).
+
+    ``mode="axes"`` swaps the seeded-Gaussian hyperplanes for the
+    first ``nbits`` coordinate axes (bit i = [v_i >= 0], requires
+    dim >= nbits) — the deterministic engine-parity family: the exact
+    signature, banding, and candidate set restate in plain SQL (a sign
+    test per coordinate), the same sign-disagreement playbook as
+    sim_binary_hamming. Recall analysis is unchanged (axes are fixed
+    hyperplanes; for embeddings with no preferred orientation the
+    collision probability is the same 1 - angle/pi). Production keeps
+    "gaussian"."""
     import numpy as np
 
     if nbits % bands:
         raise ValueError(f"nbits={nbits} must be divisible by bands={bands}")
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, nbits))
+    if mode == "axes":
+        if dim < nbits:
+            raise ValueError(f"mode='axes' needs dim >= nbits, got {dim} < {nbits}")
+        H = np.eye(dim, nbits)
+    elif mode == "gaussian":
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((dim, nbits))
+    else:
+        raise ValueError(f"unknown srp mode: {mode!r}")
     r = nbits // bands
     weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
     src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
@@ -1312,6 +1364,8 @@ def srp_lsh_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int | None = 1000,
+    mode: str = "gaussian",
+    floor_sim: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via SRP-LSH banding + exact verification: docs
     sharing ANY band key become candidates; candidates (and ONLY
@@ -1330,8 +1384,15 @@ def srp_lsh_pairs(
     BEFORE verification so each pair is scored once, and the verify
     join runs on the widened scalar columns (same bit-identical scorer
     as the exact scan).
+
+    ``mode="axes"`` selects the deterministic coordinate-axis
+    hyperplane family (see :func:`srp_signatures`) and ``floor_sim``
+    the 6-dp floor-truncated engine-portable scorer — together they
+    make the ENTIRE pipeline (signatures, banding, bucket cap,
+    candidate set, verify) restatable in plain SQL, which is how the
+    catalog hash-checks this operator against DuckDB.
     """
-    vectors.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    _check_constraint_propagation(vectors.sparkSession)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     # persisted: the (id, bands ints) frame is tiny, but WITHOUT the
@@ -1343,7 +1404,8 @@ def srp_lsh_pairs(
     # lambdas). At 100 TB this is the materialize-the-signature-table
     # step a real pipeline runs anyway.
     sig = srp_signatures(
-        vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed, dim=dim
+        vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed, dim=dim,
+        mode=mode,
     ).persist()
     stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
     melted = sig.selectExpr(id_col, f"stack({bands}, {stack}) AS (band_idx, band_val)")
@@ -1368,10 +1430,14 @@ def srp_lsh_pairs(
     )
     wide = _widened(vectors, id_col, vec_col, dim)
     sa, sb = _wide_sides(wide, id_col, dim)
+    sim_sql = (
+        _unrolled_pair_sim_floor_sql(dim) if floor_sim
+        else _unrolled_pair_sim_sql(dim)
+    )
     return (
         cand.join(sa, "id_1")
         .join(sb, "id_2")
-        .selectExpr("id_1", "id_2", _unrolled_pair_sim_sql(dim))
+        .selectExpr("id_1", "id_2", sim_sql)
         .filter(F.col("sim") >= threshold)
     )
 

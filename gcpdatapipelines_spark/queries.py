@@ -1847,20 +1847,84 @@ def sim_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=16)
 
 
-@register("sim_srp_lsh")  # rows-only: hyperplane candidate set is engine-defined
+def _srp_axes_sql(
+    threshold: float = 0.4, nbits: int = 32, bands: int = 8, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of the axes-mode SRP-LSH pipeline: bit i is the
+    sign test [v_i >= 0] (coordinate-axis hyperplanes), bits fold
+    big-endian into ``bands`` integer band keys, degenerate buckets
+    (> max_bucket members) are dropped, candidates come only from
+    band-key equi-join collisions, and survivors are scored with the
+    6-dp floor-truncated exact cosine."""
+    r = nbits // bands
+    band_exprs = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN vec[{b * r + j + 1}] >= 0 THEN {1 << (r - 1 - j)} "
+            "ELSE 0 END)"
+            for j in range(r)
+        )
+        band_exprs.append(terms)
+    band_vals = ",\n                       ".join(band_exprs)
+    band_idxs = ", ".join(str(b) for b in range(bands))
+    cos = (
+        "floor((list_inner_product(va.vec, vb.vec) / "
+        "(sqrt(list_inner_product(va.vec, va.vec)) * "
+        "sqrt(list_inner_product(vb.vec, vb.vec)))) * 1000000.0) / 1000000.0"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), bands AS (
+        SELECT vec_id,
+               unnest([{band_idxs}]) AS band_idx,
+               unnest([{band_vals}]) AS band_val
+        FROM v
+    ), capped AS (
+        SELECT band_idx, band_val, vec_id FROM (
+            SELECT band_idx, band_val, vec_id,
+                   count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+            FROM bands
+        ) WHERE bn <= {max_bucket}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_1, c.id_2, {cos} AS sim
+    FROM cand c JOIN v va ON va.vec_id = c.id_1
+                JOIN v vb ON vb.vec_id = c.id_2
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register("sim_srp_lsh", _srp_axes_sql())
 def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SRP) LSH near-dup pairs, exact-verified: the
-    embedding-space sibling of MinHash banding. 32 seeded-Gaussian
-    hyperplane bits in 8 bands generate candidates through equi-joins
-    on band keys (never all-pairs); candidates alone are scored with
-    the same codegen-unrolled cosine as the exact scan, so precision
-    is 1.0 and only recall is probabilistic (subset + recall vs exact
-    unit-tested). Rows-only here: the candidate set depends on the
-    seeded hyperplanes, which have no DuckDB twin."""
+    embedding-space sibling of MinHash banding. 32 hyperplane bits in
+    8 bands generate candidates through equi-joins on band keys (never
+    all-pairs); candidates alone are scored with the same
+    codegen-unrolled cosine as the exact scan, so precision is 1.0 and
+    only recall is probabilistic (subset + recall vs exact
+    unit-tested).
+
+    Upgraded from rows-only (r8): the catalog runs the deterministic
+    coordinate-axis hyperplane family (bit i = [v_i >= 0] — the
+    sim_binary_hamming sign-disagreement playbook) with the 6-dp
+    floor-truncated scorer, so signatures, banding, bucket cap,
+    candidate set, and verify ALL hash-check against the DuckDB twin.
+    Production keeps the seeded-Gaussian family (mode="gaussian",
+    recall pinned in tests)."""
     from .operators.similarity import srp_lsh_pairs
 
     return srp_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, nbits=32, bands=8, seed=42
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        nbits=32,
+        bands=8,
+        mode="axes",
+        floor_sim=True,
     )
 
 
@@ -7509,15 +7573,73 @@ def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_repeat(d, "source", "doc_id", {"src0": 2.3, "src1": 1.5})
 
 
-@register("sample_pack_sequences")  # rows-only: first-fit-decreasing is
-# greedy-stateful (not SQL-expressible); determinism + packing quality +
-# python-model parity are pinned in tests/test_sample.py
+@register(
+    "sample_pack_sequences",
+    # The FFD greedy is sequentially dependent, but it IS restatable as
+    # a recursive CTE: per shard, fold over docs in (len desc, id)
+    # order carrying the open-bin remaining-capacity list; first-fit =
+    # min index with rem >= len. Recursion depth = max docs/shard —
+    # fine at oracle scale (sf0.01), while the Spark side stays the
+    # Arrow kernel that actually scales. Full per-doc assignment
+    # parity, not just invariants.
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+        FROM documents
+    ), sharded AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 % 16 AS shard,
+               doc_id, n_tok
+        FROM toks
+    ), ordered AS (
+        SELECT shard,
+               list(doc_id ORDER BY n_tok DESC, doc_id) AS ids,
+               list(least(n_tok, 512) ORDER BY n_tok DESC, doc_id) AS lens
+        FROM sharded GROUP BY shard
+    ), ffd AS (
+        SELECT shard, ids, lens, 0 AS pos,
+               CAST([] AS BIGINT[]) AS rem,
+               CAST([] AS INTEGER[]) AS assign
+        FROM ordered
+        UNION ALL
+        SELECT shard, ids, lens, pos + 1,
+               CASE WHEN fit IS NULL THEN list_append(rem, 512 - ln)
+                    ELSE list_transform(generate_series(1, len(rem)),
+                            i -> CASE WHEN i = fit THEN rem[i] - ln
+                                      ELSE rem[i] END)
+               END AS rem,
+               list_append(assign,
+                           CAST(coalesce(fit, len(rem) + 1) - 1 AS INTEGER))
+                   AS assign
+        FROM (
+            SELECT shard, ids, lens, pos, rem, assign,
+                   lens[pos + 1] AS ln,
+                   list_min(list_filter(generate_series(1, len(rem)),
+                                        i -> rem[i] >= lens[pos + 1])) AS fit
+            FROM ffd
+            WHERE pos < len(ids)
+        )
+    ), packed AS (
+        SELECT shard, unnest(ids) AS doc_id, unnest(assign) AS bin_id
+        FROM ffd WHERE pos = len(ids)
+    )
+    SELECT p.shard, p.doc_id, s.n_tok AS n_tokens, p.bin_id
+    FROM packed p JOIN sharded s USING (doc_id)
+    """,
+)
 def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining batches: first-fit-decreasing
     of documents (by token count) into 512-token bins, sharded by md5
     hash so the stateful greedy runs per-shard in an Arrow kernel over
     LENGTHS only (blobs never enter Python). One row per document with
-    its (shard, bin) assignment."""
+    its (shard, bin) assignment.
+
+    Upgraded from rows-only (r8): the oracle restates the per-shard
+    greedy as a DuckDB recursive CTE (open-bin capacities folded doc
+    by doc), so the driver hash-checks the EXACT per-doc bin
+    assignment, not just coverage invariants."""
     from .operators.sample import pack_sequences
     from .operators.text import token_count
 

@@ -50,6 +50,16 @@ def get_spark(
         # int64 nanos and convert at the source (io.read_table), matching
         # the ns->us truncation every us-based engine applies
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Catalyst's constraint inference is super-linear in the depth
+        # of arithmetic chains; the widened-vector operators
+        # (similarity.py) unroll 64-term dot products into scalar
+        # expressions that stall the optimizer for tens of seconds with
+        # it on. The conf only affects optimization effort, never
+        # results. Set HERE (session-scoped, visible) rather than from
+        # inside operators — an operator silently flipping a global
+        # optimizer conf is a landmine for co-resident workloads; the
+        # operators merely warn if they find it enabled.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # local[N] runs every executor thread inside the driver JVM, so

@@ -1,0 +1,132 @@
+"""Round-8(13th build pass) additions: oracle upgrades for the last
+upgradeable rows-only entries and the no-conf-writes invariant.
+
+- mm_phash_neardup: kind-scoped md5 SimHash banding (kinded oracle)
+- sample_pack_sequences: per-shard FFD restated as a recursive CTE
+- sim_srp_lsh: deterministic coordinate-axis hyperplane family
+- operators must never write session confs (r7 verdict #5)
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gcpdatapipelines_spark.operators.similarity import (
+    srp_lsh_pairs,
+    srp_signatures,
+)
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "gcpdatapipelines_spark"
+
+
+# ---------------------------------------------------------------------------
+# no global conf writes from inside operators
+# ---------------------------------------------------------------------------
+
+
+def test_no_session_conf_writes_in_operators():
+    """An operator silently flipping a session-wide OPTIMIZER conf is
+    a landmine for co-resident workloads; the session factory owns all
+    performance-conf decisions. Allowed exceptions, by name: the two
+    correctness-mandatory source confs in io.read_table (UTC session
+    tz + nanosAsLong — the driver builds its own session, and without
+    them TIMESTAMP(NANOS)/NTZ scans decode wrong values; both are
+    idempotent value pins, documented in the docstring, never
+    performance knobs)."""
+    allowed = {
+        "io.py": {
+            'spark.conf.set("spark.sql.session.timeZone", "UTC")',
+            'spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")',
+        }
+    }
+    offenders = []
+    for p in PKG.rglob("*.py"):
+        if p.name == "session.py":
+            continue
+        for line in p.read_text().splitlines():
+            if ".conf.set(" in line and line.strip() not in allowed.get(p.name, set()):
+                offenders.append((p.name, line.strip()))
+    assert offenders == []
+
+
+# ---------------------------------------------------------------------------
+# srp axes mode: deterministic sign-bit signatures
+# ---------------------------------------------------------------------------
+
+
+def test_srp_axes_signature_bits(spark):
+    # dim=8, nbits=8, 2 bands of 4 bits: bit i = [v_i >= 0], big-endian
+    # fold within band.
+    v = [1.0, -2.0, 3.0, -4.0, 0.0, -1.0, 1.0, 1.0]
+    # bits: 1,0,1,0 | 1,0,1,1  ->  band_0 = 0b1010 = 10, band_1 = 0b1011 = 11
+    df = spark.createDataFrame([(1, v)], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    row = srp_signatures(df, nbits=8, bands=2, mode="axes").collect()[0]
+    assert (row["band_0"], row["band_1"]) == (10, 11)
+
+
+def test_srp_axes_requires_enough_dims(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="axes"):
+        srp_signatures(df, nbits=8, bands=2, mode="axes").collect()
+
+
+def test_srp_axes_pairs_subset_of_exact(spark, embeddings_small=None):
+    # 6 vectors in dim 8: two exact duplicates must pair; precision is
+    # exact (every returned pair really clears the threshold).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((6, 8))
+    vecs[5] = vecs[0]  # planted duplicate
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = srp_lsh_pairs(
+        df, threshold=0.95, nbits=8, bands=2, mode="axes", floor_sim=True
+    ).collect()
+    pairs = {(r.id_1, r.id_2) for r in out}
+    assert (0, 5) in pairs
+    for r in out:
+        assert r.sim >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# FFD oracle sanity: the catalog Spark packer obeys the invariants the
+# recursive-CTE oracle enforces pair-for-pair at the driver
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_recursive_cte_oracle(spark):
+    """Cross-engine parity at test scale: the applyInPandas FFD kernel
+    and the DuckDB recursive CTE assign the identical (shard, bin) to
+    every doc."""
+    import duckdb
+
+    from gcpdatapipelines_spark import queries as qmod
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark_out = (
+        qmod.SPARK_QUERIES["sample_pack_sequences"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    duck_out = (
+        con.sql(qmod.ORACLE_SQL["sample_pack_sequences"])
+        .df()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(spark_out) == len(duck_out) > 0
+    for col in ["shard", "doc_id", "n_tokens", "bin_id"]:
+        assert list(spark_out[col]) == list(duck_out[col]), col
