@@ -86,6 +86,8 @@ def bmp_decode(payload: bytes) -> dict | None:
         w, h = struct.unpack_from("<HH", payload, 18)
     else:
         return None
+    if w <= 0 or h <= 0:  # corrupt header (i32 width can be negative)
+        return None
     return {"width": int(w), "height": int(h), "duration_s": None}
 
 
@@ -111,7 +113,9 @@ def wav_decode(payload: bytes) -> dict | None:
                 "<HHIIHH", payload, pos + 8
             )
         elif cid == b"data":
-            data_bytes = sz
+            # clamp to the actual payload: a truncated file's declared
+            # chunk size would otherwise inflate the duration
+            data_bytes = min(sz, max(len(payload) - (pos + 8), 0))
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if not rate or not block_align or data_bytes is None:
         return None
@@ -193,7 +197,13 @@ def frame_sample_stub(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
     (asset_id, frame_idx, frame_ts_s) rows using the decoded duration.
     The actual frame extraction is the codec stub's job; the explode +
     schema + partitioning is the Spark-side work being exercised."""
-    decoded = decode_assets(assets).filter(F.col("kind") == "video")
+    # an asset the codec could not size has no frames: drop NULL
+    # durations rather than let greatest(NULL - 1, 0) skip the NULL and
+    # fabricate a frame_idx=0 row for a payload-less video (the oracle
+    # models NULL payloads as zero rows; the contracts must agree)
+    decoded = decode_assets(assets).filter(
+        (F.col("kind") == "video") & F.col("duration_s").isNotNull()
+    )
     return decoded.select(
         "asset_id",
         F.explode(

@@ -554,6 +554,7 @@ def concat_chunk_pack(
     len_col: str,
     capacity: int = 2048,
     nshards: int = 64,
+    materialize: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk packing (the GPT-pretraining layout): documents
     are concatenated in deterministic ``id_col`` order into one global
@@ -579,14 +580,16 @@ def concat_chunk_pack(
         F.col(id_col).alias("__id"),
         F.col(len_col).cast("long").alias("__len"),
     )
-    # eager localCheckpoint: three consumers follow (max(__id) action,
-    # per-shard totals collect, final offset plan) — without it the
-    # upstream pipeline (typically tokenize + length) re-executes per
-    # consumer. (id, len) is two longs per row, and the checkpoint's
-    # blocks are GC-reclaimed after the call, unlike a CacheManager
-    # cache() entry, which would pin until an unpersist() this lazy
-    # return contract cannot safely issue.
-    rows = rows.localCheckpoint()
+    # Three consumers follow (max(__id) action, per-shard totals
+    # collect, final offset plan), so the (id, len) frame — two longs
+    # per row — is worth materializing once. Default cache(): the
+    # result stays RECOMPUTABLE after executor loss (localCheckpoint
+    # blocks are unreplicated — under dynamic allocation at 100 TB a
+    # lost executor fails the job). ``materialize=True`` opts into the
+    # eager localCheckpoint for callers who prefer GC-reclaimable
+    # blocks over a CacheManager entry this lazy return contract can't
+    # unpersist — the same gate incremental_neardup uses.
+    rows = rows.localCheckpoint() if materialize else rows.cache()
     mx = rows.agg(F.max("__id").alias("m")).first()["m"]
     if mx is None:
         return rows.select(

@@ -121,11 +121,30 @@ def winnowing_fingerprints(
     (doc, fingerprint)."""
     from pyspark.sql import Window
 
+    # Exchange BEFORE the fan-out: the window below requires a doc_id
+    # hash exchange anyway, but left to Catalyst it lands AFTER the
+    # explode and shuffles ~(L-k) gram rows per doc (~40x the text
+    # bytes). Repartitioning the raw docs by doc_id first (a) moves
+    # that mandatory exchange to the small pre-explode rows and (b)
+    # parallelizes the explode+hash fan-out, which Spark otherwise
+    # under-partitions because scan splits are sized by input BYTES
+    # (one 600 KB parquet = one core doing 1.4M md5s — measured 3 s of
+    # the operator's 4.4 s at sf0.1). Explicit partition count so AQE
+    # doesn't coalesce the small exchange back to one partition.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, F.col(id_col))
+
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
     grams = df.select(
         id_col,
         t.alias("__t"),
+        # __n (grams per doc) is pure arithmetic on length(text) — carry
+        # it from the scan instead of a second whole-partition count()
+        # window, which cost a full extra WindowExec pass over every
+        # exploded row (same partitioning, different frame, so Catalyst
+        # could not fuse it with the min() window)
+        n_grams.alias("__n"),
         F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
     )
     gram = F.col("__t").substr(F.col("pos"), F.lit(k))
@@ -134,11 +153,11 @@ def winnowing_fingerprints(
         if hash_fn == "md5"
         else F.xxhash64(gram)
     )
-    exploded = grams.select(id_col, "pos", h.alias("h"))
+    exploded = grams.select(id_col, "pos", "__n", h.alias("h"))
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     mins = exploded.select(
-        id_col, F.col("pos"), F.min("h").over(w).alias("fingerprint"),
-        F.count("*").over(Window.partitionBy(id_col)).alias("__n"),
+        id_col, F.col("pos"), F.col("__n"),
+        F.min("h").over(w).alias("fingerprint"),
     )
     # windows that extend past the end are partial; keep them only when
     # the doc has fewer hashes than one window. pos is 1-BASED (it is

@@ -99,7 +99,20 @@ def _doc_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "tokens")
     toks = _PREP_CACHE.get(key)
     if toks is None:
-        toks = doc_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text").persist()
+        # Repartition by doc_id BEFORE persisting: the fixture ships as
+        # single-row-group parquet, so the scan (hence the persisted
+        # cache, hence every downstream explode/hash fan-out over it)
+        # would otherwise be ONE partition = one core for the whole
+        # dedup family's heavy stages. doc_id hash partitioning also
+        # feeds the groupBy(doc_id) consumers (simhash votes, minhash
+        # signatures) with zero additional exchange. On a real
+        # many-file corpus the scan is already parallel and this is
+        # one cheap narrow-row shuffle before a many-pass cache.
+        toks = (
+            doc_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+            .persist()
+        )
         _PREP_CACHE[key] = toks
     return toks
 

@@ -222,6 +222,46 @@ def test_media_decode_real_bmp_and_wav_through_spark_plumbing(spark):
     assert out[3].n_bytes == len(rows[2][2]) and out[3].checksum is not None
 
 
+def test_wav_decode_truncated_payload_clamps_duration():
+    """A truncated WAV's declared data-chunk size must not inflate the
+    duration: the parser clamps to the bytes actually present."""
+    from gcpdatapipelines_spark.operators.multimodal import wav_decode
+
+    full = _real_wav(2.0)
+    truncated = full[: len(full) // 2]
+    d_full = wav_decode(full)["duration_s"]
+    d_trunc = wav_decode(truncated)["duration_s"]
+    assert d_full == 2.0
+    assert d_trunc < d_full and d_trunc >= 0
+
+
+def test_bmp_decode_negative_width_rejected():
+    """A corrupt header with i32 width < 0 is not a decodable image —
+    fall back (return None) instead of emitting a negative width."""
+    import struct
+
+    from gcpdatapipelines_spark.operators.multimodal import bmp_decode
+
+    good = _real_bmp(4, 3)
+    bad = good[:18] + struct.pack("<i", -4) + good[22:]
+    assert bmp_decode(good) == {"width": 4, "height": 3, "duration_s": None}
+    assert bmp_decode(bad) is None
+
+
+def test_frame_sample_null_payload_yields_no_frames(spark):
+    """A NULL-payload video decodes to NULL duration and must produce
+    ZERO frame rows (not a fabricated frame_idx=0) — the oracle models
+    NULL payloads as absent."""
+    from gcpdatapipelines_spark.operators.multimodal import frame_sample_stub
+
+    rows = [(1, "video", b"some video bytes", None), (2, "video", None, None)]
+    df = spark.createDataFrame(
+        rows, "asset_id BIGINT, kind STRING, payload BINARY, meta MAP<STRING,STRING>"
+    )
+    out = frame_sample_stub(df, every_s=1.0).collect()
+    assert {r.asset_id for r in out} == {1}
+
+
 def test_media_decode_real_dims_drive_resize(spark):
     """Real decoded dimensions flow into the resize arithmetic —
     the downstream relational contract is codec-agnostic."""

@@ -101,17 +101,26 @@ def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
                 f"oracle={duck_pd[c].dtype} (driver hash WOULD MISMATCH "
                 f"— int-vs-float, the HUGEINT/decimal-literal class)"
             )
+        elif kinds == {"b", "i"} or kinds == {"b", "u"} or kinds == {"b", "f"}:
+            # bool-vs-numeric renders differently under a dtype-sensitive
+            # hash even though the truthy values agree
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={spark_pd[c].dtype} "
+                f"oracle={duck_pd[c].dtype} (driver hash WOULD MISMATCH "
+                f"— bool-vs-numeric)"
+            )
         elif "O" in kinds and kinds & {"i", "u", "f"}:
-            obj = spark_pd[c] if sk == "O" else duck_pd[c]
-            head = obj.dropna().head(3)
-            if any(isinstance(v, _dec.Decimal) for v in head):
+            # scan ALL non-null values, not a head sample: a column can
+            # open with dates and later carry Decimals (advisor r7)
+            obj = (spark_pd[c] if sk == "O" else duck_pd[c]).dropna()
+            if any(isinstance(v, _dec.Decimal) for v in obj):
                 problems.append(
                     f"col {c}: spark={spark_pd[c].dtype} oracle="
                     f"{duck_pd[c].dtype} with Decimal objects vs numeric "
                     f"(driver hash WOULD MISMATCH)"
                 )
             elif not all(
-                isinstance(v, (_dt.date, _dt.datetime)) for v in head
+                isinstance(v, (_dt.date, _dt.datetime)) for v in obj
             ):
                 problems.append(
                     f"col {c}: object-vs-numeric dtype pair "
