@@ -188,9 +188,13 @@ def fingerprint_overlap_pairs(
     output — the same stop-shingle skew treatment as
     dedup.ngram_jaccard_pairs. Set None to disable."""
     # three consumers (df-cap counts + both self-join sides) read fp;
-    # AQE's runtime stage reuse dedupes the derivation, and measured
-    # single-shot runs are FASTER without an explicit cache (which
-    # would break pipelining to materialize)
+    # deliberately NOT cached: a cold run does recompute the derivation
+    # per consumer, but an operator-internal cache() cannot unpersist
+    # under the lazy return contract, and measured repeated catalog
+    # calls degraded as entries accumulated (r8: 4.9 -> 10 s by call 3)
+    # while warm uncached runs hold ~2.2 s after the pre-explode
+    # repartition. Callers looping over corpora should cache the
+    # winnowing_fingerprints frame themselves and unpersist it.
     fp = winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
     if max_df is not None:
         keep = (

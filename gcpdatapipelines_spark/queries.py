@@ -117,33 +117,15 @@ def _doc_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks
 
 
-def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-scoped shared prep: 64-bit SimHash signatures of the
-    documents corpus — the expensive half (64 conditional aggregates)
-    of both the text near-dup detector and the media phash stand-in;
-    at 100 TB the signature table is materialized once per corpus."""
-    from .operators.dedup import simhash
-
-    key = (spark.sparkContext.applicationId, sf_dir, "simhash")
-    sig = _PREP_CACHE.get(key)
-    if sig is None:
-        sig = simhash(
-            _t(spark, sf_dir, "documents"),
-            "doc_id",
-            "text",
-            tokens_df=_doc_tokens_cached(spark, sf_dir),
-        ).persist()
-        _PREP_CACHE[key] = sig
-    return sig
-
-
 def _simhash_md5_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped shared prep: md5-family SimHash signatures
-    (doc_id, sig_hi, sig_lo) — the oracle-parity twin of
-    :func:`_simhash_cached`, consumed by both the text near-dup
-    detector (dedup_simhash) and the media phash stand-in
-    (mm_phash_neardup). Same 100 TB rationale: one signature pass per
-    corpus, every detector reads the materialized table."""
+    (doc_id, sig_hi, sig_lo) — the expensive half (64 conditional
+    aggregates) of both the text near-dup detector (dedup_simhash)
+    and the media phash stand-in (mm_phash_neardup). At 100 TB the
+    signature table is materialized once per corpus and every
+    detector reads it. (Production pipelines chasing throughput swap
+    the hash family to xxhash64 via dedup.simhash — same voting
+    semantics, no shared-prep change.)"""
     from .operators.dedup import simhash_md5
 
     key = (spark.sparkContext.applicationId, sf_dir, "simhash_md5")

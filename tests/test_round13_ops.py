@@ -96,6 +96,63 @@ def test_srp_axes_pairs_subset_of_exact(spark, embeddings_small=None):
 
 
 # ---------------------------------------------------------------------------
+# size-tiered connected components: local union-find == distributed stars
+# ---------------------------------------------------------------------------
+
+
+def test_cc_local_tier_matches_distributed(spark):
+    import random
+
+    from gcpdatapipelines_spark.operators import graph as G
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [e for e in edges if e[0] != e[1]]
+    pairs = spark.createDataFrame(edges, "id_1 LONG, id_2 LONG")
+    tiered = {
+        (r["node"], r["component"])
+        for r in G.connected_components(pairs).collect()
+    }
+    distributed = {
+        (r["node"], r["component"])
+        for r in G.connected_components(pairs, local_threshold=0).collect()
+    }
+    assert tiered == distributed and tiered
+
+
+def test_cc_empty_pairs(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    pairs = spark.createDataFrame([], "id_1 LONG, id_2 LONG")
+    assert G.connected_components(pairs).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# winnowing: exchange BEFORE the fan-out
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_exchanges_before_explode_not_after(spark):
+    """The window's mandatory doc_id exchange must move to the small
+    pre-explode doc rows (repartition by doc_id), not shuffle the ~300x
+    larger gram rows: exactly two exchanges total — the doc_id
+    repartition and the distinct's (doc_id, fingerprint) agg exchange —
+    and the window consumes the repartition's partitioning directly."""
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.text import winnowing_fingerprints
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = winnowing_fingerprints(d, "doc_id", "text", k=20, window=8, hash_fn="md5")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one explicit repartition on doc_id (pre-explode; AQE renders the
+    # later distinct exchange only at runtime), and the window itself
+    # adds NO exchange — no shuffle key ever contains the gram hash
+    assert "REPARTITION_BY_NUM" in plan and "hashpartitioning(doc_id" in plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "hashpartitioning(h#" not in plan and "hashpartitioning(pos" not in plan
+
+
+# ---------------------------------------------------------------------------
 # FFD oracle sanity: the catalog Spark packer obeys the invariants the
 # recursive-CTE oracle enforces pair-for-pair at the driver
 # ---------------------------------------------------------------------------
