@@ -6189,9 +6189,15 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, cb = opq_train_sample(
         emb, sample_n=192, m=4, ksub=16, iters=2, kmeans_iter=6
     )
-    rot = rotate_vectors(emb, R)
+    # parallelize the Arrow rotate past the single-file scan split;
+    # round-robin is fine (rotation is row-local)
+    n_parts = spark.sparkContext.defaultParallelism
+    rot = rotate_vectors(emb.repartition(n_parts), R)
     codes = pq_encode(rot, cb, vec_col="embedding")
-    qs = rot.filter(F.col("vec_id") < 3).select(
+    # rotate the 3 query rows separately: a filter on rot cannot push
+    # through mapInPandas, so `rot.filter(...)` would re-rotate the
+    # whole corpus just to keep 3 rows
+    qs = rotate_vectors(emb.filter(F.col("vec_id") < 3), R).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_topk(codes, cb, qs, k=10)
