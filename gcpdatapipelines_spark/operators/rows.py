@@ -129,6 +129,84 @@ def avg_rank2(
     )
 
 
+def avg_rank2_multi(
+    df: DataFrame,
+    cols: dict[str, str],
+    nshards: int = 64,
+) -> DataFrame:
+    """:func:`avg_rank2` for several columns at once — identical rank
+    arithmetic per column, but the driver round trips FUSE: one agg
+    computes every column's (min, max) bounds (1 job instead of
+    |cols|), and one stacked groupBy computes every column's per-shard
+    counts (1 job instead of |cols|). The |cols| rank windows remain —
+    ranking k columns inherently orders k ways — but driver-side
+    latency no longer multiplies with the column count (2 + k jobs vs
+    3k), which is what in-bench times are made of at small SF.
+
+    ``cols``: {column -> output rank column}."""
+    from pyspark.sql import Window
+
+    names = list(cols)
+    b = df.agg(
+        *[F.min(F.col(c)).alias(f"__mn_{i}") for i, c in enumerate(names)],
+        *[F.max(F.col(c)).alias(f"__mx_{i}") for i, c in enumerate(names)],
+    ).first()
+    shard_exprs = {}
+    for i, c in enumerate(names):
+        mn, mx = b[f"__mn_{i}"], b[f"__mx_{i}"]
+        if mn is None or mx == mn:
+            shard_exprs[c] = F.lit(0)
+        else:
+            shard_exprs[c] = F.least(
+                F.lit(nshards - 1),
+                F.floor(
+                    (F.col(c).cast("double") - float(mn))
+                    / ((float(mx) - float(mn)) / nshards)
+                ).cast("int"),
+            )
+    sharded = df
+    for i, c in enumerate(names):
+        sharded = sharded.withColumn(f"__shard_{i}", shard_exprs[c])
+    stacked = sharded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"), F.col(f"__shard_{i}").alias("sh")
+                    )
+                    for i in range(len(names))
+                ]
+            )
+        ).alias("cs")
+    ).groupBy("cs.ci", "cs.sh").count()
+    counts = stacked.collect()
+    omaps = {}
+    for i, c in enumerate(names):
+        base, run = {}, 0
+        for r in sorted((r for r in counts if r["ci"] == i), key=lambda r: r["sh"]):
+            base[r["sh"]] = run
+            run += r["count"]
+        omaps[c] = F.create_map(
+            *[F.lit(v) for kv in sorted(base.items()) for v in kv]
+        ) if base else F.create_map(F.lit(0), F.lit(0))
+    out = sharded
+    for i, c in enumerate(names):
+        w_rank = Window.partitionBy(f"__shard_{i}").orderBy(c)
+        w_tie = Window.partitionBy(f"__shard_{i}", c)
+        if b[f"__mn_{i}"] is None:
+            out = out.withColumn(cols[c], F.lit(None).cast("long"))
+        else:
+            out = out.withColumn(
+                cols[c],
+                (
+                    2 * (F.rank().over(w_rank) + omaps[c][F.col(f"__shard_{i}")])
+                    + F.count("*").over(w_tie)
+                    - 1
+                ).cast("long"),
+            )
+    return out.drop(*[f"__shard_{i}" for i in range(len(names))])
+
+
 def dense_ids(
     df: DataFrame,
     order_col: str,

@@ -6723,14 +6723,12 @@ def a42_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, zero doubles anywhere — bit-identical on any engine by
     construction. Scale: 3 rank shuffles (inherent to ranking 3
     columns) + one partial+final aggregate."""
-    from .operators.rows import avg_rank2
+    from .operators.rows import avg_rank2_multi
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount"
     )
-    r = li
-    for k, c in _SPEAR_COLS.items():
-        r = avg_rank2(r, c, f"r_{k}")
+    r = avg_rank2_multi(li, {c: f"r_{k}" for k, c in _SPEAR_COLS.items()})
     r.select("r_q", "r_p", "r_d").createOrReplaceTempView("__spearman_ranks")
     return spark.sql(_spearman_sql("spark"))
 

@@ -96,6 +96,46 @@ def test_srp_axes_pairs_subset_of_exact(spark, embeddings_small=None):
 
 
 # ---------------------------------------------------------------------------
+# fused multi-column average rank == chained single-column ranks
+# ---------------------------------------------------------------------------
+
+
+def test_avg_rank2_multi_matches_chained(spark):
+    import random
+
+    from gcpdatapipelines_spark.operators.rows import avg_rank2, avg_rank2_multi
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randrange(8), float(rng.randrange(5)), rng.randrange(100) / 10.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b DOUBLE, c DOUBLE")
+    chained = df
+    for col, out in [("a", "r_a"), ("b", "r_b"), ("c", "r_c")]:
+        chained = avg_rank2(chained, col, out)
+    fused = avg_rank2_multi(df, {"a": "r_a", "b": "r_b", "c": "r_c"})
+    key = lambda r: r["id"]  # noqa: E731
+    got_c = sorted(chained.select("id", "r_a", "r_b", "r_c").collect(), key=key)
+    got_f = sorted(fused.select("id", "r_a", "r_b", "r_c").collect(), key=key)
+    assert [tuple(r) for r in got_c] == [tuple(r) for r in got_f]
+
+
+def test_avg_rank2_multi_constant_and_null_columns(spark):
+    from gcpdatapipelines_spark.operators.rows import avg_rank2_multi
+
+    df = spark.createDataFrame(
+        [(1, 7.0, None), (2, 7.0, None), (3, 7.0, None)],
+        "id LONG, const DOUBLE, empty DOUBLE",
+    )
+    out = {r["id"]: (r["rc"], r["re"]) for r in
+           avg_rank2_multi(df, {"const": "rc", "empty": "re"}).collect()}
+    # constant column: every row ties -> 2*avg_rank = 2*2 = 4 (lo+hi=1+3)
+    assert {v[0] for v in out.values()} == {4}
+    assert {v[1] for v in out.values()} == {None}
+
+
+# ---------------------------------------------------------------------------
 # size-tiered connected components: local union-find == distributed stars
 # ---------------------------------------------------------------------------
 
