@@ -620,32 +620,35 @@ def simhash_md5(
     )
 
 
-def simhash_pairs_md5(
-    df: DataFrame,
+def banded_two_word_pairs(
+    sig: DataFrame,
     id_col: str,
-    text_col: str,
     max_hamming: int = 3,
-    tokens_df: DataFrame | None = None,
-    sig_df: DataFrame | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Engine-parity twin of :func:`simhash_pairs` over
-    :func:`simhash_md5` two-word signatures: the same 16-bit
-    pigeonhole banding (two chunks per word) and
-    ``bit_count(xor(hi)) + bit_count(xor(lo))`` Hamming verify, all
-    in integer ops both engines restate exactly."""
-    sig = (
-        sig_df
-        if sig_df is not None
-        else simhash_md5(df, id_col, text_col, tokens_df=tokens_df)
-    )
+    """The shared two-word-signature banding+verify pipeline: 16-bit
+    pigeonhole chunks of a (``sig_hi``, ``sig_lo``) signature (two
+    chunks per 32-bit word) generate candidates through equi-joins on
+    (chunk, piece) — Hamming <= 3 on 64 bits pigeonholes into at least
+    one exact 16-bit chunk match — verified with the exact
+    ``bit_count(xor(hi)) + bit_count(xor(lo))``. Never a pair scan.
+
+    ``key_col``: optional partition column (e.g. asset kind) folded
+    INTO the band equi-join key, so cross-partition rows never share a
+    shuffle bucket — a free candidate cut at scale, not a post-filter.
+    Output: (id_1, id_2[, key_col], hamming INT) with id_1 < id_2.
+    Both consumers (text SimHash dedup, media pHash near-dup) restate
+    this exact pipeline in their DuckDB oracles — keep them in sync."""
     pieces = [
         ("sig_lo", 0),
         ("sig_lo", 16),
         ("sig_hi", 0),
         ("sig_hi", 16),
     ]
+    keys = [key_col] if key_col else []
     chunks = sig.select(
         id_col,
+        *keys,
         "sig_hi",
         "sig_lo",
         F.explode(
@@ -661,9 +664,10 @@ def simhash_pairs_md5(
                 ]
             )
         ).alias("cp"),
-    ).select(id_col, "sig_hi", "sig_lo", "cp.chunk", "cp.piece")
+    ).select(id_col, *keys, "sig_hi", "sig_lo", "cp.chunk", "cp.piece")
     left = chunks.select(
         F.col(id_col).alias("id_1"),
+        *keys,
         F.col("sig_hi").alias("hi_1"),
         F.col("sig_lo").alias("lo_1"),
         "chunk",
@@ -671,25 +675,49 @@ def simhash_pairs_md5(
     )
     right = chunks.select(
         F.col(id_col).alias("id_2"),
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
         F.col("sig_hi").alias("hi_2"),
         F.col("sig_lo").alias("lo_2"),
-        "chunk",
-        "piece",
+        F.col("chunk").alias("__c2"),
+        F.col("piece").alias("__p2"),
     )
+    cond = (F.col("chunk") == F.col("__c2")) & (F.col("piece") == F.col("__p2"))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
     cand = (
-        left.join(right, ["chunk", "piece"])
+        left.join(right, cond)
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "hi_1", "lo_1", "hi_2", "lo_2")
+        .select("id_1", "id_2", *keys, "hi_1", "lo_1", "hi_2", "lo_2")
         .distinct()
     )
     ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
         F.col("lo_1").bitwiseXOR(F.col("lo_2"))
     )
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_1", "id_2", "hamming")
+        .select("id_1", "id_2", *keys, "hamming")
     )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    tokens_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """Engine-parity twin of :func:`simhash_pairs` over
+    :func:`simhash_md5` two-word signatures — one instantiation of
+    :func:`banded_two_word_pairs` (the media pHash detector is the
+    other; the banding contract lives in one place)."""
+    sig = (
+        sig_df
+        if sig_df is not None
+        else simhash_md5(df, id_col, text_col, tokens_df=tokens_df)
+    )
+    return banded_two_word_pairs(sig, id_col, max_hamming=max_hamming)
 
 
 def simhash_pairs(

@@ -109,6 +109,8 @@ def wav_decode(payload: bytes) -> dict | None:
     while pos + 8 <= len(payload):
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt " and sz >= 16:
+            if pos + 8 + 16 > len(payload):  # header fits, body truncated
+                return None
             _, channels, rate, _, block_align, _ = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
             )
@@ -325,64 +327,20 @@ def phash_neardup_pairs_md5(
 
     ``sig`` carries a two-word signature (``sig_hi``/``sig_lo``, 32
     positive bits each — the md5-mode family every oracle-backed
-    sketch in this repo uses) plus ``kind``. Banding is the same
-    16-bit pigeonhole as SimHash text dedup, but the equi-join key is
-    (kind, chunk, piece): kind lives INSIDE the shuffle key, so
-    cross-kind rows never even land in the same bucket — at 100 TB
-    that's a free ~3x candidate cut, not a post-filter. Verify is the
-    exact ``bit_count(xor(hi)) + bit_count(xor(lo))``."""
-    pieces = [("sig_lo", 0), ("sig_lo", 16), ("sig_hi", 0), ("sig_hi", 16)]
-    chunks = sig.select(
-        id_col,
+    sketch in this repo uses) plus ``kind``. Banding is the SHARED
+    pipeline (dedup.banded_two_word_pairs — the text SimHash detector
+    is the other instantiation), with kind folded INTO the equi-join
+    key: cross-kind rows never even land in the same shuffle bucket —
+    at 100 TB that's a free ~3x candidate cut, not a post-filter.
+    Verify is the exact ``bit_count(xor(hi)) + bit_count(xor(lo))``."""
+    from .dedup import banded_two_word_pairs
+
+    pairs = banded_two_word_pairs(
+        sig, id_col, max_hamming=max_hamming, key_col=kind_col
+    )
+    return pairs.select(
+        F.col("id_1").alias("asset_a"),
+        F.col("id_2").alias("asset_b"),
         kind_col,
-        "sig_hi",
-        "sig_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(word), off)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("piece"),
-                    )
-                    for c, (word, off) in enumerate(pieces)
-                ]
-            )
-        ).alias("cp"),
-    ).select(id_col, kind_col, "sig_hi", "sig_lo", "cp.chunk", "cp.piece")
-    left = chunks.select(
-        F.col(id_col).alias("asset_a"),
-        F.col(kind_col).alias(kind_col),
-        F.col("sig_hi").alias("hi_1"),
-        F.col("sig_lo").alias("lo_1"),
-        "chunk",
-        "piece",
-    )
-    right = chunks.select(
-        F.col(id_col).alias("asset_b"),
-        F.col(kind_col).alias("__k2"),
-        F.col("sig_hi").alias("hi_2"),
-        F.col("sig_lo").alias("lo_2"),
-        F.col("chunk").alias("__c2"),
-        F.col("piece").alias("__p2"),
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("chunk") == F.col("__c2"))
-            & (F.col("piece") == F.col("__p2"))
-            & (F.col(kind_col) == F.col("__k2")),
-        )
-        .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", kind_col, "hi_1", "lo_1", "hi_2", "lo_2")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
-        F.col("lo_1").bitwiseXOR(F.col("lo_2"))
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("asset_a", "asset_b", kind_col, "hamming")
+        "hamming",
     )

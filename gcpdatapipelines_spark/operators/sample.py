@@ -582,16 +582,22 @@ def concat_chunk_pack(
     )
     # Three consumers follow (max(__id) action, per-shard totals
     # collect, final offset plan), so the (id, len) frame — two longs
-    # per row — is worth materializing once. Default cache(): the
-    # result stays RECOMPUTABLE after executor loss (localCheckpoint
-    # blocks are unreplicated — under dynamic allocation at 100 TB a
-    # lost executor fails the job). ``materialize=True`` opts into the
-    # eager localCheckpoint for callers who prefer GC-reclaimable
-    # blocks over a CacheManager entry this lazy return contract can't
-    # unpersist — the same gate incremental_neardup uses.
+    # per row — is worth materializing across the TWO driver actions
+    # below. Default cache(): the result stays RECOMPUTABLE after
+    # executor loss (localCheckpoint blocks are unreplicated — under
+    # dynamic allocation at 100 TB a lost executor fails the job), and
+    # the entry is UNPERSISTED before returning so repeated calls never
+    # accumulate CacheManager entries (the measured winnowing failure
+    # mode, NOTES r8); the returned lazy plan recomputes the narrow
+    # (id, len) projection once at action time. ``materialize=True``
+    # opts into the eager localCheckpoint (blocks live until GC) for
+    # callers who want the final pass served from memory too — the
+    # same gate incremental_neardup uses.
     rows = rows.localCheckpoint() if materialize else rows.cache()
     mx = rows.agg(F.max("__id").alias("m")).first()["m"]
     if mx is None:
+        if not materialize:
+            rows.unpersist(False)
         return rows.select(
             F.col("__id").alias(id_col),
             F.col("__len").alias("n_tokens"),
@@ -632,6 +638,8 @@ def concat_chunk_pack(
         f"CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) div {capacity}"
         f" ELSE start_off div {capacity} END"
     )
+    if not materialize:
+        rows.unpersist(False)
     return out.select(
         id_col,
         "n_tokens",

@@ -36,39 +36,18 @@ from pyspark.sql import functions as F
 
 from .portable import trunc_dp
 
-_CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
-_constraint_warned = False
-
-
 def _check_constraint_propagation(spark) -> None:
-    """Advisory check, NOT a conf write: the widened-vector operators
-    unroll 64-term arithmetic chains, and Catalyst constraint
-    inference is super-linear in chain depth — with it enabled the
-    optimizer stalls for tens of seconds at dim=64. The repo's session
-    factory (session.get_spark) disables it session-wide and documents
-    why; a session built elsewhere gets one warning instead of an
-    operator silently flipping a global optimizer conf under
-    co-resident workloads (the conf affects optimization effort only,
-    never results)."""
-    global _constraint_warned
-    if _constraint_warned:
-        return
-    try:
-        enabled = spark.conf.get(_CONSTRAINT_CONF, "true") != "false"
-    except Exception:
-        enabled = False
-    if enabled:
-        import warnings
+    """Pin constraintPropagation=false via the session module's single
+    conf-write site. This is CORRECTNESS-mandatory, not tuning: with
+    inference on, Catalyst's constraint canonicalization recurses over
+    the unrolled 64-term chains and overflows the analysis stack
+    before a single task runs (measured r8, dim=64) — the same
+    driver-builds-its-own-session gap io.read_table pins UTC/nanos
+    for. session.get_spark sets it at build; this covers foreign
+    sessions. Idempotent; results are never affected."""
+    from ..session import ensure_engine_confs
 
-        warnings.warn(
-            f"{_CONSTRAINT_CONF} is enabled; the unrolled-vector "
-            "operators may spend tens of seconds in optimizer "
-            "constraint inference. Build sessions with "
-            "gcpdatapipelines_spark.session.get_spark (which disables "
-            "it) or set it to false yourself.",
-            stacklevel=3,
-        )
-    _constraint_warned = True
+    ensure_engine_confs(spark)
 
 
 def _dot(a, b):
@@ -1337,6 +1316,8 @@ def srp_signatures(
     src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
     out_schema = f"{id_col} BIGINT, " + ", ".join(f"band_{b} INT" for b in range(bands))
 
+    axes = mode == "axes"
+
     def project(batches):
         import pandas as pd
 
@@ -1344,7 +1325,11 @@ def srp_signatures(
             if pdf.empty:
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bits = (V @ H) >= 0.0  # (n, nbits)
+            # axes mode tests each coordinate's sign DIRECTLY: dot with
+            # e_i would let one non-finite coordinate poison every bit
+            # (x * 0.0 = NaN), diverging from the oracle's per-coordinate
+            # test — and the matmul is pointless for an identity H
+            bits = (V[:, :nbits] >= 0.0) if axes else ((V @ H) >= 0.0)
             packed = bits.reshape(len(pdf), bands, r).astype(np.int64) @ weights
             out = {id_col: pdf[id_col].to_numpy()}
             for b in range(bands):

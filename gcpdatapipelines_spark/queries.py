@@ -52,6 +52,11 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver runs the catalog on its OWN session: pin the engine's
+    # runtime-mandatory confs (idempotent; session.py owns the write)
+    from .session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return read_table(spark, sf_dir, name)
 
 

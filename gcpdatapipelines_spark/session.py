@@ -24,6 +24,36 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# Runtime-mandatory session confs for sessions the engine did NOT
+# build (the external driver constructs its own SparkSession — the
+# io.read_table precedent). constraintPropagation is in this set
+# because it is CORRECTNESS-mandatory for the widened-vector
+# operators, not a tuning preference: with inference enabled,
+# Catalyst's constraint canonicalization recurses over the unrolled
+# 64-term arithmetic chains and overflows the analysis stack
+# (measured r8: sim_embedding_neardup at dim=64 dies inside
+# getAllValidConstraints before a single task runs). The conf only
+# affects optimization effort, never results.
+ENGINE_RUNTIME_CONFS = {
+    "spark.sql.constraintPropagation.enabled": "false",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin the engine's runtime-mandatory confs on an externally-built
+    session. Idempotent value pins; session.py is the single module
+    that owns conf writes (pinned by
+    tests/test_round13_ops.py::test_no_session_conf_writes_in_operators);
+    operators CALL this instead of flipping confs themselves."""
+    for k, v in ENGINE_RUNTIME_CONFS.items():
+        try:
+            current = spark.conf.get(k, None)
+        except Exception:
+            current = None
+        if current != v:
+            spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "gcpdatapipelines_spark",
     master: str | None = None,

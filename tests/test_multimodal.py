@@ -159,7 +159,7 @@ def test_phash_md5_plan_kind_in_join_key_never_cartesian(spark):
     # kind must be INSIDE the equi-join key (pre-shuffle candidate cut),
     # not a post-join filter
     optimized = q.optimizedPlan().toString()
-    assert "__k2" in optimized
+    assert "__k_kind" in optimized
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +233,22 @@ def test_wav_decode_truncated_payload_clamps_duration():
     d_trunc = wav_decode(truncated)["duration_s"]
     assert d_full == 2.0
     assert d_trunc < d_full and d_trunc >= 0
+
+
+def test_wav_decode_fmt_body_truncated_returns_none():
+    """A WAV whose fmt chunk HEADER fits but whose body is cut off must
+    return None (fall back to fake_decode), not raise struct.error and
+    kill the whole mapInPandas task."""
+    import struct
+
+    from gcpdatapipelines_spark.operators.multimodal import wav_decode
+
+    junk = b"LIST" + struct.pack("<I", 20) + b"\x00" * 20
+    fmt_header = b"fmt " + struct.pack("<I", 16)
+    payload = b"RIFF" + struct.pack("<I", 60) + b"WAVE" + junk + fmt_header
+    payload += b"\x00" * 4  # 4 of the 16 declared fmt bytes present
+    assert len(payload) >= 44
+    assert wav_decode(payload) is None
 
 
 def test_bmp_decode_negative_width_rejected():

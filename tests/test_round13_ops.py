@@ -96,6 +96,36 @@ def test_srp_axes_pairs_subset_of_exact(spark, embeddings_small=None):
 
 
 # ---------------------------------------------------------------------------
+# foreign-session conf repair: the driver builds its OWN SparkSession
+# ---------------------------------------------------------------------------
+
+
+def test_engine_confs_repinned_on_foreign_session(spark):
+    """With constraint inference enabled, Catalyst's canonicalization
+    recurses over the unrolled 64-term chains and overflows the
+    analysis stack BEFORE any task runs (measured r8) — so operators
+    and the catalog's table loader must re-pin the conf on sessions
+    the engine did not build. session.ensure_engine_confs is the one
+    write site; this simulates the driver's session by flipping the
+    conf on."""
+    from gcpdatapipelines_spark.operators.similarity import (
+        _check_constraint_propagation,
+    )
+    from gcpdatapipelines_spark.session import ensure_engine_confs
+
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        spark.conf.set(key, "true")
+        ensure_engine_confs(spark)
+        assert spark.conf.get(key) == "false"
+        spark.conf.set(key, "true")
+        _check_constraint_propagation(spark)  # operator-side entry
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, "false")
+
+
+# ---------------------------------------------------------------------------
 # fused multi-column average rank == chained single-column ranks
 # ---------------------------------------------------------------------------
 
