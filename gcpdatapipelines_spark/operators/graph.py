@@ -100,6 +100,21 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _collect_if_small(edges: DataFrame, threshold: int):
+    """The size-tier gate shared by every iterative graph op: the
+    materialized edge list if it holds <= ``threshold`` rows (a few MB
+    — index-metadata scale), else None. Edge sets are pairs-scale, not
+    corpus-scale; below the threshold the iteration's per-round job
+    overhead (join + agg + checkpoint x rounds) dwarfs the actual
+    work, and the integer/ordinal state of these ops replays
+    bit-identically on the driver. Above it, the distributed loop is
+    the 100 TB path, chosen automatically."""
+    if not threshold:
+        return None
+    head = edges.limit(threshold + 1).collect()
+    return head if len(head) <= threshold else None
+
+
 def _local_components(spark, rows) -> DataFrame:
     """Driver-side union-find over a collected edge list, component =
     min reachable id (union always attaches the larger root under the
@@ -158,10 +173,9 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if local_threshold:
-        head = edges.limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
-            return _local_components(pairs.sparkSession, head)
+    head = _collect_if_small(edges, local_threshold)
+    if head is not None:
+        return _local_components(pairs.sparkSession, head)
     sig = _signature(edges)
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
@@ -464,6 +478,43 @@ def pagerank(
     return ranks.select(F.col("u").alias("node"), "rank")
 
 
+def _local_pagerank_exact(
+    spark, rows, damping_num: int, damping_den: int, iters: int, scale: int
+) -> DataFrame:
+    """Driver-side replay of the scaled-integer power iteration —
+    Python ``//`` on the nonnegative BIGINT states is the same
+    operation as Spark's ``DIV``, so every round is bit-identical to
+    the distributed loop by construction."""
+    from collections import defaultdict
+
+    canon = {(min(r["u"], r["v"]), max(r["u"], r["v"])) for r in rows}
+    out_edges: list[tuple[int, int]] = []
+    outdeg: dict[int, int] = defaultdict(int)
+    for u, v in canon:
+        out_edges.append((u, v))
+        out_edges.append((v, u))
+        outdeg[u] += 1
+        outdeg[v] += 1
+    n = len(outdeg)
+    if n == 0:
+        return spark.createDataFrame([], "node LONG, rank_e12 LONG")
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = {u: scale // n for u in outdeg}
+    for _ in range(iters):
+        contrib: dict[int, int] = defaultdict(int)
+        for u, v in out_edges:
+            r = ranks.get(u)
+            if r is not None:
+                contrib[v] += r // outdeg[u]
+        ranks = {
+            v: base + (damping_num * c) // damping_den
+            for v, c in contrib.items()
+        }
+    return spark.createDataFrame(
+        sorted(ranks.items()), "node LONG, rank_e12 LONG"
+    )
+
+
 def pagerank_exact_scaled(
     pairs: DataFrame,
     src: str = "u",
@@ -472,6 +523,7 @@ def pagerank_exact_scaled(
     damping_den: int = 100,
     iters: int = 10,
     scale: int = 10**12,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, rank_e12) — PageRank power iteration carried entirely in
     SCALED INTEGER arithmetic: ranks are BIGINTs in units of
@@ -493,13 +545,21 @@ def pagerank_exact_scaled(
     local[32]; three join+agg rounds of lineage stay well inside
     catalyst's comfort zone and the values are bit-identical either
     way). Fixed-iteration by construction (integer states admit no
-    residual tolerance)."""
+    residual tolerance). Size-tiered like :func:`connected_components`:
+    <= ``local_threshold`` canonical edges replay the identical
+    integer iteration on the driver (Python // == Spark DIV on the
+    nonnegative states); parity pinned in tests."""
     sym = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
+    head = _collect_if_small(sym, local_threshold)
+    if head is not None:
+        return _local_pagerank_exact(
+            pairs.sparkSession, head, damping_num, damping_den, iters, scale
+        )
     out_edges = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = out_edges.groupBy("u").agg(F.count("*").alias("outdeg"))
     n = deg.count()
@@ -537,6 +597,39 @@ def pagerank_exact_scaled(
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e12"))
 
 
+def _local_kcore(
+    spark, rows, k: int, max_iter: int, strict: bool
+) -> DataFrame:
+    """Driver-side replay of the bounded peel — same stopping rule
+    (fixpoint, empty, or round budget; strict raises on budget
+    exhaustion) over the same canonical distinct edge set, so the
+    surviving (node, within-core degree) table is bit-identical."""
+    from collections import defaultdict
+
+    edges = {(min(r["u"], r["v"]), max(r["u"], r["v"])) for r in rows}
+    for _ in range(max_iter):
+        if not edges:
+            break
+        deg: dict[int, int] = defaultdict(int)
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        pruned = {(u, v) for u, v in edges if u in keep and v in keep}
+        if len(pruned) == len(edges):
+            break
+        edges = pruned
+    else:
+        if strict:
+            raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    out = sorted((n, d) for n, d in deg.items() if d >= k)
+    return spark.createDataFrame(out, "node LONG, degree LONG")
+
+
 def kcore(
     pairs: DataFrame,
     k: int = 3,
@@ -544,6 +637,7 @@ def kcore(
     dst: str = "v",
     max_iter: int = 50,
     strict: bool = True,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, degree): the k-core of the undirected graph — the
     maximal subgraph where every node keeps at least ``k`` neighbors
@@ -575,6 +669,11 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    head = _collect_if_small(edges, local_threshold)
+    if head is not None:
+        # size tier (see _collect_if_small): integer peel replays
+        # bit-identically on the driver
+        return _local_kcore(pairs.sparkSession, head, k, max_iter, strict)
     n_edges = edges.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -654,6 +753,7 @@ def bfs_levels(
     edges: DataFrame,
     source_nodes: DataFrame,
     max_depth: int = 4,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, depth): minimum hop distance from a source node set over
     an undirected edge list, bounded at ``max_depth`` — the reach /
@@ -670,7 +770,29 @@ def bfs_levels(
     probes; an exhausted frontier makes the remaining rounds no-ops.
 
     ``source_nodes``: one column ``node``. Returns every node with
-    min-distance <= max_depth (sources at depth 0)."""
+    min-distance <= max_depth (sources at depth 0). Size-tiered like
+    :func:`connected_components` (integer levels replay exactly)."""
+    head = _collect_if_small(edges.select("u", "v"), local_threshold)
+    if head is not None:
+        srcs = [r["node"] for r in source_nodes.select("node").collect()]
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for r in head:
+            nbrs[r["u"]].add(r["v"])
+            nbrs[r["v"]].add(r["u"])
+        depth_of = {s: 0 for s in srcs}
+        frontier = set(srcs)
+        for depth in range(1, max_depth + 1):
+            nxt = set()
+            for u in frontier:
+                nxt |= nbrs[u] - depth_of.keys()
+            for v in nxt:
+                depth_of[v] = depth
+            frontier = nxt
+        return edges.sparkSession.createDataFrame(
+            sorted(depth_of.items()), "node LONG, depth INT"
+        )
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -690,9 +812,36 @@ def bfs_levels(
     return levels
 
 
+def _local_label_propagation(spark, rows, iterations: int) -> DataFrame:
+    """Driver-side replay of the deterministic synchronous vote:
+    every round each node adopts its neighbors' most frequent label
+    (smallest label on ties), all nodes updating together. Pure
+    integer/ordinal state — bit-identical to the distributed rounds
+    (multi-edges vote multiply in both, matching the un-distinct
+    edge join)."""
+    from collections import Counter, defaultdict
+
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for r in rows:
+        u, v = r["u"], r["v"]
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for u, vs in nbrs.items():
+            cnt = Counter(labels[v] for v in vs)
+            new[u] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return spark.createDataFrame(
+        sorted(labels.items()), "node LONG, label LONG"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, label): synchronous label propagation community detection
     with a DETERMINISTIC vote — each round every node adopts its
@@ -710,8 +859,16 @@ def label_propagation(
     floor makes wide default partitioning pure overhead on small
     graphs), edges are hash-partitioned ONCE on the vote key so each
     round's join is co-partitioned, and localCheckpoint truncates the
-    iterative lineage (the CC/kcore/pagerank pattern)."""
+    iterative lineage (the CC/kcore/pagerank pattern). Size-tiered
+    like :func:`connected_components`: <= ``local_threshold`` edges
+    replay the identical integer vote on the driver (the rounds are
+    pure per-round overhead at that size); the distributed loop is
+    the at-scale path, parity-pinned in tests."""
     from pyspark.sql import Window
+
+    head = _collect_if_small(edges.select("u", "v"), local_threshold)
+    if head is not None:
+        return _local_label_propagation(edges.sparkSession, head, iterations)
 
     n = edges.count()
     parts = max(2, min(4096, n // 250_000 + 2))

@@ -197,6 +197,59 @@ def test_cc_empty_pairs(spark):
     assert G.connected_components(pairs).collect() == []
 
 
+def _random_edges(seed, n_nodes=50, n_edges=70):
+    import random
+
+    rng = random.Random(seed)
+    es = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+    return [e for e in es if e[0] != e[1]]
+
+
+def test_label_prop_local_tier_matches_distributed(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    edges = spark.createDataFrame(_random_edges(3), "u LONG, v LONG")
+    tiered = {(r["node"], r["label"])
+              for r in G.label_propagation(edges, iterations=3).collect()}
+    dist = {(r["node"], r["label"])
+            for r in G.label_propagation(edges, iterations=3, local_threshold=0).collect()}
+    assert tiered == dist and tiered
+
+
+def test_pagerank_exact_local_tier_matches_distributed(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(_random_edges(4), "u LONG, v LONG")
+    tiered = {(r["node"], r["rank_e12"])
+              for r in G.pagerank_exact_scaled(pairs, iters=6).collect()}
+    dist = {(r["node"], r["rank_e12"])
+            for r in G.pagerank_exact_scaled(pairs, iters=6, local_threshold=0).collect()}
+    assert tiered == dist and tiered
+
+
+def test_bfs_local_tier_matches_distributed(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    edges = spark.createDataFrame(_random_edges(6), "u LONG, v LONG")
+    srcs = spark.createDataFrame([(0,), (7,)], "node LONG")
+    tiered = {(r["node"], r["depth"])
+              for r in G.bfs_levels(edges, srcs, max_depth=3).collect()}
+    dist = {(r["node"], r["depth"])
+            for r in G.bfs_levels(edges, srcs, max_depth=3, local_threshold=0).collect()}
+    assert tiered == dist and tiered
+
+
+def test_kcore_local_tier_matches_distributed(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(_random_edges(5, 40, 120), "u LONG, v LONG")
+    tiered = {(r["node"], r["degree"])
+              for r in G.kcore(pairs, k=3).collect()}
+    dist = {(r["node"], r["degree"])
+            for r in G.kcore(pairs, k=3, local_threshold=0).collect()}
+    assert tiered == dist and tiered
+
+
 # ---------------------------------------------------------------------------
 # winnowing: exchange BEFORE the fan-out
 # ---------------------------------------------------------------------------
