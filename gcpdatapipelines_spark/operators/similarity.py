@@ -1640,12 +1640,69 @@ def diverse_kcenter(
     )
 
 
+def _local_kcenter_portable(spark, rows, id_col, vec_col, k, dim) -> DataFrame:
+    """Driver-side replay of the portable greedy farthest-point
+    traversal. Every float op mirrors the codegen chain EXACTLY —
+    left-assoc dot folds, correctly-rounded sqrt/div/mul (IEEE-defined,
+    so Python == JVM bit-for-bit), greatest with Spark's NaN-greatest
+    ordering, floor(x*1e9)/1e9 — so the selected set and reported
+    scores are bit-identical to the distributed rounds."""
+    import math
+
+    def dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    vecs = {}
+    for r in rows:
+        e = [float(x) for x in r[vec_col][:dim]]
+        vecs[r[id_col]] = (e, math.sqrt(dot(e, e)))
+
+    def greatest(a, b):  # Spark orders NaN above every double
+        if math.isnan(a) or math.isnan(b):
+            return float("nan")
+        return b if b > a else a
+
+    first_id = min(vecs)
+    sel = [(0, first_id, None)]
+    selected = {first_id}
+    best = {}  # id -> running max cosine to the selected set (unfloored)
+    for rnd in range(1, k):
+        newest_id = sel[-1][1]
+        sv, snrm = vecs[newest_id]
+        cand = []
+        for vid, (e, nrm) in vecs.items():
+            if vid in selected:
+                continue
+            cos = dot(e, sv) / (nrm * snrm)
+            b = greatest(best[vid], cos) if vid in best else cos
+            best[vid] = b
+            if math.isnan(b):  # math.floor(nan) raises; Spark floors to NaN
+                cs = float("nan")
+            else:
+                cs = math.floor(b * 1000000000.0) / 1000000000.0
+            # NaN sorts LAST in Spark's asc ordering; zero the sort key
+            # so all-NaN ties fall through to the id tiebreak cleanly
+            cand.append((math.isnan(cs), 0.0 if math.isnan(cs) else cs, vid, cs))
+        if not cand:
+            break
+        _, _, vid, cs = min(cand)
+        sel.append((rnd, vid, cs))
+        selected.add(vid)
+    return spark.createDataFrame(
+        sel, f"rank INT, {id_col} BIGINT, max_cos_to_prior DOUBLE"
+    )
+
+
 def diverse_kcenter_portable(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
     dim: int = 64,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Engine-portable parity tier of :func:`diverse_kcenter`: the same
     greedy farthest-point traversal, but each round's corpus scan is a
@@ -1673,7 +1730,24 @@ def diverse_kcenter_portable(
     narrow (id, e*, nrm, __best) frame so the next round scans
     materialized blocks instead of replaying the whole fold lineage
     (which would silently restore the O(n·k²) cost at every action);
-    blocks are RDD-owned and GC-reclaimed after the call."""
+    blocks are RDD-owned and GC-reclaimed after the call.
+
+    Size-tiered (r8, the connected_components policy): <=
+    ``local_threshold`` vectors replay the identical float chain on
+    the driver — every op in the scorer is IEEE-defined on its
+    operand bits (left-assoc folds, correctly-rounded sqrt/div), so
+    Python == JVM codegen bit-for-bit; parity pinned in tests and by
+    the unchanged unrolled-CTE oracle. The k driver-synchronized
+    scans remain the at-scale path."""
+    head = None
+    if local_threshold:
+        sample = vectors.select(id_col, vec_col).limit(local_threshold + 1).collect()
+        if len(sample) <= local_threshold:
+            head = sample
+    if head is not None:
+        return _local_kcenter_portable(
+            vectors.sparkSession, head, id_col, vec_col, k, dim
+        )
     wide = _widened(vectors, id_col, vec_col, dim).persist()
     first = wide.orderBy(F.col(id_col)).limit(1).collect()[0]
     sel = [

@@ -239,6 +239,32 @@ def test_bfs_local_tier_matches_distributed(spark):
     assert tiered == dist and tiered
 
 
+def test_kcenter_portable_local_tier_bit_identical(spark):
+    """The local replay of the portable greedy must match the codegen
+    chain BIT-FOR-BIT (ids AND reported floor-9dp scores), including a
+    duplicate vector (cos exactly 1) and near-parallel pairs."""
+    import random
+
+    from gcpdatapipelines_spark.operators.similarity import (
+        diverse_kcenter_portable,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    rows.append((30, list(rows[0][1])))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id BIGint, embedding ARRAY<DOUBLE>")
+    loc = [tuple(r) for r in diverse_kcenter_portable(df, k=6, dim=8).collect()]
+    dist = [
+        tuple(r)
+        for r in diverse_kcenter_portable(
+            df, k=6, dim=8, local_threshold=0
+        ).collect()
+    ]
+    assert loc == dist and len(loc) == 6
+
+
 def test_kcore_local_tier_matches_distributed(spark):
     from gcpdatapipelines_spark.operators import graph as G
 
