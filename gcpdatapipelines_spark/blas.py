@@ -1,0 +1,102 @@
+"""Runtime BLAS thread pinning for Arrow-batched kernels.
+
+Why this exists: every Python worker process that loads numpy gets an
+OpenBLAS pool sized to the machine (32 threads here). With 32 Arrow
+workers running mapInPandas/applyInPandas kernels concurrently that is
+32 x 32 = 1024 BLAS threads contending for 32 cores — the classic
+oversubscription collapse for matmul-shaped kernels (sim_opq_topk and
+friends). The parallelism budget already belongs to Spark's task
+scheduler; inside a kernel each dgemm should be single-threaded.
+
+threadpoolctl is not in the image, so this is the minimal portable
+equivalent: scan /proc/self/maps for loaded BLAS shared objects and
+call their runtime set-num-threads entry points via ctypes. Idempotent
+and ~free after the first call per process (module-global latch, and
+worker reuse keeps the process alive across tasks). Call
+``pin_blas_threads()`` as the FIRST statement inside every kernel body
+that touches numpy — the kernel closure carries this module as a
+global, so cloudpickle imports it on the worker automatically.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import re
+
+_PINNED = False
+
+# Known runtime thread-count setters across BLAS implementations.
+# numpy wheels bundle openblas64_ (suffixed symbols); distro numpy may
+# link plain openblas; MKL/BLIS included for portability off this box.
+_SETTERS = (
+    "openblas_set_num_threads64_",
+    "openblas_set_num_threads",
+    "goto_set_num_threads",
+    "MKL_Set_Num_Threads",
+    "bli_thread_set_num_threads",
+)
+
+_LIB_RE = re.compile(
+    r"(/\S+(?:openblas|libmkl_rt|libblis|libblas)\S*\.so\S*)", re.IGNORECASE
+)
+
+
+def pin_blas_threads(n: int = 1) -> None:
+    """Clamp every loaded BLAS runtime in this process to ``n`` threads.
+
+    Safe to call unconditionally: no-op after the first success, no-op
+    on platforms without /proc, never raises.
+    """
+    global _PINNED
+    if _PINNED:
+        return
+    try:
+        # Ensure the BLAS .so is actually mapped before we scan for it
+        # (kernels that call us always use numpy, but be robust).
+        import numpy  # noqa: F401
+
+        paths: set[str] = set()
+        with open("/proc/self/maps") as fh:
+            for line in fh:
+                m = _LIB_RE.search(line)
+                if m:
+                    paths.add(m.group(1))
+        for path in paths:
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            for sym in _SETTERS:
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    try:
+                        fn(ctypes.c_int(n))
+                    except Exception:
+                        pass
+    except Exception:
+        pass
+    _PINNED = True
+
+
+def blas_thread_counts() -> dict[str, int]:
+    """Report current thread counts per loaded BLAS lib (test hook)."""
+    out: dict[str, int] = {}
+    try:
+        import numpy  # noqa: F401
+
+        with open("/proc/self/maps") as fh:
+            paths = {m.group(1) for line in fh for m in [_LIB_RE.search(line)] if m}
+        for path in paths:
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            for sym in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn.restype = ctypes.c_int
+                    out[path] = int(fn())
+                    break
+    except Exception:
+        pass
+    return out

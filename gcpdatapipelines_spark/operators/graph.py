@@ -554,6 +554,10 @@ def pagerank_exact_scaled(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
+        # materialize BEFORE the size probe (the CC/kcore pattern) so
+        # the above-threshold path reuses these blocks instead of
+        # recomputing the cast/filter/distinct pipeline from scratch
+        .localCheckpoint()
     )
     head = _collect_if_small(sym, local_threshold)
     if head is not None:
@@ -772,9 +776,16 @@ def bfs_levels(
     ``source_nodes``: one column ``node``. Returns every node with
     min-distance <= max_depth (sources at depth 0). Size-tiered like
     :func:`connected_components` (integer levels replay exactly)."""
-    head = _collect_if_small(edges.select("u", "v"), local_threshold)
+    # Dedup sources at entry: the local tier's depth_of dict dedups
+    # implicitly, so without this the distributed path's output row
+    # multiplicity would depend on which size tier ran.
+    sources = source_nodes.select("node").distinct()
+    # Materialize before the size probe (CC/kcore pattern) so the
+    # above-threshold path reuses the blocks instead of recomputing.
+    base = edges.select("u", "v").localCheckpoint()
+    head = _collect_if_small(base, local_threshold)
     if head is not None:
-        srcs = [r["node"] for r in source_nodes.select("node").collect()]
+        srcs = [r["node"] for r in sources.collect()]
         from collections import defaultdict
 
         nbrs = defaultdict(set)
@@ -793,10 +804,8 @@ def bfs_levels(
         return edges.sparkSession.createDataFrame(
             sorted(depth_of.items()), "node LONG, depth INT"
         )
-    sym = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    levels = source_nodes.select("node", F.lit(0).alias("depth")).localCheckpoint()
+    sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    levels = sources.select("node", F.lit(0).alias("depth")).localCheckpoint()
     frontier = levels.select("node")
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -866,15 +875,18 @@ def label_propagation(
     the at-scale path, parity-pinned in tests."""
     from pyspark.sql import Window
 
-    head = _collect_if_small(edges.select("u", "v"), local_threshold)
+    # Materialize before the size probe (CC/kcore pattern) so the
+    # above-threshold path reuses the blocks instead of recomputing.
+    base = edges.select("u", "v").localCheckpoint()
+    head = _collect_if_small(base, local_threshold)
     if head is not None:
         return _local_label_propagation(edges.sparkSession, head, iterations)
 
-    n = edges.count()
+    n = base.count()
     parts = max(2, min(4096, n // 250_000 + 2))
     sym = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        base
+        .union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .select(F.col("v").alias("node"), F.col("u"))
         .repartition(parts, "node")
         .localCheckpoint()

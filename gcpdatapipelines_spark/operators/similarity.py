@@ -255,8 +255,9 @@ def embedding_neardup_pairs_codegen(
     factory's default): Catalyst's constraint inference is super-linear
     in the depth of the 64-term arithmetic chain and stalls the
     optimizer; the conf only affects optimization effort, never
-    results. Enabled sessions get a one-time warning — operators never
-    write session confs themselves."""
+    results. Foreign sessions found with it enabled are silently
+    re-pinned through session.ensure_engine_confs — the single module
+    that owns conf writes; operators never flip confs themselves."""
     _check_constraint_propagation(vectors.sparkSession)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
@@ -311,6 +312,9 @@ def _assign_nearest(
     )
 
     def kernel(batches):
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         for pdf in batches:
             X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             xn = np.linalg.norm(X, axis=1)
@@ -623,6 +627,9 @@ def neardup_pairs_blas(
         import numpy as np
         import pandas as pd
 
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         empty = pd.DataFrame(
             {
                 "id_1": pd.Series(dtype="int64"),
@@ -1036,6 +1043,9 @@ def rotate_vectors(
     def project(batches):
         import pandas as pd
 
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1057,6 +1067,9 @@ def _cross_correlation(pairs: DataFrame, a_col: str, b_col: str, dim: int):
     def part(batches):
         import pandas as pd
 
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         acc = np.zeros((dim, dim))
         seen = False
         for pdf in batches:
@@ -1321,6 +1334,9 @@ def srp_signatures(
     def project(batches):
         import pandas as pd
 
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1328,8 +1344,16 @@ def srp_signatures(
             # axes mode tests each coordinate's sign DIRECTLY: dot with
             # e_i would let one non-finite coordinate poison every bit
             # (x * 0.0 = NaN), diverging from the oracle's per-coordinate
-            # test — and the matmul is pointless for an identity H
-            bits = (V[:, :nbits] >= 0.0) if axes else ((V @ H) >= 0.0)
+            # test — and the matmul is pointless for an identity H.
+            # NaN coordinate: numpy NaN >= 0 is False, but BOTH SQL
+            # engines order NaN above every double (DuckDB 'NaN' >= 0
+            # and Spark double('NaN') >= 0 are TRUE — verified), so
+            # mirror the NaN-greatest total order explicitly: bit = 1.
+            if axes:
+                sub = V[:, :nbits]
+                bits = np.logical_or(sub >= 0.0, np.isnan(sub))
+            else:
+                bits = (V @ H) >= 0.0
             packed = bits.reshape(len(pdf), bands, r).astype(np.int64) @ weights
             out = {id_col: pdf[id_col].to_numpy()}
             for b in range(bands):
@@ -1655,10 +1679,24 @@ def _local_kcenter_portable(spark, rows, id_col, vec_col, k, dim) -> DataFrame:
             acc = acc + a[i] * b[i]
         return acc
 
+    def div(a, b):
+        # IEEE-754 double division: Python raises on x / 0.0 where the
+        # JVM returns NaN (0/0) or signed infinity (x/0) — a zero-norm
+        # vector hits exactly the 0/0 case.
+        if b != 0.0:
+            return a / b
+        if a == 0.0 or math.isnan(a):
+            return float("nan")
+        return float("inf") * math.copysign(1.0, a) * math.copysign(1.0, b)
+
     vecs = {}
     for r in rows:
         e = [float(x) for x in r[vec_col][:dim]]
-        vecs[r[id_col]] = (e, math.sqrt(dot(e, e)))
+        nrm = math.sqrt(dot(e, e))
+        # zero-norm guard, the production kernels' convention
+        # (xn[xn == 0] = 1.0): cos to a zero vector is 0.0, not a
+        # NaN/ANSI-divide-by-zero — mirrored in the distributed tier
+        vecs[r[id_col]] = (e, 1.0 if nrm == 0.0 else nrm)
 
     def greatest(a, b):  # Spark orders NaN above every double
         if math.isnan(a) or math.isnan(b):
@@ -1676,19 +1714,22 @@ def _local_kcenter_portable(spark, rows, id_col, vec_col, k, dim) -> DataFrame:
         for vid, (e, nrm) in vecs.items():
             if vid in selected:
                 continue
-            cos = dot(e, sv) / (nrm * snrm)
+            cos = div(dot(e, sv), nrm * snrm)
             b = greatest(best[vid], cos) if vid in best else cos
             best[vid] = b
-            if math.isnan(b):  # math.floor(nan) raises; Spark floors to NaN
-                cs = float("nan")
+            if math.isnan(b):
+                # Spark's floor(DOUBLE) returns BIGINT and casts NaN to
+                # long 0, so the distributed tier scores a NaN __best
+                # (zero-norm vector: cos = 0/0) as __cs = 0.0 and sorts
+                # it as 0.0 — replicate exactly (verified:
+                # floor(double('NaN')*1e9)/1e9 = 0.0, typeof bigint).
+                cs = 0.0
             else:
                 cs = math.floor(b * 1000000000.0) / 1000000000.0
-            # NaN sorts LAST in Spark's asc ordering; zero the sort key
-            # so all-NaN ties fall through to the id tiebreak cleanly
-            cand.append((math.isnan(cs), 0.0 if math.isnan(cs) else cs, vid, cs))
+            cand.append((cs, vid))
         if not cand:
             break
-        _, _, vid, cs = min(cand)
+        cs, vid = min(cand)
         sel.append((rnd, vid, cs))
         selected.add(vid)
     return spark.createDataFrame(
@@ -1748,7 +1789,16 @@ def diverse_kcenter_portable(
         return _local_kcenter_portable(
             vectors.sparkSession, head, id_col, vec_col, k, dim
         )
-    wide = _widened(vectors, id_col, vec_col, dim).persist()
+    # Zero-norm guard (the production kernels' xn[xn == 0] = 1.0
+    # convention): a zero vector's cosine to everything is 0.0. Without
+    # it the per-round division is an ANSI DIVIDE_BY_ZERO at runtime;
+    # the local tier applies the identical guard, keeping the tiers
+    # bit-identical on degenerate inputs.
+    wide = (
+        _widened(vectors, id_col, vec_col, dim)
+        .withColumn("nrm", F.when(F.col("nrm") == 0.0, F.lit(1.0)).otherwise(F.col("nrm")))
+        .persist()
+    )
     first = wide.orderBy(F.col(id_col)).limit(1).collect()[0]
     sel = [
         (

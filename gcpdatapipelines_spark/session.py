@@ -21,6 +21,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .blas import pin_blas_threads
+
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -52,6 +54,9 @@ def ensure_engine_confs(spark: SparkSession) -> None:
             current = None
         if current != v:
             spark.conf.set(k, v)
+    # Foreign sessions also inherit the driver-side BLAS pin (see
+    # get_spark) — process-level, idempotent, conf-free.
+    pin_blas_threads()
 
 
 def get_spark(
@@ -87,8 +92,10 @@ def get_spark(
         # it on. The conf only affects optimization effort, never
         # results. Set HERE (session-scoped, visible) rather than from
         # inside operators — an operator silently flipping a global
-        # optimizer conf is a landmine for co-resident workloads; the
-        # operators merely warn if they find it enabled.
+        # optimizer conf is a landmine for co-resident workloads;
+        # operators call ensure_engine_confs (above), which re-pins the
+        # value on foreign sessions through this module's single
+        # conf-write site.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -107,4 +114,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Driver-side BLAS: PySpark already pins Python WORKERS to
+    # OMP_NUM_THREADS = spark.task.cpus (= 1), but the DRIVER process
+    # keeps OpenBLAS's machine-wide pool (32 threads here). Every
+    # driver-side numpy solve in this engine is bounded index metadata
+    # (<=256 x dim sample kmeans/SVD, D x D Procrustes) where a
+    # 32-thread pool is pure sync overhead — and under host co-tenancy
+    # it is the collapse mechanism behind run-to-run swings on the
+    # OPQ/IVF family (r8 bench). Single-thread it.
+    pin_blas_threads()
     return spark

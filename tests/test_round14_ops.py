@@ -1,0 +1,156 @@
+"""Round-9 (14th build pass) additions: BLAS thread pinning and the
+round-8 advisor's tier-parity edge cases.
+
+- driver + kernel BLAS pools pinned to 1 thread (oversubscription /
+  co-tenancy collapse insurance; PySpark already pins workers via
+  OMP_NUM_THREADS=1, the pin makes the property explicit and covers
+  the driver, which otherwise keeps a 32-thread pool)
+- kcenter local tier replicates Spark's floor(NaN)->BIGINT 0 on
+  zero-norm (NaN-cosine) vectors
+- SRP axes mode mirrors the SQL engines' NaN-greatest order (bit=1)
+- bfs_levels dedups duplicate source rows identically in both tiers
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# BLAS pinning
+# ---------------------------------------------------------------------------
+
+
+def test_driver_blas_pinned_to_one_thread(spark):
+    """get_spark pins the driver-side OpenBLAS pool: every driver-side
+    numpy solve in the engine is bounded index metadata where a
+    machine-wide pool is pure sync overhead (and the r8 bench-variance
+    suspect for the OPQ family)."""
+    from gcpdatapipelines_spark.blas import blas_thread_counts, pin_blas_threads
+
+    pin_blas_threads()  # idempotent: second call is a no-op
+    counts = blas_thread_counts()
+    assert counts, "expected at least one loaded BLAS runtime"
+    assert all(v == 1 for v in counts.values()), counts
+
+
+def test_worker_blas_pinned_to_one_thread(spark):
+    """Kernels call pin_blas_threads() defensively; combined with
+    PySpark's own OMP_NUM_THREADS=spark.task.cpus default, every
+    Python worker must report a single-thread BLAS pool."""
+    def kern(batches):
+        import pandas as pd
+
+        from gcpdatapipelines_spark.blas import blas_thread_counts, pin_blas_threads
+
+        pin_blas_threads()
+        counts = list(blas_thread_counts().values())
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"n": [max(counts) if counts else -1]})
+
+    rows = (
+        spark.range(8)
+        .repartition(4)
+        .mapInPandas(kern, "n INT")
+        .collect()
+    )
+    assert rows and all(r["n"] == 1 for r in rows), rows
+
+
+# ---------------------------------------------------------------------------
+# kcenter portable: NaN / zero-norm vector tier parity
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_portable_nan_vector_bit_identical(spark):
+    """A zero-norm vector would make cos = 0/0 — an ANSI
+    DIVIDE_BY_ZERO in the distributed tier and a Python
+    ZeroDivisionError in the local replay. Both tiers now apply the
+    production kernels' guard (norm 0 -> 1.0, so cos = 0.0) and must
+    stay bit-identical, reporting 0.0 (never NaN) for the zero
+    vector."""
+    import random
+
+    from gcpdatapipelines_spark.operators.similarity import (
+        diverse_kcenter_portable,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows.append((20, [0.0] * 8))  # zero-norm: NaN cosine to everything
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    loc = [tuple(r) for r in diverse_kcenter_portable(df, k=6, dim=8).collect()]
+    dist = [
+        tuple(r)
+        for r in diverse_kcenter_portable(
+            df, k=6, dim=8, local_threshold=0
+        ).collect()
+    ]
+    assert loc == dist and len(loc) == 6
+    # the zero-norm vector's reported score, when selected, is 0.0 not
+    # NaN (Spark floor semantics) — and with 20 random vectors whose
+    # pairwise |cos| is almost surely > 0 it IS selected early
+    by_id = {r[1]: r[2] for r in loc}
+    if 20 in by_id:
+        assert by_id[20] == 0.0 and not math.isnan(by_id[20])
+
+
+# ---------------------------------------------------------------------------
+# SRP axes mode: NaN coordinate follows the SQL NaN-greatest order
+# ---------------------------------------------------------------------------
+
+
+def test_srp_axes_nan_bit_matches_sql_sign_test(spark):
+    """numpy NaN >= 0 is False, but BOTH SQL engines (Spark, DuckDB)
+    order NaN above every double, so the oracle's per-coordinate sign
+    test yields bit = 1. The kernel must mirror that or a NaN
+    coordinate flips signature bits vs the registered oracle."""
+    from gcpdatapipelines_spark.operators.similarity import srp_signatures
+
+    v = [1.0, float("nan"), -3.0, 4.0, -1.0, float("nan"), 1.0, -1.0]
+    df = spark.createDataFrame([(1, v)], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    row = srp_signatures(df, nbits=8, bands=2, mode="axes").collect()[0]
+    # bits (NaN -> 1): 1,1,0,1 | 0,1,1,0  ->  band_0 = 0b1101, band_1 = 0b0110
+    assert (row["band_0"], row["band_1"]) == (0b1101, 0b0110)
+    # and that equals Spark SQL's own sign test on the same data
+    sql_bits = spark.createDataFrame(
+        [(x,) for x in v], "x DOUBLE"
+    ).selectExpr("CASE WHEN x >= 0 THEN 1 ELSE 0 END AS b").collect()
+    got = [r["b"] for r in sql_bits]
+    want_band0 = sum(b << (3 - i) for i, b in enumerate(got[:4]))
+    want_band1 = sum(b << (3 - i) for i, b in enumerate(got[4:]))
+    assert (row["band_0"], row["band_1"]) == (want_band0, want_band1)
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels: duplicate sources dedup identically in both tiers
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_duplicate_sources_tier_parity(spark):
+    from gcpdatapipelines_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 8)], "u LONG, v LONG"
+    )
+    # source 0 listed three times, 7 twice
+    srcs = spark.createDataFrame(
+        [(0,), (0,), (0,), (7,), (7,)], "node LONG"
+    )
+    tiered = sorted(
+        tuple(r) for r in G.bfs_levels(edges, srcs, max_depth=2).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in G.bfs_levels(
+            edges, srcs, max_depth=2, local_threshold=0
+        ).collect()
+    )
+    assert tiered == dist
+    # exactly one row per reached node — duplicates never multiply
+    nodes = [n for n, _ in tiered]
+    assert len(nodes) == len(set(nodes))
+    assert dict(tiered)[0] == 0 and dict(tiered)[2] == 2 and dict(tiered)[8] == 1
