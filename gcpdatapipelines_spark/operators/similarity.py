@@ -1222,6 +1222,167 @@ def opq_train_sample(
     return R, cb_df
 
 
+def pq_encode_rotated(
+    vectors: DataFrame,
+    rotation,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused rotate + PQ-encode as ONE Arrow kernel: X -> X R -> per-
+    subspace argmin against the codebook, yielding (id, code
+    ARRAY<INT>) without materializing the rotated corpus.
+
+    This is the OPQ/BLAS tier's encode (sim_opq_topk — rows-only by
+    design): the composition ``pq_encode(rotate_vectors(X, R), cb)``
+    pays a full Arrow round trip for the rotated vectors plus the
+    parse/analyze/janino cost of the m*ksub-way unrolled aggregate
+    expression — several COLD seconds per session that a bench's
+    min-of-N never amortizes once the codegen cache evicts it (286
+    unique plans per pass). Here both steps are two numpy matmuls per
+    Arrow batch; the codebook (m*ksub rows — bounded index metadata)
+    ships in the task closure. d2 uses the ||c||^2 - 2 x.c expansion
+    (the per-row ||x||^2 constant cannot change an argmin); ties break
+    to the lowest cent_id like the oracle-checkable SQL path. Keep
+    :func:`pq_encode` for oracle-backed PQ entries — its fold
+    arithmetic is the engine-portable one."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    by: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by.setdefault(r.sub_id, {})[r.cent_id] = list(r.cent_vec)
+    m = len(by)
+    ksub = len(by[0])
+    dsub = len(by[0][0])
+    C = np.asarray(
+        [[by[s][c] for c in range(ksub)] for s in range(m)], dtype=np.float64
+    )
+    R = np.asarray(rotation, dtype=np.float64)
+    src = vectors.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+
+    def kern(batches):
+        import pandas as pd
+
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
+        cn2 = (C**2).sum(-1)  # (m, ksub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = (
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                @ R
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = V[:, s * dsub : (s + 1) * dsub]
+                d2 = cn2[s][None, :] - 2.0 * (xs @ C[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    return src.mapInPandas(kern, f"{id_col} BIGINT, code ARRAY<INT>")
+
+
+def ivf_topk_seeded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Deterministic engine-parity IVF top-k — the sim_srp_lsh
+    axes-mode playbook applied to IVF: cells are the ``nlist``
+    lowest-id vectors (bounded, seedless, engine-reproducible — the
+    semdedup_pairs_seeded quantizer), every cosine in the pipeline
+    (corpus assignment, query probe ranking, final candidate scoring)
+    is floor-truncated to 6 dp before any argmax/rank, and ties break
+    to the lowest id. The ENTIRE approximate pipeline — which cells
+    exist, who lives where, which cells each query probes, the final
+    ranking — restates in plain SQL and hash-checks end to end.
+    Production keeps the trained-kmeans path (ivf_build + ivf_topk,
+    recall-pinned vs brute force; exhaustive twin oracle-proven by
+    sim_ivf_exhaustive) — swapping quantizers changes WHICH cells
+    exist, never the scan mechanics.
+
+    Scale shape: assignment = broadcast-seed fan-out + one partial+
+    final argmax agg; probe selection = per-query window over nlist
+    rows; candidates = equi-join on cent_id with the tiny probe list
+    broadcast; final scoring = one corpus-side equi-join on id. No
+    cartesian anywhere; the scanned fraction is ~nprobe/nlist."""
+    from pyspark.sql import Window
+
+    v = _with_vec_norm(vectors, vec_col, "__v", "__vn")
+    seeds = (
+        v.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col("__v").alias("__c"),
+            F.col("__vn").alias("__cn"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        "cent_id",
+        trunc_dp(
+            _dot(F.col("__v"), F.col("__c")) / (F.col("__vn") * F.col("__cn")), 6
+        ).alias("__cs"),
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("__cs"), (-F.col("cent_id")).alias("__nc"))
+            ).alias("__m")
+        )
+        .select(F.col(id_col), (-F.col("__m.__nc")).alias("cent_id"))
+    )
+    q = _with_vec_norm(queries, q_vec_col, "__q", "__qn")
+    qscore = q.crossJoin(F.broadcast(seeds)).select(
+        q_id_col,
+        "cent_id",
+        trunc_dp(
+            _dot(F.col("__q"), F.col("__c")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("__cs"),
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(
+        F.col("__cs").desc(), F.col("cent_id")
+    )
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id_col, "cent_id")
+    )
+    cand = assign.join(F.broadcast(probes), "cent_id").select(q_id_col, id_col)
+    pair = cand.join(v.select(id_col, "__v", "__vn"), id_col).join(
+        F.broadcast(q.select(q_id_col, "__q", "__qn")), q_id_col
+    )
+    final = pair.select(
+        q_id_col,
+        id_col,
+        trunc_dp(
+            _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("sim"),
+    )
+    if exclude_self:
+        final = final.filter(F.col(q_id_col) != F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "sim", "rnk")
+    )
+
+
 def ivf_topk(
     assignments: DataFrame,
     centroids: DataFrame,

@@ -1928,18 +1928,75 @@ def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # rows-only: ANN candidate set is engine-defined
+@register(
+    "sim_ivf_topk",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+    ), cs AS (
+        SELECT v.vec_id, s.cent_id,
+               floor((list_inner_product(v.vec, s.cvec) /
+                      (sqrt(list_inner_product(v.vec, v.vec)) *
+                       sqrt(list_inner_product(s.cvec, s.cvec))))
+                     * 1000000.0) / 1000000.0 AS sim
+        FROM v CROSS JOIN seeds s
+    ), assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM cs
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS q_id, vec AS qvec FROM v WHERE vec_id < 3
+    ), qcells AS (
+        SELECT q_id, cent_id FROM (
+            SELECT q.q_id, s.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY floor((list_inner_product(q.qvec, s.cvec) /
+                                       (sqrt(list_inner_product(q.qvec, q.qvec)) *
+                                        sqrt(list_inner_product(s.cvec, s.cvec))))
+                                      * 1000000.0) / 1000000.0 DESC,
+                                s.cent_id) AS rn
+            FROM q CROSS JOIN seeds s
+        ) WHERE rn <= 4
+    ), scored AS (
+        SELECT c.q_id, a.vec_id,
+               floor((list_inner_product(q.qvec, v.vec) /
+                      (sqrt(list_inner_product(q.qvec, q.qvec)) *
+                       sqrt(list_inner_product(v.vec, v.vec))))
+                     * 1000000.0) / 1000000.0 AS sim
+        FROM qcells c
+        JOIN assign a ON a.cent_id = c.cent_id
+        JOIN q ON q.q_id = c.q_id
+        JOIN v ON v.vec_id = a.vec_id
+        WHERE a.vec_id <> c.q_id
+    )
+    SELECT q_id, vec_id, sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-10 (nlist=16, nprobe=4) — the scale path;
-    recall vs brute force is unit-tested rather than oracle-checked."""
-    from .operators.similarity import ivf_build, ivf_topk
+    """IVF ANN top-10 (nlist=16, nprobe=4), deterministic seeded
+    quantizer — oracle-backed END TO END (upgraded from rows-only, the
+    sim_srp_lsh axes-mode playbook): cells are the 16 lowest-id
+    vectors, every cosine is 6-dp floor-truncated before argmax/rank,
+    ties to lowest id, so DuckDB reproduces the exact cells, probes,
+    and ranking. Production keeps trained kmeans (ivf_build +
+    ivf_topk, recall-pinned; exhaustive twin = sim_ivf_exhaustive)."""
+    from .operators.similarity import ivf_topk_seeded
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    assignments, centroids = ivf_build(emb, nlist=16)
-    return ivf_topk(assignments, centroids, qs, k=10, nprobe=4)
+    return ivf_topk_seeded(emb, qs, nlist=16, nprobe=4, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -6185,7 +6242,7 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catalog wiring)."""
     from .operators.similarity import (
         opq_train_sample,
-        pq_encode,
+        pq_encode_rotated,
         pq_topk,
         rotate_vectors,
     )
@@ -6194,11 +6251,13 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, cb = opq_train_sample(
         emb, sample_n=192, m=4, ksub=16, iters=2, kmeans_iter=6
     )
-    # parallelize the Arrow rotate past the single-file scan split;
-    # round-robin is fine (rotation is row-local)
+    # parallelize the fused Arrow rotate+encode past the single-file
+    # scan split; round-robin is fine (both steps are row-local). The
+    # fusion (one kernel instead of rotate -> Arrow round trip ->
+    # m*ksub-way unrolled codegen encode) cuts the cold pass ~3x —
+    # this entry is rows-only by design, so BLAS arithmetic is free.
     n_parts = spark.sparkContext.defaultParallelism
-    rot = rotate_vectors(emb.repartition(n_parts), R)
-    codes = pq_encode(rot, cb, vec_col="embedding")
+    codes = pq_encode_rotated(emb.repartition(n_parts), R, cb)
     # rotate the 3 query rows separately: a filter on rot cannot push
     # through mapInPandas, so `rot.filter(...)` would re-rotate the
     # whole corpus just to keep 3 rows

@@ -126,6 +126,98 @@ def test_srp_axes_nan_bit_matches_sql_sign_test(spark):
 
 
 # ---------------------------------------------------------------------------
+# shared token cache: its doc_id partitioning feeds consumers shuffle-free
+# ---------------------------------------------------------------------------
+
+
+def test_doc_tokens_cache_partitioning_feeds_groupby(spark, sf_dir):
+    """_doc_tokens_cached repartitions by doc_id ONCE at cache fill;
+    every consumer aggregating on doc_id must reuse that partitioning
+    with ZERO additional exchanges (the r8 change's whole point — one
+    cheap narrow-row shuffle before a many-pass cache)."""
+    from pyspark.sql import functions as F
+
+    from gcpdatapipelines_spark import queries as Q
+
+    toks = Q._doc_tokens_cached(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # consumer side = everything above the cached relation: no shuffle
+    outer = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in outer, outer
+    # and the cache itself carries the doc_id hash partitioning
+    assert "hashpartitioning(doc_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# fused rotate+encode kernel matches the two-step composition
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_rotated_matches_composition(spark):
+    """pq_encode_rotated (one Arrow kernel, BLAS argmin) must assign
+    the same codes as pq_encode(rotate_vectors(X, R), cb) — the
+    d2 expansion drops the per-row ||x||^2 constant, which cannot
+    change an argmin, and ties break to the lowest cent_id in both."""
+    import numpy as np
+
+    from gcpdatapipelines_spark.operators.similarity import (
+        opq_train_sample,
+        pq_encode,
+        pq_encode_rotated,
+        rotate_vectors,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    R, cb = opq_train_sample(df, sample_n=64, m=4, ksub=8, iters=2, kmeans_iter=4)
+    fused = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode_rotated(df, R, cb).collect()
+    }
+    twostep = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode(rotate_vectors(df, R), cb).collect()
+    }
+    assert fused == twostep and len(fused) == 80
+
+
+# ---------------------------------------------------------------------------
+# seeded IVF: deterministic cells, planted duplicate lands at rank 1
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_seeded_finds_planted_duplicate(spark):
+    import numpy as np
+
+    from gcpdatapipelines_spark.operators.similarity import ivf_topk_seeded
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((40, 8))
+    vecs[37] = vecs[2]  # exact duplicate of query vector 2
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    from pyspark.sql import functions as F2
+
+    qs = df.filter(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk_seeded(df, qs, nlist=8, nprobe=3, k=5).collect()
+    got = {(r["q_id"], r["rnk"]): (r["vec_id"], r["sim"]) for r in out}
+    # a duplicate shares its twin's cell by construction, so the probe
+    # always finds it; cos(x, x) floors to exactly 1.0
+    assert got[(2, 1)][0] == 37 and got[(2, 1)][1] == 1.0
+    # self never returned
+    assert all(r["vec_id"] != r["q_id"] for r in out)
+    # deterministic: a second run returns the identical rows
+    again = {(r["q_id"], r["rnk"]): (r["vec_id"], r["sim"])
+             for r in ivf_topk_seeded(df, qs, nlist=8, nprobe=3, k=5).collect()}
+    assert got == again
+
+
+# ---------------------------------------------------------------------------
 # bfs_levels: duplicate sources dedup identically in both tiers
 # ---------------------------------------------------------------------------
 
