@@ -75,8 +75,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     t_all = time.time()
-    for rep in range(max(1, reps)):
-        for name, fn in queries.items():
+    # Reps run BACK-TO-BACK per query (r9): with the old
+    # whole-catalog-then-repeat interleaving, 285 other queries evicted
+    # every plan-level cache (janino ~100-class LRU, analysis
+    # structures) between a query's two passes, so min-of-2 stayed COLD
+    # for any query with expensive unique codegen — the measured number
+    # was "compile cost under eviction", not the steady-state plan cost
+    # this bench documents itself as reporting (solo-verified: the
+    # heavy ANN family runs 1.5-3 s warm but 6-7 s under the old
+    # interleaving). Pass 1 still lands in cold[] (first-run cost, the
+    # old single-run methodology), so both totals remain comparable.
+    for name, fn in queries.items():
+        for rep in range(max(1, reps)):
             t0 = time.time()
             try:
                 run_once(fn(spark, sf_dir))
@@ -130,7 +140,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
-        "method": f"min of {reps} passes per query, one shared session",
+        "method": f"min of {reps} back-to-back passes per query, "
+        "one shared session, shared preps pre-warmed",
         "cold_total_wall": cold_total,
         "bench_wall": wall,
         "slowest": slowest,
