@@ -139,15 +139,24 @@ def test_doc_tokens_cache_partitioning_feeds_groupby(spark, sf_dir):
 
     from gcpdatapipelines_spark import queries as Q
 
+    # build a FRESH cache entry: an earlier test's
+    # spark.catalog.clearCache() (test_round12_ops) unpersists the
+    # frame while the prep dict still holds it, and an unpersisted
+    # plan has no InMemoryRelation to anchor the assertion on
+    key = (spark.sparkContext.applicationId, sf_dir, "tokens")
+    Q._PREP_CACHE.pop(key, None)
     toks = Q._doc_tokens_cached(spark, sf_dir)
     agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
     # consumer side = everything above the cached relation: no shuffle
     outer = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in outer, outer
     # and the cache itself carries the doc_id hash partitioning
     assert "hashpartitioning(doc_id" in plan
+    toks.unpersist()
+    Q._PREP_CACHE.pop(key, None)
 
 
 # ---------------------------------------------------------------------------
