@@ -196,8 +196,14 @@ HEADLINERS = {
     ),
     "sim_opq_topk": (
         "Rotation/codebooks are driver-side sample-trained metadata; the "
-        "distributed plan is one Arrow matmul projection + the "
-        "shuffle-free literal-codebook encode + broadcast LUT ADC scan."
+        "distributed plan is ONE fused Arrow kernel (rotate + per-sub "
+        "argmin encode, no unrolled codegen) + broadcast LUT ADC scan."
+    ),
+    "sim_ivf_topk": (
+        "Deterministic seeded IVF, oracle-backed end to end: broadcast-"
+        "seed assignment argmax, per-query probe window over nlist rows, "
+        "broadcast probe-list candidate join — scanned fraction "
+        "~nprobe/nlist, no cartesian."
     ),
     "w18_rolling_distinct_users": (
         "Bounded 7x fan-out of distinct (user, day) pairs + one distinct "
