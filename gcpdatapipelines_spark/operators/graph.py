@@ -915,7 +915,65 @@ def label_propagation(
     return labels
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _local_modularity(spark, edge_rows, label_rows) -> DataFrame:
+    """Driver-side replay of :func:`modularity`'s exact arithmetic:
+    integer counts (join multiplicity replicated, so duplicate label
+    rows behave identically to the distributed joins), per-community
+    double terms in the identical op order (cast, divide, multiply,
+    subtract are all IEEE-defined on their operand bits), trunc_dp's
+    NaN/inf-guarded floor, and the label-sorted left fold for
+    q_total."""
+    import math
+    from collections import defaultdict
+
+    def trunc6(x: float) -> float:
+        if math.isnan(x) or math.isinf(x):
+            return x
+        return math.floor(x * 1000000.0) / 1000000.0
+
+    m = len(edge_rows)
+    node_labels: dict[int, list[int]] = defaultdict(list)
+    for r in label_rows:
+        node_labels[r["node"]].append(r["label"])
+    deg: dict[int, int] = defaultdict(int)
+    intra: dict[int, int] = defaultdict(int)
+    for r in edge_rows:
+        u, v = r["u"], r["v"]
+        deg[u] += 1
+        deg[v] += 1
+        for lu in node_labels.get(u, ()):
+            for lv in node_labels.get(v, ()):
+                if lu == lv:
+                    intra[lu] += 1
+    n_nodes: dict[int, int] = defaultdict(int)
+    deg_sum: dict[int, int] = defaultdict(int)
+    for r in label_rows:
+        n_nodes[r["label"]] += 1
+        deg_sum[r["label"]] += deg.get(r["node"], 0)
+    cells = []
+    for label in n_nodes:
+        ie = intra.get(label, 0)
+        half = float(deg_sum[label]) / (2.0 * float(m))
+        term = float(ie) / float(m) - half * half
+        cells.append((label, n_nodes[label], ie, deg_sum[label], term))
+    acc = 0.0
+    for _, _, _, _, t in sorted(cells):  # labels unique: label-sorted fold
+        acc = acc + t
+    q_total = trunc6(acc)
+    rows = [
+        (label, nn, ie, ds, trunc6(t), q_total)
+        for label, nn, ie, ds, t in cells
+    ]
+    return spark.createDataFrame(
+        rows,
+        "label LONG, n_nodes BIGINT, intra_edges BIGINT, "
+        "deg_sum BIGINT, term DOUBLE, q_total DOUBLE",
+    )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, local_threshold: int = 100_000
+) -> DataFrame:
     """Newman modularity of a community assignment over an undirected
     edge list: per community c, term_c = e_c/m − (d_c/(2m))², Q = Σ
     term_c — the standard "is this clustering better than random"
@@ -931,7 +989,21 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
     Scale shape: two label-broadcast (or hash) joins to tag edge
     endpoints, one degree aggregate, one |communities|-sized frame
-    for everything after; the 1-row m total broadcasts."""
+    for everything after; the 1-row m total broadcasts. Size-tiered
+    like the rest of the graph family: <= ``local_threshold`` edges
+    AND labels replay the identical integer counts + IEEE double
+    chain on the driver (at that size the 4-pass plan is pure job
+    overhead — measured ~4 s on a 3.9k-edge graph); parity pinned in
+    tests."""
+    head_edges = _collect_if_small(edges.select("u", "v"), local_threshold)
+    if head_edges is not None and len(head_edges) > 0:
+        head_labels = (
+            labels.select("node", "label").limit(local_threshold + 1).collect()
+        )
+        if len(head_labels) <= local_threshold:
+            return _local_modularity(
+                edges.sparkSession, head_edges, head_labels
+            )
     m = edges.agg(F.count("*").alias("__m"))
     lu = labels.select(
         F.col("node").alias("u"), F.col("label").alias("__lu")

@@ -231,6 +231,32 @@ def test_ivf_topk_seeded_finds_planted_duplicate(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_modularity_local_tier_bit_identical(spark):
+    """modularity's local tier must replay the distributed plan's
+    integer counts and IEEE double chain bit-for-bit — including the
+    label-sorted q_total fold and trunc_dp's floor."""
+    import random
+
+    from gcpdatapipelines_spark.operators import graph as G
+
+    rng = random.Random(31)
+    edges = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b))
+                for a, b in ((rng.randrange(60), rng.randrange(60))
+                             for _ in range(150)) if a != b}),
+        "u LONG, v LONG",
+    )
+    labels = G.label_propagation(edges, iterations=2)
+    tiered = {tuple(r) for r in G.modularity(edges, labels).collect()}
+    dist = {
+        tuple(r)
+        for r in G.modularity(edges, labels, local_threshold=0).collect()
+    }
+    assert tiered == dist and tiered
+    # one q_total across all rows
+    assert len({r[-1] for r in tiered}) == 1
+
+
 def test_bfs_duplicate_sources_tier_parity(spark):
     from gcpdatapipelines_spark.operators import graph as G
 
