@@ -198,6 +198,23 @@ def test_pq_encode_rotated_matches_composition(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_ivf_topk_seeded_plan_no_cartesian(spark, sf_dir):
+    """The seeded IVF plan's scale contract: seed fan-outs and the
+    probe-list candidate join are BROADCASTS (bounded index metadata),
+    never a CartesianProduct over corpus-sized sides."""
+    from gcpdatapipelines_spark.io import read_table
+    from gcpdatapipelines_spark.operators.similarity import ivf_topk_seeded
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    out = ivf_topk_seeded(emb, qs, nlist=16, nprobe=4, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan
+
+
 def test_ivf_topk_seeded_finds_planted_duplicate(spark):
     import numpy as np
 
