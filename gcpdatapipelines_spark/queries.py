@@ -12272,5 +12272,6 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
         _doc_shingles_cached(spark, sf_dir, 5),
         _simhash_md5_cached(spark, sf_dir),
         _md5_band_keys_cached(spark, sf_dir),
+        _copurchase_edges_cached(spark, sf_dir),
     ):
         df.write.mode("overwrite").format("noop").save()
