@@ -248,6 +248,30 @@ def test_ivf_topk_seeded_finds_planted_duplicate(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_size_tier_boundary_edges(spark):
+    """Threshold-boundary insurance (r8 verdict #7): at exactly
+    local_threshold edges the LOCAL tier runs; at threshold-1 (i.e.
+    one more edge than the threshold) the DISTRIBUTED loop runs —
+    and both return identical results either side of the boundary."""
+    from gcpdatapipelines_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (0, 6)], "u LONG, v LONG"
+    )
+    n = edges.count()
+    # exactly-at-threshold -> local; one-below -> distributed
+    local_cc = {tuple(r) for r in G.connected_components(
+        edges, src="u", dst="v", local_threshold=n).collect()}
+    dist_cc = {tuple(r) for r in G.connected_components(
+        edges, src="u", dst="v", local_threshold=n - 1).collect()}
+    assert local_cc == dist_cc and local_cc
+    local_mod = {tuple(r) for r in G.modularity(
+        edges, G.label_propagation(edges, 2), local_threshold=n).collect()}
+    dist_mod = {tuple(r) for r in G.modularity(
+        edges, G.label_propagation(edges, 2), local_threshold=n - 1).collect()}
+    assert local_mod == dist_mod and local_mod
+
+
 def test_modularity_local_tier_bit_identical(spark):
     """modularity's local tier must replay the distributed plan's
     integer counts and IEEE double chain bit-for-bit — including the
