@@ -59,7 +59,13 @@ def main() -> None:
     # round-over-round. At 100 TB the preps are materialized once per
     # corpus snapshot — warming them here matches that cost model.
     if hasattr(entry_mod, "prewarm"):
-        entry_mod.prewarm(spark, sf_dir)
+        try:
+            entry_mod.prewarm(spark, sf_dir)
+        except Exception as exc:
+            # a broken prep must not kill the whole bench: the affected
+            # family will rebuild (or record -1) inside its own timed
+            # try/except, the other ~280 queries still report
+            print(f"bench prewarm failed (continuing): {exc}", file=sys.stderr)
 
     queries = entry_mod.queries()
     # Two passes over the catalog, per-query time = min of the two.

@@ -36,9 +36,36 @@ _SETTERS = (
     "bli_thread_set_num_threads",
 )
 
+# Matching getters (best effort; used by the test hook only).
+_GETTERS = (
+    "openblas_get_num_threads64_",
+    "openblas_get_num_threads",
+    "MKL_Get_Max_Threads",
+    "bli_thread_get_num_threads",
+)
+
 _LIB_RE = re.compile(
     r"(/\S+(?:openblas|libmkl_rt|libblis|libblas)\S*\.so\S*)", re.IGNORECASE
 )
+
+
+def _loaded_blas_libs():
+    """dlopen every BLAS shared object currently mapped into this
+    process (numpy import guarantees at least its bundled one)."""
+    libs = []
+    try:
+        import numpy  # noqa: F401
+
+        with open("/proc/self/maps") as fh:
+            paths = {m.group(1) for line in fh for m in [_LIB_RE.search(line)] if m}
+        for path in sorted(paths):
+            try:
+                libs.append((path, ctypes.CDLL(path)))
+            except OSError:
+                continue
+    except Exception:
+        pass
+    return libs
 
 
 def pin_blas_threads(n: int = 1) -> None:
@@ -50,53 +77,28 @@ def pin_blas_threads(n: int = 1) -> None:
     global _PINNED
     if _PINNED:
         return
-    try:
-        # Ensure the BLAS .so is actually mapped before we scan for it
-        # (kernels that call us always use numpy, but be robust).
-        import numpy  # noqa: F401
-
-        paths: set[str] = set()
-        with open("/proc/self/maps") as fh:
-            for line in fh:
-                m = _LIB_RE.search(line)
-                if m:
-                    paths.add(m.group(1))
-        for path in paths:
-            try:
-                lib = ctypes.CDLL(path)
-            except OSError:
-                continue
-            for sym in _SETTERS:
-                fn = getattr(lib, sym, None)
-                if fn is not None:
-                    try:
-                        fn(ctypes.c_int(n))
-                    except Exception:
-                        pass
-    except Exception:
-        pass
+    for _path, lib in _loaded_blas_libs():
+        for sym in _SETTERS:
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                try:
+                    fn(ctypes.c_int(n))
+                except Exception:
+                    pass
     _PINNED = True
 
 
 def blas_thread_counts() -> dict[str, int]:
     """Report current thread counts per loaded BLAS lib (test hook)."""
     out: dict[str, int] = {}
-    try:
-        import numpy  # noqa: F401
-
-        with open("/proc/self/maps") as fh:
-            paths = {m.group(1) for line in fh for m in [_LIB_RE.search(line)] if m}
-        for path in paths:
-            try:
-                lib = ctypes.CDLL(path)
-            except OSError:
-                continue
-            for sym in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
-                fn = getattr(lib, sym, None)
-                if fn is not None:
+    for path, lib in _loaded_blas_libs():
+        for sym in _GETTERS:
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                try:
                     fn.restype = ctypes.c_int
                     out[path] = int(fn())
-                    break
-    except Exception:
-        pass
+                except Exception:
+                    continue
+                break
     return out

@@ -1320,7 +1320,16 @@ def ivf_topk_seeded(
     cartesian anywhere; the scanned fraction is ~nprobe/nlist."""
     from pyspark.sql import Window
 
-    v = _with_vec_norm(vectors, vec_col, "__v", "__vn")
+    def _guard(df):
+        # zero-norm guard, mirrored in the registered oracle SQL: a
+        # zero vector's cosine to everything is 0.0, not an ANSI
+        # DIVIDE_BY_ZERO (the kcenter-portable convention)
+        return df.withColumn(
+            "__vn",
+            F.when(F.col("__vn") == 0.0, F.lit(1.0)).otherwise(F.col("__vn")),
+        )
+
+    v = _guard(_with_vec_norm(vectors, vec_col, "__v", "__vn"))
     seeds = (
         v.orderBy(id_col)
         .limit(nlist)
@@ -1346,7 +1355,10 @@ def ivf_topk_seeded(
         )
         .select(F.col(id_col), (-F.col("__m.__nc")).alias("cent_id"))
     )
-    q = _with_vec_norm(queries, q_vec_col, "__q", "__qn")
+    q = _with_vec_norm(queries, q_vec_col, "__q", "__qn").withColumn(
+        "__qn",
+        F.when(F.col("__qn") == 0.0, F.lit(1.0)).otherwise(F.col("__qn")),
+    )
     qscore = q.crossJoin(F.broadcast(seeds)).select(
         q_id_col,
         "cent_id",
@@ -1885,6 +1897,13 @@ def _local_kcenter_portable(spark, rows, id_col, vec_col, k, dim) -> DataFrame:
                 # it as 0.0 — replicate exactly (verified:
                 # floor(double('NaN')*1e9)/1e9 = 0.0, typeof bigint).
                 cs = 0.0
+            elif math.isinf(b):
+                # Spark's BIGINT floor saturates ±inf to Long.MAX/MIN
+                # (verified: floor(double('Infinity')*1e9)/1e9 =
+                # 9223372036.854776); Python math.floor(inf) raises.
+                cs = (
+                    9223372036854775807 if b > 0 else -9223372036854775808
+                ) / 1000000000.0
             else:
                 cs = math.floor(b * 1000000000.0) / 1000000000.0
             cand.append((cs, vid))

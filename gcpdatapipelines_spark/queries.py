@@ -1931,16 +1931,24 @@ def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     """
-    WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    WITH v0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               sqrt(list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS n0
+        FROM embeddings
+    ), v AS (
+        -- zero-norm guard, mirrored in ivf_topk_seeded: cos to a zero
+        -- vector is 0.0, never a divide-by-zero/NaN
+        SELECT vec_id, vec,
+               CASE WHEN n0 = 0 THEN 1.0 ELSE n0 END AS nrm
+        FROM v0
     ), seeds AS (
-        SELECT vec_id AS cent_id, vec AS cvec FROM v ORDER BY vec_id LIMIT 16
+        SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+        FROM v ORDER BY vec_id LIMIT 16
     ), cs AS (
         SELECT v.vec_id, s.cent_id,
                floor((list_inner_product(v.vec, s.cvec) /
-                      (sqrt(list_inner_product(v.vec, v.vec)) *
-                       sqrt(list_inner_product(s.cvec, s.cvec))))
-                     * 1000000.0) / 1000000.0 AS sim
+                      (v.nrm * s.cnrm)) * 1000000.0) / 1000000.0 AS sim
         FROM v CROSS JOIN seeds s
     ), assign AS (
         SELECT vec_id, cent_id FROM (
@@ -1950,15 +1958,15 @@ def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cs
         ) WHERE rn = 1
     ), q AS (
-        SELECT vec_id AS q_id, vec AS qvec FROM v WHERE vec_id < 3
+        SELECT vec_id AS q_id, vec AS qvec, nrm AS qnrm
+        FROM v WHERE vec_id < 3
     ), qcells AS (
         SELECT q_id, cent_id FROM (
             SELECT q.q_id, s.cent_id,
                    row_number() OVER (
                        PARTITION BY q.q_id
                        ORDER BY floor((list_inner_product(q.qvec, s.cvec) /
-                                       (sqrt(list_inner_product(q.qvec, q.qvec)) *
-                                        sqrt(list_inner_product(s.cvec, s.cvec))))
+                                       (q.qnrm * s.cnrm))
                                       * 1000000.0) / 1000000.0 DESC,
                                 s.cent_id) AS rn
             FROM q CROSS JOIN seeds s
@@ -1966,9 +1974,7 @@ def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
         SELECT c.q_id, a.vec_id,
                floor((list_inner_product(q.qvec, v.vec) /
-                      (sqrt(list_inner_product(q.qvec, q.qvec)) *
-                       sqrt(list_inner_product(v.vec, v.vec))))
-                     * 1000000.0) / 1000000.0 AS sim
+                      (q.qnrm * v.nrm)) * 1000000.0) / 1000000.0 AS sim
         FROM qcells c
         JOIN assign a ON a.cent_id = c.cent_id
         JOIN q ON q.q_id = c.q_id

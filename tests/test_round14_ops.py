@@ -144,7 +144,9 @@ def test_doc_tokens_cache_partitioning_feeds_groupby(spark, sf_dir):
     # frame while the prep dict still holds it, and an unpersisted
     # plan has no InMemoryRelation to anchor the assertion on
     key = (spark.sparkContext.applicationId, sf_dir, "tokens")
-    Q._PREP_CACHE.pop(key, None)
+    prior = Q._PREP_CACHE.pop(key, None)
+    if prior is not None:
+        prior.unpersist()  # don't leak the displaced entry's storage
     toks = Q._doc_tokens_cached(spark, sf_dir)
     agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     agg.collect()
@@ -168,7 +170,12 @@ def test_pq_encode_rotated_matches_composition(spark):
     """pq_encode_rotated (one Arrow kernel, BLAS argmin) must assign
     the same codes as pq_encode(rotate_vectors(X, R), cb) — the
     d2 expansion drops the per-row ||x||^2 constant, which cannot
-    change an argmin, and ties break to the lowest cent_id in both."""
+    change an argmin, and ties break to the lowest cent_id in both.
+    Caveat (and why the seed is FIXED): the expansion and the fold
+    round differently, so a vector within ~1 ulp of equidistant to two
+    centroids could flip argmin between the forms — measure-zero on
+    continuous data, and the OPQ entry is rows-only/recall-gated, so
+    exact equality is asserted on this seeded corpus only."""
     import numpy as np
 
     from gcpdatapipelines_spark.operators.similarity import (
@@ -213,6 +220,25 @@ def test_ivf_topk_seeded_plan_no_cartesian(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "Broadcast" in plan
+
+
+def test_ivf_topk_seeded_zero_norm_vector_no_crash(spark):
+    """A zero-norm embedding must not raise ANSI DIVIDE_BY_ZERO: both
+    the operator and its oracle guard norm 0 -> 1.0 (cos = 0.0)."""
+    import numpy as np
+
+    from gcpdatapipelines_spark.operators.similarity import ivf_topk_seeded
+    from pyspark.sql import functions as F2
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    rows.append((20, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    qs = df.filter(F2.col("vec_id") < 2).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk_seeded(df, qs, nlist=4, nprobe=2, k=5).collect()
+    assert out and all(r["vec_id"] != r["q_id"] for r in out)
 
 
 def test_ivf_topk_seeded_finds_planted_duplicate(spark):
