@@ -146,6 +146,13 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        # Methodology version for cross-round tooling (r9 ADVICE):
+        # rev 1 = whole-catalog-then-repeat interleaving, no prewarm
+        #         (rounds 1-8);
+        # rev 2 = back-to-back reps per query + shared preps pre-warmed
+        #         outside the timed window (round 9+). cold_total_wall
+        #         stays the pass-1 sum under whichever rev produced it.
+        "bench_rev": 2,
         "method": f"min of {reps} back-to-back passes per query, "
         "one shared session, shared preps pre-warmed",
         "cold_total_wall": cold_total,

@@ -23,7 +23,14 @@ from __future__ import annotations
 import ctypes
 import re
 
-_PINNED = False
+# Paths already pinned successfully in this process. Keyed per library
+# (not a single process-wide latch): a BLAS loaded AFTER the first call
+# — e.g. a second implementation pulled in by a later import — still
+# gets pinned on the next call, and a call where no setter succeeded
+# (numpy missing, /proc absent) stays a retryable no-op instead of
+# latching all future calls off. The /proc/self/maps scan is a few
+# hundred microseconds; only the ctypes setter calls are skipped.
+_PINNED_PATHS: set[str] = set()
 
 # Known runtime thread-count setters across BLAS implementations.
 # numpy wheels bundle openblas64_ (suffixed symbols); distro numpy may
@@ -71,21 +78,24 @@ def _loaded_blas_libs():
 def pin_blas_threads(n: int = 1) -> None:
     """Clamp every loaded BLAS runtime in this process to ``n`` threads.
 
-    Safe to call unconditionally: no-op after the first success, no-op
-    on platforms without /proc, never raises.
+    Safe to call unconditionally: each library is pinned once (per-path
+    memo, so a BLAS loaded later still gets pinned by a later call),
+    no-op on platforms without /proc, never raises.
     """
-    global _PINNED
-    if _PINNED:
-        return
-    for _path, lib in _loaded_blas_libs():
+    for path, lib in _loaded_blas_libs():
+        if path in _PINNED_PATHS:
+            continue
+        pinned = False
         for sym in _SETTERS:
             fn = getattr(lib, sym, None)
             if fn is not None:
                 try:
                     fn(ctypes.c_int(n))
+                    pinned = True
                 except Exception:
                     pass
-    _PINNED = True
+        if pinned:
+            _PINNED_PATHS.add(path)
 
 
 def blas_thread_counts() -> dict[str, int]:

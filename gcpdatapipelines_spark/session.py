@@ -18,12 +18,18 @@ local[N] for tests and on a 1000-executor cluster unchanged:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
 from .blas import pin_blas_threads
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Conf tag get_spark stamps on sessions it builds, so
+# ensure_engine_confs can tell engine-owned sessions from foreign ones
+# (a foreign re-pin warns once; an engine session is silent).
+_ENGINE_SESSION_TAG = "spark.gcpdatapipelines.engineSession"
 
 
 # Runtime-mandatory session confs for sessions the engine did NOT
@@ -41,18 +47,42 @@ ENGINE_RUNTIME_CONFS = {
 }
 
 
+# appIds already warned about foreign-session conf re-pins (one line
+# per session, not per operator call).
+_FOREIGN_REPIN_WARNED: set[str] = set()
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Pin the engine's runtime-mandatory confs on an externally-built
     session. Idempotent value pins; session.py is the single module
     that owns conf writes (pinned by
     tests/test_round13_ops.py::test_no_session_conf_writes_in_operators);
-    operators CALL this instead of flipping confs themselves."""
+    operators CALL this instead of flipping confs themselves.
+
+    Sessions this module did not build get a ONE-TIME warning when a
+    conf is actually re-pinned: the flip is correctness-mandatory for
+    the widened-vector operators but permanent and session-global, so
+    the session's owner deserves a visible signal that a co-resident
+    engine mutated their optimizer settings."""
     for k, v in ENGINE_RUNTIME_CONFS.items():
         try:
             current = spark.conf.get(k, None)
         except Exception:
             current = None
         if current != v:
+            if spark.conf.get(_ENGINE_SESSION_TAG, None) != "true":
+                app_id = spark.sparkContext.applicationId
+                if app_id not in _FOREIGN_REPIN_WARNED:
+                    _FOREIGN_REPIN_WARNED.add(app_id)
+                    warnings.warn(
+                        f"gcpdatapipelines_spark: re-pinning {k}={v} "
+                        f"(was {current!r}) on an externally-built "
+                        "SparkSession — required by the engine's "
+                        "widened-vector operators; affects the whole "
+                        "session",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             spark.conf.set(k, v)
     # Foreign sessions also inherit the driver-side BLAS pin (see
     # get_spark) — process-level, idempotent, conf-free.
@@ -97,6 +127,7 @@ def get_spark(
         # value on foreign sessions through this module's single
         # conf-write site.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        .config(_ENGINE_SESSION_TAG, "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # local[N] runs every executor thread inside the driver JVM, so
