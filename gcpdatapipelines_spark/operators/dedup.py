@@ -459,6 +459,22 @@ def incremental_neardup(
     return admitted, delta
 
 
+def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """The candidate step of MinHash-LSH, alone: distinct (id_1 <
+    id_2) pairs sharing any (band, bucket) key. This is the frame
+    whose size separates banded dedup from all-pairs dedup — scale
+    probes and the planted-duplicate growth tests count it directly,
+    and :func:`minhash_lsh_pairs` verifies exactly it (never more)."""
+    left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -492,20 +508,12 @@ def minhash_lsh_pairs(
             df, id_col, text_col, n, num_perm, bands, shingles=sh, hash_fn=hash_fn
         )
 
-    left = banded.select(F.col(id_col).alias("id_1"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_2"), "band", "bucket")
     # cached: consumed twice below (the candidate id set for the
     # verify semi-join, and the final pair join) — without it the whole
     # signature+banding pipeline would execute twice. The frame is the
     # LSH candidate PAIR list: bounded by near-dup density, orders of
     # magnitude smaller than the corpus, safe to materialize.
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
-        .cache()
-    )
+    candidates = lsh_candidate_pairs(banded, id_col).cache()
 
     # verify ONLY the candidates: restrict the shingle frame to docs
     # that appear in some candidate pair before computing exact Jaccard.
@@ -639,6 +647,29 @@ def banded_two_word_pairs(
     Output: (id_1, id_2[, key_col], hamming INT) with id_1 < id_2.
     Both consumers (text SimHash dedup, media pHash near-dup) restate
     this exact pipeline in their DuckDB oracles — keep them in sync."""
+    cand, keys = banded_two_word_candidates(sig, id_col, key_col)
+    ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
+        F.col("lo_1").bitwiseXOR(F.col("lo_2"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", *keys, "hamming")
+    )
+
+
+def banded_two_word_candidates(
+    sig: DataFrame,
+    id_col: str,
+    key_col: str | None = None,
+):
+    """The candidate step of the two-word-signature banding pipeline,
+    alone: distinct (id_1 < id_2) pairs sharing any exact 16-bit chunk
+    (and the optional partition key), with both signatures carried for
+    the verify. Returns (candidates, keys) where keys is the
+    key-column list. Scale probes and the planted-duplicate growth
+    tests count this frame; :func:`banded_two_word_pairs` verifies
+    exactly it."""
     pieces = [
         ("sig_lo", 0),
         ("sig_lo", 16),
@@ -690,14 +721,7 @@ def banded_two_word_pairs(
         .select("id_1", "id_2", *keys, "hi_1", "lo_1", "hi_2", "lo_2")
         .distinct()
     )
-    ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
-        F.col("lo_1").bitwiseXOR(F.col("lo_2"))
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_1", "id_2", *keys, "hamming")
-    )
+    return cand, keys
 
 
 def simhash_pairs_md5(

@@ -480,38 +480,20 @@ def embedding_neardup_pairs_pruned(
     )
 
 
-def semdedup_pairs_seeded(
+def semdedup_assign_seeded(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
     nlist: int = 16,
-    dim: int | None = None,
 ) -> DataFrame:
-    """SemDeDup within-cell pair scan (Abbas et al. 2303.09540): the
-    corpus is partitioned into ``nlist`` cells and high-cosine pairs
-    are scored ONLY within each cell — the deliberate SemDeDup
-    approximation that caps the pair space at sum(c_i^2)/2 instead of
-    n^2/2. At 100 TB this is the recipe: one narrow assignment pass,
-    one equi self-join hash-partitioned by cell (never a cartesian,
-    never a cost-based flat fallback — the fallback branch does not
-    exist on this path), skew bounded by the largest cell.
-
-    The quantizer here is ORACLE-EXPRESSIBLE by construction: cells
-    are the ``nlist`` lowest-id vectors, and each vector goes to its
-    max-cosine seed with the cosine rounded to 6 dp before the argmax
-    (ties → lowest cent_id), so DuckDB reproduces the exact same
-    assignment and the whole approximate pipeline hash-checks
-    end-to-end. Production callers chasing recall swap in trained
-    k-means centroids (ivf_build_kmeans) — that only changes WHICH
-    cells exist, not the mechanics; the within-cell scan and its cost
-    bound are identical.
-
-    Returns (id_1 < id_2, sim) with sim from the same codegen-unrolled
-    left-to-right chain as the exact scan."""
-    _check_constraint_propagation(vectors.sparkSession)
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    """The seeded-quantizer assignment HALF of semdedup_pairs_seeded:
+    (original vector columns + cent_id), persisted. Threshold-free —
+    the cell structure depends only on (corpus, nlist) — so one
+    materialized assignment serves every within-cell consumer
+    (sim_embedding_neardup, dedup_semantic_keep, and future scans at
+    other thresholds). At 100 TB this IS the step you run once per
+    corpus snapshot and write to the warehouse; queries.py caches it
+    session-scoped for exactly that cost model."""
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -550,7 +532,47 @@ def semdedup_pairs_seeded(
     # within-cell self-join — without it the n x nlist fan-out and its
     # argmax agg execute twice. Same materialize-the-assigned-table
     # step _cell_index runs before its pair scan.
-    assigned = vectors.select(id_col, vec_col).join(assign, id_col).persist()
+    return vectors.select(id_col, vec_col).join(assign, id_col).persist()
+
+
+def semdedup_pairs_seeded(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    dim: int | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup within-cell pair scan (Abbas et al. 2303.09540): the
+    corpus is partitioned into ``nlist`` cells and high-cosine pairs
+    are scored ONLY within each cell — the deliberate SemDeDup
+    approximation that caps the pair space at sum(c_i^2)/2 instead of
+    n^2/2. At 100 TB this is the recipe: one narrow assignment pass,
+    one equi self-join hash-partitioned by cell (never a cartesian,
+    never a cost-based flat fallback — the fallback branch does not
+    exist on this path), skew bounded by the largest cell.
+
+    The quantizer here is ORACLE-EXPRESSIBLE by construction: cells
+    are the ``nlist`` lowest-id vectors, and each vector goes to its
+    max-cosine seed with the cosine rounded to 6 dp before the argmax
+    (ties → lowest cent_id), so DuckDB reproduces the exact same
+    assignment and the whole approximate pipeline hash-checks
+    end-to-end. Production callers chasing recall swap in trained
+    k-means centroids (ivf_build_kmeans) — that only changes WHICH
+    cells exist, not the mechanics; the within-cell scan and its cost
+    bound are identical.
+
+    Returns (id_1 < id_2, sim) with sim from the same codegen-unrolled
+    left-to-right chain as the exact scan. Pass ``assigned`` (a frame
+    from :func:`semdedup_assign_seeded`, same nlist) to reuse a
+    materialized assignment across consumers — identical results, the
+    n x nlist fan-out and argmax agg just run once per corpus."""
+    _check_constraint_propagation(vectors.sparkSession)
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    if assigned is None:
+        assigned = semdedup_assign_seeded(vectors, id_col, vec_col, nlist)
     wide = _widened(assigned, id_col, vec_col, dim, extra_cols=["cent_id"])
     a, b = _wide_sides(wide, id_col, dim, cell_col="cent_id")
     return (
@@ -568,6 +590,7 @@ def neardup_pairs_blas(
     threshold: float = 0.95,
     nlist: int = 16,
     centroids: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """BLAS pair scan, bucket-scoped: cell pairs surviving the same
     sound pruning as embedding_neardup_pairs_pruned are scored as ONE
@@ -588,8 +611,19 @@ def neardup_pairs_blas(
     Same math as embedding_neardup_pairs; results can differ from the
     JVM version only in the last float bits (BLAS reassociates the
     dot-product sum), hence rows-only in the oracle catalog;
-    equivalence is unit-tested with tolerance."""
-    assigned, cells = _cell_index(vectors, id_col, vec_col, nlist, centroids=centroids)
+    equivalence is unit-tested with tolerance.
+
+    Pass ``index`` (the (assigned, cells) pair from :func:`_cell_index`
+    / a session-scoped cache, same nlist/centroids) to reuse a
+    materialized cell index across calls — the threshold-dependent
+    pruning geometry is recomputed per call from the tiny cells frame,
+    so results are identical for any threshold."""
+    if index is not None:
+        assigned, cells = index
+    else:
+        assigned, cells = _cell_index(
+            vectors, id_col, vec_col, nlist, centroids=centroids
+        )
     # undirected cell pairs: anchor group a holds every partner b >= a
     # (including the diagonal), so each unordered pair is scored once
     cell_pairs = _candidate_cell_pairs(cells, threshold).filter(
@@ -1252,9 +1286,27 @@ def pq_encode_rotated(
     by: dict[int, dict[int, list[float]]] = {}
     for r in rows:
         by.setdefault(r.sub_id, {})[r.cent_id] = list(r.cent_vec)
+    # This kernel assumes the DENSE grid opq_train_sample emits —
+    # sub_ids 0..m-1, cent_ids 0..ksub-1 per sub, uniform dsub — and
+    # builds one (m, ksub, dsub) ndarray from it. A ragged codebook
+    # (pq_encode tolerates those via per-sub len()) would otherwise
+    # surface as an object-dtype array or a KeyError deep in numpy, so
+    # reject it loudly up front.
     m = len(by)
+    if sorted(by) != list(range(m)):
+        raise ValueError(f"pq_encode_rotated: sub_ids not dense 0..{m - 1}: {sorted(by)}")
     ksub = len(by[0])
     dsub = len(by[0][0])
+    for s in range(m):
+        if sorted(by[s]) != list(range(ksub)):
+            raise ValueError(
+                f"pq_encode_rotated: sub {s} cent_ids not dense 0..{ksub - 1}"
+            )
+        bad = [c for c in range(ksub) if len(by[s][c]) != dsub]
+        if bad:
+            raise ValueError(
+                f"pq_encode_rotated: sub {s} centroids {bad} have dim != {dsub}"
+            )
     C = np.asarray(
         [[by[s][c] for c in range(ksub)] for s in range(m)], dtype=np.float64
     )
@@ -1320,6 +1372,47 @@ def ivf_topk_seeded(
     cartesian anywhere; the scanned fraction is ~nprobe/nlist."""
     from pyspark.sql import Window
 
+    cand, v, q = ivf_seeded_candidates(
+        vectors, queries, id_col, vec_col, q_id_col, q_vec_col, nlist, nprobe
+    )
+    pair = cand.join(v.select(id_col, "__v", "__vn"), id_col).join(
+        F.broadcast(q.select(q_id_col, "__q", "__qn")), q_id_col
+    )
+    final = pair.select(
+        q_id_col,
+        id_col,
+        trunc_dp(
+            _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
+        ).alias("sim"),
+    )
+    if exclude_self:
+        final = final.filter(F.col(q_id_col) != F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "sim", "rnk")
+    )
+
+
+def ivf_seeded_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    nlist: int = 16,
+    nprobe: int = 4,
+):
+    """The candidate step of the seeded IVF scan, alone: (q_id,
+    vec_id) rows for every vector living in one of a query's nprobe
+    probed cells, plus the normed corpus/query frames for scoring.
+    Returns (candidates, v, q). Scale probes and the growth tests
+    count the candidate frame — its size is ~nprobe/nlist of n per
+    query, never n^2; :func:`ivf_topk_seeded` scores exactly it."""
+    from pyspark.sql import Window
+
     def _guard(df):
         # zero-norm guard, mirrored in the registered oracle SQL: a
         # zero vector's cosine to everything is 0.0, not an ANSI
@@ -1375,24 +1468,7 @@ def ivf_topk_seeded(
         .select(q_id_col, "cent_id")
     )
     cand = assign.join(F.broadcast(probes), "cent_id").select(q_id_col, id_col)
-    pair = cand.join(v.select(id_col, "__v", "__vn"), id_col).join(
-        F.broadcast(q.select(q_id_col, "__q", "__qn")), q_id_col
-    )
-    final = pair.select(
-        q_id_col,
-        id_col,
-        trunc_dp(
-            _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 6
-        ).alias("sim"),
-    )
-    if exclude_self:
-        final = final.filter(F.col(q_id_col) != F.col(id_col))
-    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        final.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(q_id_col, id_col, "sim", "rnk")
-    )
+    return cand, v, q
 
 
 def ivf_topk(
@@ -1536,6 +1612,67 @@ def srp_signatures(
     return src.mapInPandas(project, schema=out_schema)
 
 
+def srp_candidate_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 1000,
+    mode: str = "gaussian",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """The candidate step of SRP-LSH, alone: distinct (id_1 < id_2)
+    pairs sharing any band key after the degenerate-bucket cap. Scale
+    probes and the planted-duplicate growth tests count this frame;
+    :func:`srp_lsh_pairs` scores exactly it (never more).
+
+    ``signatures``: a precomputed (persisted) srp_signatures frame for
+    the same (vectors, nbits, bands, seed, mode) — callers with a
+    corpus-scoped cache skip rebuilding the signature table per call."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    # persisted: the (id, bands ints) frame is tiny, but WITHOUT the
+    # materialization boundary Catalyst inlines the nbits x dim literal
+    # dot products into every stack branch and BOTH self-join sides —
+    # the optimizer then chews on ~bands x 2 copies of a 2048-term
+    # expression (tens of seconds of pure driver/codegen time at
+    # dim=64; the same shared-expression trap as NOTES.md's array
+    # lambdas). At 100 TB this is the materialize-the-signature-table
+    # step a real pipeline runs anyway.
+    sig = (
+        signatures
+        if signatures is not None
+        else srp_signatures(
+            vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed,
+            dim=dim, mode=mode,
+        ).persist()
+    )
+    stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    melted = sig.selectExpr(id_col, f"stack({bands}, {stack}) AS (band_idx, band_val)")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        melted = melted.withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val")),
+        ).filter(F.col("__bn") <= max_bucket)
+    a = melted.select(
+        "band_idx", "band_val", F.col(id_col).alias("id_1")
+    )
+    b = melted.select(
+        "band_idx", "band_val", F.col(id_col).alias("id_2")
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
 def srp_lsh_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1548,6 +1685,7 @@ def srp_lsh_pairs(
     max_bucket: int | None = 1000,
     mode: str = "gaussian",
     floor_sim: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via SRP-LSH banding + exact verification: docs
     sharing ANY band key become candidates; candidates (and ONLY
@@ -1577,38 +1715,9 @@ def srp_lsh_pairs(
     _check_constraint_propagation(vectors.sparkSession)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
-    # persisted: the (id, bands ints) frame is tiny, but WITHOUT the
-    # materialization boundary Catalyst inlines the nbits x dim literal
-    # dot products into every stack branch and BOTH self-join sides —
-    # the optimizer then chews on ~bands x 2 copies of a 2048-term
-    # expression (tens of seconds of pure driver/codegen time at
-    # dim=64; the same shared-expression trap as NOTES.md's array
-    # lambdas). At 100 TB this is the materialize-the-signature-table
-    # step a real pipeline runs anyway.
-    sig = srp_signatures(
-        vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed, dim=dim,
-        mode=mode,
-    ).persist()
-    stack = ", ".join(f"{b}, band_{b}" for b in range(bands))
-    melted = sig.selectExpr(id_col, f"stack({bands}, {stack}) AS (band_idx, band_val)")
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        melted = melted.withColumn(
-            "__bn",
-            F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val")),
-        ).filter(F.col("__bn") <= max_bucket)
-    a = melted.select(
-        "band_idx", "band_val", F.col(id_col).alias("id_1")
-    )
-    b = melted.select(
-        "band_idx", "band_val", F.col(id_col).alias("id_2")
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
+    cand = srp_candidate_pairs(
+        vectors, id_col, vec_col, nbits=nbits, bands=bands, seed=seed,
+        dim=dim, max_bucket=max_bucket, mode=mode, signatures=signatures,
     )
     wide = _widened(vectors, id_col, vec_col, dim)
     sa, sb = _wide_sides(wide, id_col, dim)

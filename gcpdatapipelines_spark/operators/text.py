@@ -178,6 +178,7 @@ def fingerprint_overlap_pairs(
     min_shared: int = 10,
     max_df: int | None = 20,
     hash_fn: str = "xxhash64",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints —
     equi-join on fingerprint, count shared per pair.
@@ -186,16 +187,24 @@ def fingerprint_overlap_pairs(
     documents before the self-join: boilerplate k-grams (headers,
     shared vocabulary) carry no near-dup signal but square the join
     output — the same stop-shingle skew treatment as
-    dedup.ngram_jaccard_pairs. Set None to disable."""
-    # three consumers (df-cap counts + both self-join sides) read fp;
-    # deliberately NOT cached: a cold run does recompute the derivation
-    # per consumer, but an operator-internal cache() cannot unpersist
-    # under the lazy return contract, and measured repeated catalog
-    # calls degraded as entries accumulated (r8: 4.9 -> 10 s by call 3)
-    # while warm uncached runs hold ~2.2 s after the pre-explode
-    # repartition. Callers looping over corpora should cache the
-    # winnowing_fingerprints frame themselves and unpersist it.
-    fp = winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    dedup.ngram_jaccard_pairs. Set None to disable.
+
+    ``fingerprints``: a precomputed (persisted) winnowing_fingerprints
+    frame for the same (df, k, window, hash_fn) — three consumers
+    (df-cap counts + both self-join sides) read it, so callers with a
+    corpus-scoped cache (queries._winnowing_fp_cached) skip the triple
+    recompute. Identical results either way."""
+    # deliberately NOT cached operator-internally: an internal cache()
+    # cannot unpersist under the lazy return contract, and measured
+    # repeated catalog calls degraded as entries accumulated (r8:
+    # 4.9 -> 10 s by call 3) while warm uncached runs hold ~2.2 s after
+    # the pre-explode repartition. Session-scoped caching belongs to
+    # the caller via the ``fingerprints`` parameter.
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    )
     if max_df is not None:
         keep = (
             fp.groupBy("fingerprint")

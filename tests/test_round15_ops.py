@@ -1,0 +1,266 @@
+"""Round-10 (15th build pass) additions.
+
+- Candidate-growth pins for the banded dedup/ANN families (r9 verdict
+  #2): on a planted-duplicate fixture the candidate-pair frame each
+  operator verifies must stay O(k*n), never approach the all-pairs
+  n*(n-1)/2 — the property that makes the 100 TB claim ("candidates
+  grow ~linearly") falsifiable at test scale.
+- Shared-prep injection parity: the cached-index paths added in r10
+  (seeded cell assignment, geometric cell index, winnowing fingerprint
+  table, OPQ artifacts) must return results identical to the
+  self-building paths.
+- pq_encode_rotated rejects ragged/non-dense codebooks loudly (r9
+  advice) instead of failing deep inside numpy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _planted_docs(spark, n_clusters=40, dup_per_cluster=4, n_unique=120):
+    """Corpus with planted near-duplicate clusters: each cluster shares
+    one base sentence with a tiny per-member suffix tweak; uniques are
+    all distinct word streams. Vocabulary is wide so unrelated docs
+    share almost no 5-gram shingles."""
+    rows = []
+    doc_id = 0
+    for c in range(n_clusters):
+        base = " ".join(f"w{c}x{i} token{c} common{i}" for i in range(12))
+        for d in range(dup_per_cluster):
+            rows.append((doc_id, f"{base} tail{c} variant{d}"))
+            doc_id += 1
+    for u in range(n_unique):
+        rows.append((doc_id, " ".join(f"u{u}q{i} solo{u}z{i}" for i in range(14))))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING"), doc_id
+
+
+def _planted_vectors(spark, n_clusters=20, dup_per_cluster=4, n_unique=80, dim=16):
+    """Embeddings with planted clusters: members of a cluster are the
+    same unit direction with a tiny deterministic wiggle; uniques are
+    spread directions. No numpy randomness — everything derives from
+    ids, so the fixture is reproducible."""
+    import math
+
+    rows = []
+    vec_id = 0
+    for c in range(n_clusters):
+        for d in range(dup_per_cluster):
+            # multiplicative wiggle: preserves every coordinate's SIGN
+            # (so SRP signatures collide exactly) and keeps the norm
+            # nonzero (c+1 avoids the all-zeros sin(0) vector)
+            v = [
+                math.sin(0.7 * (c + 1) * (i + 1)) * (1.0 + 0.001 * d)
+                for i in range(dim)
+            ]
+            rows.append((vec_id, [float(x) for x in v]))
+            vec_id += 1
+    for u in range(n_unique):
+        # chaotic deterministic mix — cos(1.3*u*i) has PERIODIC sign
+        # structure along i that clusters LSH band keys; this spreads
+        # signs ~uniformly so uniques don't bucket together
+        v = [
+            math.sin(((u * 1000003 + i * 7919) % 10007) * 0.61803 + 0.5)
+            for i in range(dim)
+        ]
+        rows.append((vec_id, [float(x) for x in v]))
+        vec_id += 1
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"), vec_id
+
+
+def test_minhash_lsh_candidates_linear_on_planted_dups(spark):
+    """LSH band-bucket candidates on the planted corpus stay O(k*n):
+    every planted intra-cluster pair is found (recall of the banding at
+    near-identical Jaccard ~ 1), and the candidate count never
+    approaches all-pairs."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+    )
+
+    docs, n = _planted_docs(spark)
+    banded = lsh_band_keys(docs, "doc_id", "text", 5, 64, 16, hash_fn="md5")
+    n_cand = lsh_candidate_pairs(banded, "doc_id").count()
+    n_planted_pairs = 40 * (4 * 3 // 2)  # clusters x C(dup,2)
+    all_pairs = n * (n - 1) // 2
+    assert n_cand >= n_planted_pairs  # banding finds the planted dups
+    assert n_cand <= 6 * n, (n_cand, n)  # linear, with headroom
+    assert n_cand < 0.1 * all_pairs, (n_cand, all_pairs)
+
+
+def test_srp_candidates_linear_on_planted_dups(spark):
+    """SRP band candidates on planted embedding clusters: every
+    same-direction pair collides in all bands (identical sign
+    pattern), yet the candidate frame stays far from all-pairs.
+
+    Key width matters for the linear-growth property: r bits per band
+    gives 2^r buckets, so r must scale with log2(n) to hold bucket
+    occupancy (hence candidates-per-row) constant — this test runs the
+    production shape (8-bit band keys = 256 buckets/band on dim-64
+    embeddings); the catalog's oracle entry keeps the narrower 4-bit
+    keys that DuckDB restates."""
+    from gcpdatapipelines_spark.operators.similarity import srp_candidate_pairs
+
+    vecs, n = _planted_vectors(spark, dim=64)  # axes mode needs dim >= nbits
+    n_cand = srp_candidate_pairs(
+        vecs, "vec_id", "embedding", nbits=64, bands=8, mode="axes", dim=64
+    ).count()
+    n_planted_pairs = 20 * (4 * 3 // 2)
+    all_pairs = n * (n - 1) // 2
+    assert n_cand >= n_planted_pairs
+    assert n_cand <= 8 * n, (n_cand, n)
+    assert n_cand < 0.2 * all_pairs, (n_cand, all_pairs)
+
+
+def test_ivf_candidates_bounded_by_probe_fraction(spark):
+    """Seeded IVF candidates are exactly the probed-cell members:
+    bounded by nq * n (linear in the corpus per query), and in
+    expectation ~nprobe/nlist of it."""
+    from gcpdatapipelines_spark.operators.similarity import ivf_seeded_candidates
+
+    vecs, n = _planted_vectors(spark)
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand, _v, _q = ivf_seeded_candidates(vecs, qs, nlist=16, nprobe=4)
+    n_cand = cand.count()
+    assert 0 < n_cand <= 3 * n, (n_cand, n)
+
+
+def test_phash_candidates_kind_scoped_and_linear(spark):
+    """Two-word-signature banding candidates: planted exact payload
+    duplicates collide; the kind column partitions the space; count
+    stays O(k*n)."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        banded_two_word_candidates,
+    )
+
+    rows = []
+    for i in range(300):
+        base = i // 3  # triplets share a signature AND a kind
+        # Knuth-multiplier spread over the FULL 32-bit word: both
+        # 16-bit chunks of each word vary, so unrelated signatures
+        # land in distinct band buckets (a %65536 fixture left the
+        # high chunks all-zero = one degenerate bucket per band)
+        rows.append(
+            (
+                i,
+                ["image", "audio", "video"][base % 3],
+                base * 2654435761 % (1 << 32),
+                (base * 40503 + 12345) * 2246822519 % (1 << 32),
+            )
+        )
+    sig = spark.createDataFrame(
+        rows, "asset_id BIGINT, kind STRING, sig_hi BIGINT, sig_lo BIGINT"
+    )
+    cand, keys = banded_two_word_candidates(sig, "asset_id", "kind")
+    assert keys == ["kind"]
+    pdf = cand.toPandas()
+    n = 300
+    # all 100 planted triplets collide (3 pairs each), chance chunk
+    # collisions between distinct signatures stay rare
+    n_planted = ((pdf["id_1"] // 3) == (pdf["id_2"] // 3)).sum()
+    assert n_planted == 300, n_planted
+    assert len(pdf) <= 6 * n, len(pdf)
+
+
+def test_semdedup_assigned_injection_parity(spark):
+    """semdedup_pairs_seeded(assigned=precomputed) returns the exact
+    same pair set as the self-building path."""
+    from gcpdatapipelines_spark.operators.similarity import (
+        semdedup_assign_seeded,
+        semdedup_pairs_seeded,
+    )
+
+    vecs, _ = _planted_vectors(spark, n_clusters=8, dup_per_cluster=3, n_unique=20)
+    base = semdedup_pairs_seeded(vecs, threshold=0.4, nlist=8)
+    assigned = semdedup_assign_seeded(vecs, nlist=8)
+    inj = semdedup_pairs_seeded(vecs, threshold=0.4, nlist=8, assigned=assigned)
+    b = sorted(map(tuple, base.collect()))
+    i = sorted(map(tuple, inj.collect()))
+    assert b == i and len(b) > 0
+
+
+def test_neardup_blas_index_injection_parity(spark):
+    """neardup_pairs_blas(index=precomputed cell index) matches the
+    self-building path row-for-row."""
+    from gcpdatapipelines_spark.operators.similarity import (
+        _cell_index,
+        neardup_pairs_blas,
+    )
+
+    vecs, _ = _planted_vectors(spark, n_clusters=8, dup_per_cluster=3, n_unique=20)
+    base = neardup_pairs_blas(vecs, threshold=0.9, nlist=8)
+    idx = _cell_index(vecs, "vec_id", "embedding", 8)
+    inj = neardup_pairs_blas(vecs, threshold=0.9, nlist=8, index=idx)
+    b = sorted((r["id_1"], r["id_2"], round(r["sim"], 6)) for r in base.collect())
+    i = sorted((r["id_1"], r["id_2"], round(r["sim"], 6)) for r in inj.collect())
+    assert b == i and len(b) > 0
+
+
+def test_fingerprint_overlap_injection_parity(spark):
+    """fingerprint_overlap_pairs(fingerprints=precomputed) matches the
+    self-building path."""
+    from gcpdatapipelines_spark.operators.text import (
+        fingerprint_overlap_pairs,
+        winnowing_fingerprints,
+    )
+
+    docs, _ = _planted_docs(spark, n_clusters=10, dup_per_cluster=3, n_unique=20)
+    kw = dict(k=20, window=8, min_shared=5, hash_fn="md5")
+    base = fingerprint_overlap_pairs(docs, "doc_id", "text", **kw)
+    fp = winnowing_fingerprints(docs, "doc_id", "text", 20, 8, "md5").persist()
+    inj = fingerprint_overlap_pairs(docs, "doc_id", "text", **kw, fingerprints=fp)
+    b = sorted(map(tuple, base.collect()))
+    i = sorted(map(tuple, inj.collect()))
+    assert b == i and len(b) > 0
+    fp.unpersist()
+
+
+def test_srp_signatures_injection_parity(spark):
+    """srp_lsh_pairs(signatures=precomputed) matches the self-building
+    path pair-for-pair."""
+    from gcpdatapipelines_spark.operators.similarity import (
+        srp_lsh_pairs,
+        srp_signatures,
+    )
+
+    vecs, _ = _planted_vectors(spark, n_clusters=8, dup_per_cluster=3,
+                               n_unique=20, dim=32)
+    kw = dict(threshold=0.4, nbits=32, bands=8, mode="axes", floor_sim=True)
+    base = srp_lsh_pairs(vecs, **kw)
+    sig = srp_signatures(vecs, "vec_id", "embedding", nbits=32, bands=8,
+                         mode="axes").persist()
+    inj = srp_lsh_pairs(vecs, **kw, signatures=sig)
+    b = sorted(map(tuple, base.collect()))
+    i = sorted(map(tuple, inj.collect()))
+    assert b == i and len(b) > 0
+    sig.unpersist()
+
+
+def test_pq_encode_rotated_rejects_ragged_codebook(spark):
+    """r9 advice: a codebook violating the dense (m, ksub, dsub) grid
+    contract raises a clear ValueError up front."""
+    import numpy as np
+
+    from gcpdatapipelines_spark.operators.similarity import pq_encode_rotated
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    # sub 1 has 2 centroids, sub 0 has 1 -> ragged
+    cb = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (1, 0, [0.0, 0.0]), (1, 1, [1.0, 1.0])],
+        "sub_id INT, cent_id INT, cent_vec ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="cent_ids not dense"):
+        pq_encode_rotated(vecs, np.eye(4), cb)
+    # non-dense sub ids
+    cb2 = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (2, 0, [0.0, 0.0])],
+        "sub_id INT, cent_id INT, cent_vec ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="sub_ids not dense"):
+        pq_encode_rotated(vecs, np.eye(4), cb2)
