@@ -633,6 +633,7 @@ def banded_two_word_pairs(
     id_col: str,
     max_hamming: int = 3,
     key_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The shared two-word-signature banding+verify pipeline: 16-bit
     pigeonhole chunks of a (``sig_hi``, ``sig_lo``) signature (two
@@ -646,8 +647,20 @@ def banded_two_word_pairs(
     shuffle bucket — a free candidate cut at scale, not a post-filter.
     Output: (id_1, id_2[, key_col], hamming INT) with id_1 < id_2.
     Both consumers (text SimHash dedup, media pHash near-dup) restate
-    this exact pipeline in their DuckDB oracles — keep them in sync."""
-    cand, keys = banded_two_word_candidates(sig, id_col, key_col)
+    this exact pipeline in their DuckDB oracles — keep them in sync.
+
+    ``max_bucket``: optional degenerate-bucket cap — the max_df /
+    max_bucket guardrail the shingle and SRP joins already have. The
+    r10 scale probe measured this family's candidate mass at ~5% of
+    all-pairs on the low-entropy fixture corpus (similar word
+    distributions cluster SimHash chunks), i.e. quadratic growth with
+    no cap. Dropping a chunk bucket CAN lose true pairs (the
+    pigeonhole guarantee needs all chunks), so the default stays None
+    and the catalog oracles stay exact; at 100 TB you set it and
+    accept the documented recall trade, exactly like max_df."""
+    cand, keys = banded_two_word_candidates(
+        sig, id_col, key_col, max_bucket=max_bucket
+    )
     ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
         F.col("lo_1").bitwiseXOR(F.col("lo_2"))
     )
@@ -662,6 +675,7 @@ def banded_two_word_candidates(
     sig: DataFrame,
     id_col: str,
     key_col: str | None = None,
+    max_bucket: int | None = None,
 ):
     """The candidate step of the two-word-signature banding pipeline,
     alone: distinct (id_1 < id_2) pairs sharing any exact 16-bit chunk
@@ -669,7 +683,8 @@ def banded_two_word_candidates(
     the verify. Returns (candidates, keys) where keys is the
     key-column list. Scale probes and the planted-duplicate growth
     tests count this frame; :func:`banded_two_word_pairs` verifies
-    exactly it."""
+    exactly it. ``max_bucket`` drops chunk buckets with more than that
+    many members before the self-join (see banded_two_word_pairs)."""
     pieces = [
         ("sig_lo", 0),
         ("sig_lo", 16),
@@ -696,6 +711,13 @@ def banded_two_word_candidates(
             )
         ).alias("cp"),
     ).select(id_col, *keys, "sig_hi", "sig_lo", "cp.chunk", "cp.piece")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        chunks = chunks.withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(Window.partitionBy(*keys, "chunk", "piece")),
+        ).filter(F.col("__bn") <= max_bucket)
     left = chunks.select(
         F.col(id_col).alias("id_1"),
         *keys,

@@ -219,6 +219,30 @@ def test_fingerprint_overlap_injection_parity(spark):
     fp.unpersist()
 
 
+def test_two_word_banding_bucket_cap(spark):
+    """max_bucket drops a planted degenerate chunk bucket (all rows
+    sharing one 16-bit piece) the way max_df/max_bucket do in the
+    shingle and SRP joins; default None keeps today's exact behavior."""
+    from gcpdatapipelines_spark.operators.dedup import banded_two_word_pairs
+
+    # 60 rows all share sig_lo (one degenerate bucket on chunks 0-1);
+    # sig_hi words are spread, with one planted near-identical pair
+    rows = [
+        (i, 7, (i * 2654435761 + 17) % (1 << 32)) for i in range(60)
+    ]
+    rows.append((60, 7, rows[0][2]))  # exact dup of row 0's sig_hi
+    sig = spark.createDataFrame(rows, "doc_id BIGINT, sig_lo BIGINT, sig_hi BIGINT")
+    uncapped = banded_two_word_pairs(sig, "doc_id", max_hamming=3).count()
+    capped = banded_two_word_pairs(
+        sig, "doc_id", max_hamming=3, max_bucket=10
+    ).count()
+    # uncapped: the shared-sig_lo bucket pairs everything (verify then
+    # trims to hamming<=3); capped: only the planted dup survives via
+    # its non-degenerate sig_hi chunks
+    assert capped == 1, capped
+    assert uncapped >= capped
+
+
 def test_srp_signatures_injection_parity(spark):
     """srp_lsh_pairs(signatures=precomputed) matches the self-building
     path pair-for-pair."""
