@@ -707,6 +707,95 @@ def neardup_pairs_blas(
     )
 
 
+def neardup_pairs_blas_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Engine-parity BLAS pair scan: int8-quantized within-cell dgemm.
+
+    The float BLAS tier (:func:`neardup_pairs_blas`) is rows-only in
+    the oracle catalog because dgemm reassociates float sums. This
+    variant removes that irreducibility instead of working around it:
+    each vector is max-abs-quantized to integral values in [-127, 127]
+    (``floor(x * 127.0 / mx)``), so every partial sum of the dot
+    product is INTEGRAL (|dot| <= dim * 127^2 << 2^53) and therefore
+    exact in float64 IN ANY SUMMATION ORDER — the kernel still runs a
+    real numpy dgemm, yet its output is bit-deterministic and the
+    whole pipeline (seeded assignment, quantization, scoring) restates
+    in plain SQL. Same catalog playbook as the md5 hash family: the
+    oracle entry runs the engine-parity mode, production keeps the
+    float mode (equivalence under tolerance is pinned in
+    tests/test_similarity_blas.py).
+
+    Candidates are the seeded WITHIN-CELL blocks (semdedup_assign --
+    the SQL-proven quantizer), one dgemm per cell via applyInPandas:
+    pair space sum(c_i^2)/2, shuffle hash-partitioned by cell, skew
+    bounded by the largest cell. Scoring: sim = floor(1e6 * dot /
+    (sqrt(naa) * sqrt(nbb))) / 1e6 + 0.0 with zero-norm guarded to
+    0.0; identical expression text in the DuckDB twin."""
+    if assigned is None:
+        assigned = semdedup_assign_seeded(vectors, id_col, vec_col, nlist)
+    src = assigned.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from gcpdatapipelines_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series(dtype="int64"),
+                "id_2": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        # max-abs scale, zero-vector guarded to 1.0 (mirrors the CASE
+        # in the oracle); quantize with the same op order as the SQL
+        # text: (x * 127.0) / mx, then floor
+        mx = np.abs(V).max(axis=1)
+        mx[mx == 0.0] = 1.0
+        Q = np.floor((V * 127.0) / mx[:, None])
+        S = Q @ Q.T  # integral-valued float64: exact in any order
+        n = np.diag(S).copy()
+        denom = np.sqrt(n)[:, None] * np.sqrt(n)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.floor((S / denom) * 1000000.0) / 1000000.0 + 0.0
+        zero = n == 0.0
+        sims[zero, :] = 0.0
+        sims[:, zero] = 0.0
+        ia, jb = np.nonzero(np.triu(sims >= threshold, k=1))
+        if ia.size == 0:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        ida, idb = ids[ia], ids[jb]
+        id1 = np.minimum(ida, idb)
+        id2 = np.maximum(ida, idb)
+        return pd.DataFrame(
+            {
+                "id_1": id1.astype("int64"),
+                "id_2": id2.astype("int64"),
+                "sim": sims[ia, jb],
+            }
+        )
+
+    return src.groupBy("cent_id").applyInPandas(
+        kernel, schema="id_1 BIGINT, id_2 BIGINT, sim DOUBLE"
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, clip: float = 1.0
 ) -> DataFrame:

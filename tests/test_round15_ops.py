@@ -264,6 +264,59 @@ def test_srp_signatures_injection_parity(spark):
     sig.unpersist()
 
 
+def test_neardup_blas_int8_matches_python_model(spark):
+    """The int8-quantized within-cell dgemm (the engine-parity BLAS
+    tier) reproduces a pure-python per-pair model bit-for-bit: max-abs
+    quantization makes every partial sum integral, so numpy's matmul
+    order cannot change the result."""
+    import math
+
+    from gcpdatapipelines_spark.operators.similarity import (
+        neardup_pairs_blas_int8,
+        semdedup_assign_seeded,
+    )
+
+    vecs, _ = _planted_vectors(spark, n_clusters=6, dup_per_cluster=3, n_unique=15)
+    nlist, threshold = 4, 0.4
+    got = sorted(
+        (r["id_1"], r["id_2"], r["sim"])
+        for r in neardup_pairs_blas_int8(
+            vecs, threshold=threshold, nlist=nlist
+        ).collect()
+    )
+    # python model: same seeded assignment, same quantization text
+    assign = {
+        r["vec_id"]: r["cent_id"]
+        for r in semdedup_assign_seeded(vecs, nlist=nlist).collect()
+    }
+    data = {r["vec_id"]: list(r["embedding"]) for r in vecs.collect()}
+
+    def quant(v):
+        mx = max(abs(x) for x in v) or 1.0
+        return [math.floor(x * 127.0 / mx) for x in v]
+
+    exp = []
+    ids = sorted(data)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            qa, qb = quant(data[a]), quant(data[b])
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(qa, qb):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            if na == 0 or nb == 0:
+                continue
+            sim = math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 1e6) / 1e6 + 0.0
+            if sim >= threshold:
+                exp.append((a, b, sim))
+    assert got == sorted(exp) and len(got) > 0
+
+
 def test_pq_encode_rotated_rejects_ragged_codebook(spark):
     """r9 advice: a codebook violating the dense (m, ksub, dsub) grid
     contract raises a clear ValueError up front."""
