@@ -234,10 +234,11 @@ def _srp_sig_cached(
 def _semdedup_assigned_cached(spark: SparkSession, sf_dir: str, nlist: int = 16):
     """Session-scoped shared prep: the seeded-quantizer cell assignment
     of the embeddings corpus (vec_id, embedding, cent_id) — the
-    threshold-free half that BOTH within-cell scans consume
-    (sim_embedding_neardup and dedup_semantic_keep run the identical
-    assignment). At 100 TB the assigned table is materialized once per
-    corpus snapshot and every within-cell detector reads it."""
+    threshold-free half that all three within-cell scans consume
+    (sim_embedding_neardup, dedup_semantic_keep, and the int8 BLAS
+    tier sim_neardup_blas run the identical assignment). At 100 TB the
+    assigned table is materialized once per corpus snapshot and every
+    within-cell detector reads it."""
     from .operators.similarity import semdedup_assign_seeded
 
     key = (spark.sparkContext.applicationId, sf_dir, "semdedup_assigned", nlist)
