@@ -127,6 +127,29 @@ def get_spark(
         # value on foreign sessions through this module's single
         # conf-write site.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Whole-stage-codegen class cache (janino) defaults to 100
+        # entries. A catalog-sized workload carries hundreds of unique
+        # plans, so with the default the compiled fragments SHARED
+        # across queries (scan+filter+project shapes, common aggregate
+        # stages) are evicted mid-run and recompiled over and over —
+        # pure driver-CPU burn that shows up as first-run latency.
+        # Static conf (read once at SQL-context init), so it must be
+        # set at build time. A compiled fragment is a few KB of class
+        # metadata: 4096 entries is tens of MB of metaspace, negligible
+        # on any driver that runs this many distinct queries.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Spark embeds a per-plan codegen-stage ID in every generated
+        # class NAME by default (debug aid: maps a stack trace to its
+        # plan node). The compile cache keys on SOURCE TEXT, so two
+        # byte-identical stages from different queries — the same
+        # "scan documents + project" prefix hundreds of catalog
+        # queries share — can then never hit the cache. Constant class
+        # names restore cross-query sharing: measured on the 286-query
+        # catalog cold pass, unique-fragment compiles drop 3116 -> 2653
+        # (and 4453 -> 3116 from the cache-size raise above; janino is
+        # ~8-9 ms/fragment, NOTES.md r10). Stack traces still name the
+        # operator via the plan's codegen comments.
+        .config("spark.sql.codegen.useIdInClassName", "false")
         .config(_ENGINE_SESSION_TAG, "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
