@@ -341,3 +341,20 @@ def test_pq_encode_rotated_rejects_ragged_codebook(spark):
     )
     with pytest.raises(ValueError, match="sub_ids not dense"):
         pq_encode_rotated(vecs, np.eye(4), cb2)
+
+
+# ---------------------------------------------------------------------------
+# engine-session codegen-cache confs (r10 cold-pass work)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_session_codegen_cache_confs(spark):
+    """Engine-built sessions must carry the first-run-latency confs
+    from the r10 cold-pass profiling: a widened janino class cache
+    (default 100 entries evicts cross-query shared fragments — 4453
+    vs 3116 unique compiles over the catalog cold pass) and constant
+    generated-class names (the per-plan stage ID otherwise defeats
+    the source-keyed compile cache: 3116 -> 2653). Both change
+    compile-cache behavior only, never results."""
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4096"
+    assert spark.conf.get("spark.sql.codegen.useIdInClassName") == "false"
