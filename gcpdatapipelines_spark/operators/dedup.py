@@ -168,6 +168,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_candidates(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The candidate frame of the prefix-filtered SSJoin (exact
+    code-move out of :func:`jaccard_prefix_pairs`, the same
+    candidate-step extraction as ``lsh_candidate_pairs`` /
+    ``srp_candidate_pairs`` so probes and tests count it directly):
+    distinct (id_1 < id_2) document pairs whose PREFIXES — each doc's
+    p = |d| - ceil(t*|d|) + 1 globally-rarest shingles — share a
+    shingle. By the prefix-filter theorem this set contains EVERY pair
+    with J >= t (lossless, unlike LSH banding), pinned by
+    test_jaccard_prefix_candidates_lossless."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    plen = F.col("__n_sh") - F.ceil(F.lit(float(threshold)) * F.col("__n_sh")) + 1
+    pref = ranked.filter(F.col("__rn") <= plen).select(id_col, "shingle")
+    pa = pref.select(F.col(id_col).alias("id_1"), "shingle")
+    pb = pref.select(F.col(id_col).alias("id_2"), "shingle")
+    return (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,32 +236,8 @@ def jaccard_prefix_pairs(
     window for prefix ranks, a prefix-only equi-join (the pruned pair
     generator), then the candidate-restricted verify. Everything keys
     on shingle or doc id — no cartesian anywhere."""
-    from pyspark.sql import Window
-
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("__df", "shingle")
-            ),
-        )
-        .join(sizes, id_col)
-    )
-    plen = F.col("__n_sh") - F.ceil(F.lit(float(threshold)) * F.col("__n_sh")) + 1
-    pref = ranked.filter(F.col("__rn") <= plen).select(id_col, "shingle")
-    pa = pref.select(F.col(id_col).alias("id_1"), "shingle")
-    pb = pref.select(F.col(id_col).alias("id_2"), "shingle")
-    candidates = (
-        pa.join(pb, "shingle")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
-        .cache()
-    )
+    candidates = jaccard_prefix_candidates(sh, id_col, threshold).cache()
     cand_ids = (
         candidates.select(F.col("id_1").alias(id_col))
         .union(candidates.select(F.col("id_2").alias(id_col)))

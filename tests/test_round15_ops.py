@@ -358,3 +358,33 @@ def test_engine_session_codegen_cache_confs(spark):
     compile-cache behavior only, never results."""
     assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4096"
     assert spark.conf.get("spark.sql.codegen.useIdInClassName") == "false"
+
+
+def test_jaccard_prefix_candidates_lossless(spark):
+    """Prefix-filter theorem pin (r10, the 6th probed family): the
+    candidate frame of the exact SSJoin contains EVERY pair with
+    J >= t (lossless — unlike LSH banding there is no recall trade),
+    while still pruning far below all-pairs on the planted corpus."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_prefix_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs, n = _planted_docs(spark)
+    sh = doc_shingles(docs, "doc_id", "text", 5).cache()
+    t = 0.5
+    cand = set(
+        (r.id_1, r.id_2)
+        for r in jaccard_prefix_candidates(sh, "doc_id", t).collect()
+    )
+    truth = set(
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 5, t, shingles=sh
+        ).collect()
+    )
+    assert truth, "fixture must plant pairs above threshold"
+    assert truth <= cand, sorted(truth - cand)[:5]  # lossless
+    all_pairs = n * (n - 1) // 2
+    assert len(cand) < 0.1 * all_pairs, (len(cand), all_pairs)

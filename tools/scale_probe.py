@@ -104,8 +104,23 @@ def cand_phash(spark, sf_dir):
     return cand.count(), _docs_n(spark, sf_dir)
 
 
+def cand_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered SSJoin candidates (pre-verify) at the catalog's
+    t=0.5 — the exact frame dedup_jaccard_prefix re-scores. Unlike the
+    LSH families this set is LOSSLESS (contains every pair with
+    J >= t), so its size is data-dependent: the probe documents how
+    far below all-pairs the prefix theorem prunes on this corpus."""
+    from gcpdatapipelines_spark.operators.dedup import jaccard_prefix_candidates
+
+    sh = Q._doc_shingles_cached(spark, sf_dir, 5)
+    return jaccard_prefix_candidates(sh, "doc_id", 0.5).count(), _docs_n(
+        spark, sf_dir
+    )
+
+
 FAMILIES = {
     "dedup_minhash_lsh": cand_minhash,
+    "dedup_jaccard_prefix": cand_jaccard_prefix,
     "sim_ivf_topk": cand_ivf,
     "sim_srp_lsh": cand_srp,
     "sim_pq_adc": cand_pq_adc,
