@@ -169,7 +169,11 @@ def ema_per_key(
         F.get(F.col("__vals"), 0),
         lambda acc, x: acc * F.lit(a) + x * F.lit(b),
     )
-    return grouped.select(key, F.round(ema, 6).alias(out_col))
+    # trunc_dp, not round: the fold is bit-identical on both engines,
+    # but round(x, 6) tie-breaking is not — at sf0.1 four seq_ema_series
+    # values landed exactly on a .5e-6 boundary and the engines split
+    # (r10; the portable module's founding case)
+    return grouped.select(key, trunc_dp(ema, 6).alias(out_col))
 
 
 def ema_series_per_key(
@@ -222,7 +226,9 @@ def ema_series_per_key(
         key,
         F.col("__z.__evs").getField(ts_col).alias(ts_col),
         F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
-        F.round(F.col("__z.__s"), 6).alias(out_col),
+        # trunc_dp, not round — see ema_per_key (round-tie divergence
+        # found at sf0.1 in this exact series)
+        trunc_dp(F.col("__z.__s"), 6).alias(out_col),
     )
 
 

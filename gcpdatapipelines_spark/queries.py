@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .io import read_table
 from .operators import agg as A
 from .operators.portable import trunc_dp as _trunc_dp
+from .operators.portable import trunc_dp_sql as _trunc_dp_sql
 from .operators import text as _TEXT
 from .operators import joins as J
 from .operators import rows as P
@@ -4819,11 +4820,11 @@ def w14_funnel_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seq_ema",
-    """
+    f"""
     SELECT user_id,
-           round(list_reduce(vals,
+           {_trunc_dp_sql('''list_reduce(vals,
                  (acc, x) -> acc * 0.7::DOUBLE
-                             + x * (1.0::DOUBLE - 0.7::DOUBLE)), 6) AS ema
+                             + x * (1.0::DOUBLE - 0.7::DOUBLE))''', 6)} AS ema
     FROM (
         SELECT user_id, list(value ORDER BY ts, event_id) AS vals
         FROM events GROUP BY user_id
@@ -4845,7 +4846,7 @@ def seq_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seq_ema_series",
-    """
+    f"""
     WITH g AS (
         SELECT user_id,
                list(struct_pack(ts := ts, event_id := event_id,
@@ -4857,9 +4858,9 @@ def seq_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT user_id, e.ts AS ts, e.event_id AS event_id,
-           round(list_reduce(list_transform(evs[:i], s -> s.v),
+           {_trunc_dp_sql('''list_reduce(list_transform(evs[:i], s -> s.v),
                  (acc, x) -> acc * 0.7::DOUBLE
-                             + x * (1.0::DOUBLE - 0.7::DOUBLE)), 6) AS ema
+                             + x * (1.0::DOUBLE - 0.7::DOUBLE))''', 6)} AS ema
     FROM x
     """,
 )
