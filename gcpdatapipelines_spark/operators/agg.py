@@ -731,20 +731,38 @@ def bootstrap_mean_ci(
             F.pmod(F.xxhash64(F.col(id_col), F.col("__b")), F.lit(1_000_000))
             / F.lit(1_000_000.0)
         )
+    # The inverse-CDF ladder compares the SAME uniform draw against 5
+    # breakpoints; inlining ``u`` into every WHEN branch makes Spark
+    # evaluate the md5→conv chain up to 5x per exploded row (CASE
+    # branches defeat common-subexpression elimination — r10 plan
+    # audit). Materialize the draw in its own projection first; the
+    # hash is expensive enough that CollapseProject keeps it there.
     w = (
-        F.when(u < cdf[0], 0)
-        .when(u < cdf[1], 1)
-        .when(u < cdf[2], 2)
-        .when(u < cdf[3], 3)
-        .when(u < cdf[4], 4)
+        F.when(F.col("__u") < cdf[0], 0)
+        .when(F.col("__u") < cdf[1], 1)
+        .when(F.col("__u") < cdf[2], 2)
+        .when(F.col("__u") < cdf[3], 3)
+        .when(F.col("__u") < cdf[4], 4)
         .otherwise(5)
     )
     xd = F.col(value_col).cast("decimal(18,6)")
+    # Rebalance the narrow (id, x) projection BEFORE the B-way explode:
+    # the explode multiplies per-row work by B (hash + weight ladder
+    # per replicate), so whatever parallelism the scan produced is
+    # amplified B-fold — and a single-file/single-row-group input (the
+    # unsplittable-input case, guide §2.5) would otherwise run the
+    # whole B·n hash stage on ONE task (measured r10: 3.4 s -> 1.2 s at
+    # sf0.1). The shuffle moves only ~16 B/row once, against B
+    # hash+CASE evaluations per row downstream; results are
+    # partitioning-independent (decimal sums; pinned by the
+    # repartition(7) parity test).
     rep = (
         df.select(F.col(id_col), xd.alias("__x"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .withColumn(
             "__b", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1)))
         )
+        .select("__b", u.alias("__u"), F.col("__x"))
         .select("__b", w.alias("__w"), F.col("__x"))
         .groupBy("__b")
         .agg(

@@ -893,11 +893,24 @@ def cusum_alarms(
     operator's job).
 
     Parity shape (NOTES.md): reference moments are decimal sums with
-    the fixed mu/sigma double chain; the fold seed is an explicit
-    0.0::DOUBLE prepend on both engines (Spark in-array fold ==
-    DuckDB list_reduce over the 0-prepended prefix, identical IEEE op
-    sequence); the alarm cut compares round(s,6) > round(h,6) on both
-    sides."""
+    the fixed mu/sigma double chain; the fold seed is 0.0 on both
+    engines with the identical IEEE op sequence
+    ``max(0, s + ((x - mu) - kk))``; the alarm cut compares
+    round(s,6) > round(h,6) on both sides.
+
+    The fold itself runs as an Arrow-batched per-(key, period) kernel
+    (guide §4.2): the former in-plan HOF fold built the running series
+    with ``aggregate``+``array_append``, which copies the accumulator
+    array per element — O(n²) interpreted work per group (r10 plan
+    audit; 3.4 s at sf0.1, ~1 s after this change). The Python loop is
+    the same op sequence in IEEE doubles, bit-for-bit: max(0, ·)
+    mirrors ``greatest``'s NaN-is-greatest and null-skip semantics
+    (a NULL value resets the statistic to 0 on both paths; the one
+    divergence is that a NaN *payload* re-emits as NULL through the
+    Arrow boundary — unreachable from the declared datasets)."""
+    import pandas as pd  # noqa: F401 — worker-side dependency, checked at import
+    from pyspark.sql import types as T
+
     dec = F.col(value_col).cast("decimal(18,6)")
     m = df.groupBy(F.col(key).alias("__k2")).agg(
         F.count(value_col).alias("__n"),
@@ -918,42 +931,71 @@ def cusum_alarms(
         F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0)
         / period_days
     ).cast("long")
-    packed = F.struct(
+    src = df.select(
+        F.col(key),
+        period.alias("__w"),
         F.col(ts_col),
         F.col(tiebreak),
         F.col(value_col).cast("double").alias("__v"),
+        F.col(value_col).isNull().alias("__vnull"),
     )
-    g = df.groupBy(F.col(key), period.alias("__w")).agg(
-        F.array_sort(F.collect_list(packed)).alias("__evs")
+    j = src.join(F.broadcast(mm), F.col(key) == F.col("__k2")).drop("__k2")
+    in_fields = {f.name: f for f in j.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[key],
+            in_fields[ts_col],
+            in_fields[tiebreak],
+            T.StructField("__v", T.DoubleType()),
+            T.StructField("__c", T.DoubleType()),
+            T.StructField("__h", T.DoubleType()),
+        ]
     )
-    j = g.join(F.broadcast(mm), F.col(key) == F.col("__k2"))
-    vals = F.transform(F.col("__evs"), lambda s: s.getField("__v"))
-    series = F.aggregate(
-        vals,
-        F.array(F.lit(0.0).cast("double")),
-        lambda acc, x: F.array_append(
-            acc,
-            F.greatest(
-                F.lit(0.0),
-                F.element_at(acc, -1)
-                + (x - F.col("__mu") - F.col("__kk")),
-            ),
-        ),
-    )
-    trimmed = F.slice(series, 2, F.size(vals))
-    z = j.select(
+
+    def _fold(pdf):
+        import pandas as pd
+
+        from ..blas import pin_blas_threads
+
+        pin_blas_threads()
+        # array_sort(struct(ts, tiebreak, v)) field order, reproduced
+        pdf = pdf.sort_values(
+            [ts_col, tiebreak, "__v"], kind="mergesort", ignore_index=True
+        )
+        mu = float(pdf["__mu"].iloc[0])
+        kk = float(pdf["__kk"].iloc[0])
+        vals = pdf["__v"].to_numpy()
+        nulls = pdf["__vnull"].to_numpy()
+        n = len(vals)
+        out = [0.0] * n
+        s = 0.0
+        for i in range(n):
+            if nulls[i]:
+                # greatest(0.0, NULL) skips the null: state resets
+                s = 0.0
+            else:
+                s2 = s + ((float(vals[i]) - mu) - kk)
+                # greatest(0.0, s2): NaN is greatest; -0.0 -> +0.0
+                s = s2 if (s2 > 0.0 or s2 != s2) else 0.0
+            out[i] = s
+        return pd.DataFrame(
+            {
+                key: pdf[key],
+                ts_col: pdf[ts_col],
+                tiebreak: pdf[tiebreak],
+                "__v": pdf["__v"].where(~pdf["__vnull"], None),
+                "__c": out,
+                "__h": pdf["__h"],
+            }
+        )
+
+    folded = j.groupBy(key, "__w").applyInPandas(_fold, schema=out_schema)
+    out = folded.select(
         key,
-        "__h",
-        F.explode(F.arrays_zip(F.col("__evs"), trimmed.alias("__c"))).alias(
-            "__z"
-        ),
-    )
-    out = z.select(
-        key,
-        F.col("__z.__evs").getField(ts_col).alias(ts_col),
-        F.col("__z.__evs").getField(tiebreak).alias(tiebreak),
-        F.col("__z.__evs").getField("__v").alias("value"),
-        trunc_dp(F.col("__z.__c"), 6).alias("cusum"),
+        F.col(ts_col),
+        F.col(tiebreak),
+        F.col("__v").alias("value"),
+        trunc_dp(F.col("__c"), 6).alias("cusum"),
         trunc_dp(F.col("__h"), 6).alias("__hr"),
     )
     return out.filter(F.col("cusum") > F.col("__hr")).drop("__hr")

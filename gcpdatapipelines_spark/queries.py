@@ -11836,7 +11836,9 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END C4-style cleaning funnel (Raffel et al. 1910.10683)
-    in ONE declarative plan: heuristic language ID (stopword-hit
+    with each stage's output materialized exactly once (r10: the fully
+    fused single plan recomputed the flag/regex stage under all five
+    consumers): heuristic language ID (stopword-hit
     argmax, not the stored label) → word-level quality gate (mean word
     length, symbol ratio, alphabetic ratio, min length) → CROSS-CORPUS
     line dedup (8-token lines, first occurrence survives; ownership
@@ -11886,6 +11888,14 @@ def pipeline_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_lang.alias("pass_lang"),
         pass_quality.alias("pass_quality"),
     )
+    # Materialize each funnel stage's output once (how a production C4
+    # pipeline runs its stages). Without this the plan re-derives flg
+    # from the raw scan under every consumer — the five stopword/symbol
+    # regex passes ran 5x over the corpus and the line-dedup
+    # explode+agg pipeline 2x (r10 plan audit: 5 parquet scans of
+    # documents in one plan; 2 after). Results are identical; the
+    # checkpoint materializes inside the timed query, fresh per call.
+    flg = flg.localCheckpoint(eager=True)
     surv = flg.filter(
         (F.col("pass_lang") == 1) & (F.col("pass_quality") == 1)
     ).select("doc_id", "text")
@@ -11895,6 +11905,7 @@ def pipeline_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("clean_text", " "))
         ),
     )
+    st = st.localCheckpoint(eager=True)
     own2 = (
         st.filter(F.col("kt") >= 8)
         .groupBy(F.md5("clean_text").alias("__h2"))
