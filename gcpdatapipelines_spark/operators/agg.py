@@ -339,9 +339,20 @@ def winsorize_stats(
     :func:`exact_quantiles` for the approx_percentile trade at
     corpus scale), one broadcast join of the tiny per-key bounds, one
     partial+final aggregate."""
+    # ONE percentile(col, array(lo, hi)) buffer instead of two separate
+    # aggregates: each percentile(col, p) keeps its own counts-map and
+    # sorts it independently, doubling the dominant cost of this
+    # operator (r10 measurement: 3.0 -> 1.7 s at sf0.1). Array-form
+    # evaluation sorts once and interpolates both probabilities from
+    # the same order statistics — bit-identical values.
     q = df.groupBy(key).agg(
-        F.expr(f"percentile({value_col}, {lo!r}D)").alias("q_lo"),
-        F.expr(f"percentile({value_col}, {hi!r}D)").alias("q_hi"),
+        F.expr(
+            f"percentile({value_col}, array({lo!r}D, {hi!r}D))"
+        ).alias("__q")
+    ).select(
+        key,
+        F.col("__q")[0].alias("q_lo"),
+        F.col("__q")[1].alias("q_hi"),
     )
     j = df.join(F.broadcast(q), key)
     v = F.col(value_col)

@@ -852,7 +852,10 @@ def bigram_nll(
         ).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c(w1, .) is by definition the rollup of the pair counts — derive
+    # it from the c2 dictionary instead of a second full pass over the
+    # bigram stream (r10: one fewer explode+aggregate of the corpus)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = toks.select(F.explode("__toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -860,11 +863,19 @@ def bigram_nll(
         f"floor((ln((c2 + {k!r}) / (c1 + {k!r} * v))) * 1000000000.0)"
         " / 1000000000.0"
     ).cast("decimal(18,9)")
-    scored = (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # Score each DISTINCT pair once on the |V|^2-bounded dictionary,
+    # then attach by equi-join — the old shape evaluated the ln() term
+    # per bigram OCCURRENCE (corpus-sized) and dragged the stream
+    # through two dictionary joins (r10: ~1.5M ln() calls -> ~1k at
+    # sf0.1; identical values, the per-doc sum consumes the same
+    # 9-dp-rounded decimals either way).
+    pair_score = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(F.col(id_col), term.alias("c"))
+        .select("w1", "w2", term.alias("c"))
+    )
+    scored = bi.join(pair_score, ["w1", "w2"]).select(
+        F.col(id_col), F.col("c")
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),

@@ -1146,9 +1146,17 @@ def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path when exactness isn't required; the exact form is the
     oracle-checkable one)."""
     c = _t(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+    # one shared percentile buffer for both probabilities (r10): two
+    # separate percentile() aggregates each sort their own counts-map
+    q = c.groupBy("c_mktsegment").agg(
+        F.percentile(
+            "c_acctbal", F.array(F.lit(0.5), F.lit(0.9))
+        ).alias("__q")
+    )
+    return q.select(
+        "c_mktsegment",
+        F.round(F.col("__q")[0], 4).alias("median_bal"),
+        F.round(F.col("__q")[1], 4).alias("p90_bal"),
     )
 
 
@@ -11578,9 +11586,13 @@ def a41_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped column next to the raw mean. The standard
     metric-hardening step before alerting on mean shifts."""
     ev = _t(spark, sf_dir, "events")
+    # one shared percentile buffer for both cutpoints (r10)
     bounds = ev.groupBy(F.col("event_type").alias("__et")).agg(
-        F.expr("percentile(value, 0.05)").alias("__lo"),
-        F.expr("percentile(value, 0.95)").alias("__hi"),
+        F.expr("percentile(value, array(0.05D, 0.95D))").alias("__q")
+    ).select(
+        "__et",
+        F.col("__q")[0].alias("__lo"),
+        F.col("__q")[1].alias("__hi"),
     )
     clipped = ev.join(
         F.broadcast(bounds), ev.event_type == F.col("__et")
