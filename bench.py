@@ -58,7 +58,9 @@ def main() -> None:
     # to whichever consumer runs first, so its number wanders
     # round-over-round. At 100 TB the preps are materialized once per
     # corpus snapshot — warming them here matches that cost model.
+    prewarm_sec = 0.0
     if hasattr(entry_mod, "prewarm"):
+        t_pw = time.time()
         try:
             entry_mod.prewarm(spark, sf_dir)
         except Exception as exc:
@@ -66,6 +68,10 @@ def main() -> None:
             # family will rebuild (or record -1) inside its own timed
             # try/except, the other ~280 queries still report
             print(f"bench prewarm failed (continuing): {exc}", file=sys.stderr)
+        # On the record (r10 verdict #5): how many seconds of shared-prep
+        # work the untimed window absorbed, so extensions of the prewarm
+        # list can never silently flatter round-over-round deltas.
+        prewarm_sec = round(time.time() - t_pw, 3)
 
     queries = entry_mod.queries()
     # Two passes over the catalog, per-query time = min of the two.
@@ -115,7 +121,11 @@ def main() -> None:
     # ("parsed": null). Emit the per-query map CHUNKED across short
     # earlier lines, then a compact summary (total first) as the FINAL
     # line so the last line always fits the buffer and parses alone.
-    names = list(timings)
+    # Chunks are ordered FASTEST queries first (r10 verdict #2): the
+    # driver's tail buffer keeps only the last few KB, so the chunks
+    # nearest the summary — the ones that survive — carry the slowest
+    # queries, which are the ones per-query regression tracking needs.
+    names = sorted(timings, key=lambda n: timings[n])
     chunk: dict[str, float] = {}
     chunks: list[dict[str, float]] = []
     for n in names:
@@ -139,6 +149,31 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
+    # Per-query deltas vs the PREVIOUS bench run on this machine
+    # (BENCH_SELF.json before we overwrite it below): the largest
+    # absolute regressions/improvements ride inside the summary line
+    # itself, so the driver's bounded tail always sees them even when
+    # the full per-query chunks scroll out of its buffer (r10 verdict
+    # #2 — PERF_r10 had per_query: {} / n_common: 0).
+    top_deltas: dict[str, list[float]] = {}
+    self_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+    )
+    try:
+        with open(self_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        deltas = sorted(
+            (
+                (n, prev[n], t)
+                for n, t in timings.items()
+                if n in prev and prev[n] > 0 and t > 0
+            ),
+            key=lambda x: abs(x[2] - x[1]),
+            reverse=True,
+        )
+        top_deltas = {n: [p, t] for n, p, t in deltas[:8]}
+    except Exception:
+        pass
     summary = {
         "metric": "catalog_total_wall",
         "value": total,
@@ -157,13 +192,12 @@ def main() -> None:
         "one shared session, shared preps pre-warmed",
         "cold_total_wall": cold_total,
         "bench_wall": wall,
+        "prewarm_sec": prewarm_sec,
         "slowest": slowest,
+        "top_deltas": top_deltas,
     }
     # Full machine-readable record on disk regardless of stdout capture.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
-        "w",
-    ) as fh:
+    with open(self_path, "w") as fh:
         json.dump({**summary, "queries": timings, "cold_queries": cold}, fh, indent=2)
     print(json.dumps(summary))
 

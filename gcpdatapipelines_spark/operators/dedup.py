@@ -228,24 +228,78 @@ def jaccard_prefix_pairs(
     never enter a prefix — the join's skew and size collapse without
     a max_df recall trade-off.
 
-    Candidates are then re-scored with the exact Jaccard restricted to
-    candidate documents (whole-doc semi-join — per-doc shingle sets
-    stay complete, scores identical to the full corpus run).
+    Candidates are then re-scored with the exact Jaccard ANCHORED ON
+    THE CANDIDATE PAIRS (r11): each candidate pair joins its two
+    complete per-doc shingle sets and counts the overlap — scores
+    identical to the full corpus run because per-doc shingle sets are
+    never restricted.
 
     Cost shape: one shingle-df aggregate (partial-agg), one per-doc
     window for prefix ranks, a prefix-only equi-join (the pruned pair
-    generator), then the candidate-restricted verify. Everything keys
-    on shingle or doc id — no cartesian anywhere."""
+    generator), then a verify that touches candidate pairs ONLY. The
+    r10 shape instead semi-joined the corpus to candidate DOCS and
+    re-ran the full all-shingles self-join over them — re-colliding
+    every shingle pair of candidate docs (a superset of the candidate
+    pairs) and paying a final pair join to trim back; its plan carried
+    the candidate subtree 5x (1,671 formatted lines, 195 exchange
+    references — r10 verdict #7's cold-pass analyze/codegen cost).
+    The r10 final `candidates JOIN exact` was also provably redundant:
+    by the prefix-filter theorem every pair with J >= t (trunc_dp(J,6)
+    >= t implies exact J >= t) IS a candidate pair, so the verified
+    output alone already equals ngram_jaccard_pairs' — equality stays
+    pinned by test_prefix_filter_lossless_any_corpus and the oracle
+    twin. Everything keys on shingle or doc id — no cartesian
+    anywhere."""
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
     candidates = jaccard_prefix_candidates(sh, id_col, threshold).cache()
-    cand_ids = (
-        candidates.select(F.col("id_1").alias(id_col))
-        .union(candidates.select(F.col("id_2").alias(id_col)))
-        .distinct()
+    return _verify_pairs_exact_jaccard(candidates, sh, id_col, threshold)
+
+
+def _verify_pairs_exact_jaccard(
+    candidates: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify ANCHORED ON the (id_1, id_2) candidate
+    pairs: each pair joins its two complete per-doc shingle sets and
+    counts the overlap, then sizes attach and trunc_dp(J, 6) >=
+    threshold filters. Scores are identical to a full-corpus exact
+    Jaccard (per-doc shingle sets are never restricted); only
+    candidate pairs are ever touched. Shared by the prefix-filter and
+    MinHash-LSH pipelines (r11) — the r10 shape semi-joined the corpus
+    to candidate DOCS, re-ran the all-shingles self-join over them (a
+    superset of the candidate pairs), and trimmed back with a final
+    pair join, which multiplied the candidate subtree through the plan
+    (dedup_jaccard_prefix: 1,671 formatted lines / 195 exchange
+    references; dedup_minhash_lsh: 1,073 / 88)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+    s1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("__id_2"), F.col("shingle").alias("__sh2"))
+    inter = (
+        candidates.join(s1, "id_1")
+        .join(
+            s2,
+            (F.col("id_2") == F.col("__id_2"))
+            & (F.col("shingle") == F.col("__sh2")),
+        )
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_inter"))
     )
-    sh_cand = sh.join(cand_ids, id_col, "left_semi")
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh_cand)
-    return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__n_sh").alias("n_1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__n_sh").alias("n_2"))
+    return (
+        inter.join(sz1, "id_1")
+        .join(sz2, "id_2")
+        .withColumn(
+            "jaccard",
+            trunc_dp(
+                F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -524,28 +578,16 @@ def minhash_lsh_pairs(
             df, id_col, text_col, n, num_perm, bands, shingles=sh, hash_fn=hash_fn
         )
 
-    # cached: consumed twice below (the candidate id set for the
-    # verify semi-join, and the final pair join) — without it the whole
-    # signature+banding pipeline would execute twice. The frame is the
-    # LSH candidate PAIR list: bounded by near-dup density, orders of
-    # magnitude smaller than the corpus, safe to materialize.
+    # cached: the candidate PAIR list is bounded by near-dup density,
+    # orders of magnitude smaller than the corpus, safe to materialize.
     candidates = lsh_candidate_pairs(banded, id_col).cache()
 
-    # verify ONLY the candidates: restrict the shingle frame to docs
-    # that appear in some candidate pair before computing exact Jaccard.
-    # Per-doc shingle sets stay complete (the semi-join drops whole
-    # docs, never individual shingles), so the scores are identical to
-    # full-corpus exact Jaccard — but the expensive shingle self-join
-    # runs over the candidate subset, preserving the LSH cost profile
-    # at 100 TB instead of recomputing the O(corpus^2) pair space.
-    cand_ids = (
-        candidates.select(F.col("id_1").alias(id_col))
-        .union(candidates.select(F.col("id_2").alias(id_col)))
-        .distinct()
-    )
-    sh_cand = sh.join(cand_ids, id_col, "left_semi")
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh_cand)
-    return candidates.join(exact, ["id_1", "id_2"]).select("id_1", "id_2", "jaccard")
+    # verify ONLY the candidate pairs (r11 — see
+    # _verify_pairs_exact_jaccard): scores are identical to the
+    # full-corpus exact Jaccard because per-doc shingle sets are never
+    # restricted, and pairs outside the candidate set are — by the
+    # declared LSH semantics — not part of the output either way.
+    return _verify_pairs_exact_jaccard(candidates, sh, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -673,10 +715,24 @@ def banded_two_word_pairs(
     no cap. Dropping a chunk bucket CAN lose true pairs (the
     pigeonhole guarantee needs all chunks), so the default stays None
     and the catalog oracles stay exact; at 100 TB you set it and
-    accept the documented recall trade, exactly like max_df."""
-    cand, keys = banded_two_word_candidates(
-        sig, id_col, key_col, max_bucket=max_bucket
-    )
+    accept the documented recall trade, exactly like max_df.
+
+    r11: when ``max_hamming <= 3`` and no bucket cap is requested, the
+    candidate step runs the 1-bit multi-probe scheme
+    (:func:`banded_two_word_probe_candidates`) instead of 16-bit chunk
+    buckets — provably the same verified output (Hamming <= 3 over two
+    32-bit words pigeonholes into one word with Hamming <= 1), but the
+    candidate mass stops tracking corpus density: chunk buckets grow
+    linearly with corpus size (quadratic collision pairs, the r10
+    super-linear scale-probe finding), while a 1-bit probe only hits
+    rows whose whole 32-bit word is within Hamming 1. Parity between
+    the two candidate generators is pinned in tests."""
+    if max_bucket is None and max_hamming <= 3:
+        cand, keys = banded_two_word_probe_candidates(sig, id_col, key_col)
+    else:
+        cand, keys = banded_two_word_candidates(
+            sig, id_col, key_col, max_bucket=max_bucket
+        )
     ham = F.bit_count(F.col("hi_1").bitwiseXOR(F.col("hi_2"))) + F.bit_count(
         F.col("lo_1").bitwiseXOR(F.col("lo_2"))
     )
@@ -685,6 +741,92 @@ def banded_two_word_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", *keys, "hamming")
     )
+
+
+def banded_two_word_probe_candidates(
+    sig: DataFrame,
+    id_col: str,
+    key_col: str | None = None,
+):
+    """Multi-probe candidate step for Hamming <= 3 over a two-word
+    (``sig_hi``, ``sig_lo``) 64-bit signature: by pigeonhole, one of
+    the two 32-bit words differs in at most 1 bit, so the exact
+    candidate superset is "pairs whose hi OR lo words are within
+    Hamming 1". Each row emits, per word, the word value plus its 32
+    one-bit flips (33 probes); probes equi-join against the original
+    word values on (word, value[, key]). A true pair is found in at
+    least one direction of at least one word, and every emitted pair
+    is verified with the exact 64-bit Hamming downstream — output is
+    IDENTICAL to the 16-bit-chunk banding, candidates are not:
+
+    - 16-bit chunks: bucket sizes grow linearly with corpus size, so
+      collision PAIRS grow quadratically (r10 SCALE_PROBE: cand/row
+      12.4 → 130.7 from sf0.01 → sf0.1 on the phash family).
+    - 1-bit probes: a candidate must match 32 bits exactly up to one
+      flip — random 32-bit collisions are ~2^-27 per probe, so the
+      candidate set tracks the TRUE near-duplicate mass (measured
+      cand/row 1.04 → 0.99 over the same step).
+
+    The probe fan-out is a fixed 66 rows per input row (narrow:
+    id + two words + probe), the shuffle key (word, 32-bit value) is
+    high-cardinality, and the join output is the candidate set itself
+    — no quadratic stage anywhere. Returns (candidates, keys) with the
+    same (id_1, id_2, *keys, hi_1, lo_1, hi_2, lo_2) distinct-pair
+    contract as :func:`banded_two_word_candidates`."""
+    keys = [key_col] if key_col else []
+    base = sig.select(id_col, *keys, "sig_hi", "sig_lo")
+    words = [("sig_hi", 0), ("sig_lo", 1)]
+    orig = base.select(
+        F.col(id_col).alias("id_2"),
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("sig_hi").alias("hi_2"),
+        F.col("sig_lo").alias("lo_2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"), F.col(word).alias("v")
+                    )
+                    for word, w in words
+                ]
+            )
+        ).alias("__wv"),
+    ).select(
+        "id_2", *[f"__k_{k}" for k in keys], "hi_2", "lo_2",
+        F.col("__wv.w").alias("__w2"), F.col("__wv.v").alias("__v2"),
+    )
+    masks = [0] + [1 << b for b in range(32)]
+    probes = base.select(
+        F.col(id_col).alias("id_1"),
+        *keys,
+        F.col("sig_hi").alias("hi_1"),
+        F.col("sig_lo").alias("lo_1"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"),
+                        F.col(word).bitwiseXOR(F.lit(m)).alias("p"),
+                    )
+                    for word, w in words
+                    for m in masks
+                ]
+            )
+        ).alias("__wp"),
+    ).select(
+        "id_1", *keys, "hi_1", "lo_1",
+        F.col("__wp.w").alias("__w1"), F.col("__wp.p").alias("__p1"),
+    )
+    cond = (F.col("__w1") == F.col("__w2")) & (F.col("__p1") == F.col("__v2"))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    cand = (
+        probes.join(orig, cond)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", *keys, "hi_1", "lo_1", "hi_2", "lo_2")
+        .distinct()
+    )
+    return cand, keys
 
 
 def banded_two_word_candidates(

@@ -180,22 +180,54 @@ def snapshot_drift(
     print DOUBLE shortest-roundtrip — and timestamps via an explicit
     ISO format).
 
-    Scale shape: ONE aggregate pass per snapshot computing all
-    metrics for all columns (no per-column scans), then a constant
-    unpivot of the 1-row result — the fact tables are read exactly
-    twice regardless of how many columns are profiled."""
+    Scale shape (r11, r10 verdict #6): k count(DISTINCT c) in one
+    aggregate make Catalyst Expand every row k+1 ways and SORT the
+    expanded fact (SortAggregate — string min/max buffers are not
+    hash-aggregable), so the r10 plan sorted 5x the snapshot per side.
+    Split instead into (1) one expand-free aggregate pass for
+    count/nulls/min/max — the fact is scanned, never sorted, never
+    expanded — and (2) one unpivoted distinct count: stack the k
+    columns to (col_idx, value-as-string) rows, aggregate to distinct
+    (col_idx, value) — partial map-side, the exchange carries distinct
+    values only — then count per col_idx. Cast-to-string is injective
+    for every primitive type (strings identity; integers, decimals,
+    doubles and timestamps print shortest-roundtrip/canonically), so
+    the distinct counts are identical to count(DISTINCT c); equality
+    with the one-pass formulation is pinned by the oracle twin."""
     def _agg(df: DataFrame) -> DataFrame:
         aggs = [F.count("*").alias("__n")]
         for c in columns:
             aggs += [
                 F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
-                F.countDistinct(c).alias(f"__nd_{c}"),
                 F.min(c).cast("string").alias(f"__min_{c}"),
                 F.max(c).cast("string").alias(f"__max_{c}"),
             ]
         return df.agg(*aggs)
 
-    ga, gb = _agg(a), _agg(b)
+    def _nd(df: DataFrame) -> DataFrame:
+        stacked = df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("string") for c in columns])
+            ).alias("__ci", "__val")
+        )
+        per_col = (
+            stacked.groupBy("__ci", "__val")
+            .agg(F.lit(1).alias("__one"))
+            .groupBy("__ci")
+            .agg(F.count("__val").alias("__nd"))
+        )
+        return per_col.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("__ci") == i, F.col("__nd"))),
+                    F.lit(0).cast("long"),
+                ).alias(f"__nd_{c}")
+                for i, c in enumerate(columns)
+            ]
+        )
+
+    ga = _agg(a).crossJoin(_nd(a))
+    gb = _agg(b).crossJoin(_nd(b))
     joined = ga.crossJoin(
         gb.select([F.col(c).alias(c + "_b") for c in gb.columns])
     )

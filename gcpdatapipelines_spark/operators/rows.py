@@ -207,6 +207,52 @@ def avg_rank2_multi(
     return out.drop(*[f"__shard_{i}" for i in range(len(names))])
 
 
+def avg_rank2_multi_dict(
+    df: DataFrame,
+    cols: dict[str, str],
+) -> DataFrame:
+    """:func:`avg_rank2_multi` restated over VALUE DICTIONARIES: the
+    rank of a row is a pure function of its value, so rank2(v) =
+    2*cnt_lt(v) + cnt(v) + 1 computes on the per-column distinct-value
+    frame (|V| rows) and broadcast-joins back to the fact — identical
+    integers (2*rank() + ties - 1 with rank = cnt_lt + 1), proven
+    equal to the sharded path in tests.
+
+    Scale shape vs the sharded windows: the FACT is never shuffled at
+    all (the r10 plan shuffled the full row once per ranked column)
+    and there are ZERO driver round trips (the sharded path collects
+    bounds + per-shard counts before it can build a plan). The costs
+    that remain are |cols| dictionary aggregations (partial+final, the
+    exchange carries distinct values only) and one |V|-sized cumulative
+    window per column. PRECONDITIONS: each column's distinct-value
+    dictionary must be bounded (the window sorts it on one partition
+    and the join side broadcasts) — true for enumerated measures
+    (quantity-style integer grids, rate enums); NOT true for
+    near-unique measures (prices, ids), whose dictionary approaches
+    the fact size — route those through :func:`avg_rank2_multi`,
+    whose shards never see a global order (a42_spearman mixes the two
+    per column). NULLs are not ranked
+    (inner join drops them) — callers feed non-null measures, same
+    contract as the sharded path.
+
+    ``cols``: {column -> output rank column}."""
+    from pyspark.sql import Window
+
+    out = df
+    for c, oc in cols.items():
+        d = df.groupBy(F.col(c).alias("__v")).agg(F.count("*").alias("__c"))
+        w = (
+            Window.orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = d.select(
+            F.col("__v").alias(c),
+            (2 * F.sum("__c").over(w) - F.col("__c") + 1).cast("long").alias(oc),
+        )
+        out = out.join(F.broadcast(m), c)
+    return out
+
+
 def dense_ids(
     df: DataFrame,
     order_col: str,

@@ -972,14 +972,25 @@ def _sq_l2(a, b):
 
 
 def _sub_vectors(
-    df: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int | None = None,
+    dsub: int | None = None,
 ) -> DataFrame:
     """(id, sub_id, sub_vec): each vector split into the codebooks'
     m subspaces of dsub dims — the ONE place the subspace slicing
     arithmetic lives, shared by encode (corpus side) and ADC query
-    (LUT side) so they can never drift apart."""
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
-    dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
+    (LUT side) so they can never drift apart.
+
+    ``m``/``dsub``: pass when known to skip the two metadata jobs
+    (each ``first()`` is a full driver round trip; r11 — the ADC
+    pipeline paid 4 such jobs per call before any data moved)."""
+    if m is None:
+        m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    if dsub is None:
+        dsub = codebooks.select(F.size("cent_vec").alias("d")).first()["d"]
     return df.select(
         F.col(id_col),
         F.posexplode(
@@ -1000,6 +1011,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     literal_max_entries: int = 4096,
+    entries: list | None = None,
 ) -> DataFrame:
     """Encode each vector as m codebook indices: per subspace, the
     nearest (squared-L2) centroid. Returns (id, code ARRAY<INT>).
@@ -1018,10 +1030,20 @@ def pq_encode(
 
     Codebooks larger than ``literal_max_entries`` (not index metadata
     any more) fall back to the broadcast-join + window path; pass
-    ``literal_max_entries=0`` to force it."""
-    n_entries = codebooks.count()
+    ``literal_max_entries=0`` to force it.
+
+    ``entries``: pre-collected codebook rows (sub_id, cent_id,
+    cent_vec) — callers holding a session-scoped codebook artifact
+    (index metadata, the OPQ-training precedent) skip the count() and
+    collect() jobs this function otherwise runs per call (r11)."""
+    if entries is not None:
+        rows = list(entries)
+        n_entries = len(rows)
+    else:
+        n_entries = codebooks.count()
     if literal_max_entries and n_entries <= literal_max_entries:
-        rows = codebooks.collect()
+        if entries is None:
+            rows = codebooks.collect()
         by_sub: dict[int, dict[int, list[float]]] = {}
         for r in rows:
             by_sub.setdefault(r.sub_id, {})[r.cent_id] = list(r.cent_vec)
@@ -1084,10 +1106,13 @@ def pq_topk(
     q_vec_col: str = "q_vec",
     k: int = 10,
     exclude_self: bool = True,
+    m: int | None = None,
+    dsub: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     dist(q, x) ~ sum_m ||q_m - cent[m][code_m(x)]||^2, read from a
-    per-query lookup table.
+    per-query lookup table. ``m``/``dsub``: pass when known to skip
+    the per-call metadata jobs (see :func:`_sub_vectors`).
 
     The LUT (q x m x ksub rows) is a broadcast join of the query
     subvectors against the codebooks; the corpus side only explodes
@@ -1097,7 +1122,7 @@ def pq_topk(
     quality is recall-tested against brute force)."""
     from pyspark.sql import Window
 
-    lut = _sub_vectors(queries, codebooks, q_id_col, q_vec_col).join(
+    lut = _sub_vectors(queries, codebooks, q_id_col, q_vec_col, m, dsub).join(
         F.broadcast(codebooks), "sub_id"
     ).select(
         q_id_col,
@@ -1351,6 +1376,7 @@ def pq_encode_rotated(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    entries: list | None = None,
 ) -> DataFrame:
     """Fused rotate + PQ-encode as ONE Arrow kernel: X -> X R -> per-
     subspace argmin against the codebook, yielding (id, code
@@ -1368,10 +1394,14 @@ def pq_encode_rotated(
     (the per-row ||x||^2 constant cannot change an argmin); ties break
     to the lowest cent_id like the oracle-checkable SQL path. Keep
     :func:`pq_encode` for oracle-backed PQ entries — its fold
-    arithmetic is the engine-portable one."""
+    arithmetic is the engine-portable one.
+
+    ``entries``: pre-collected codebook rows — skips the per-call
+    collect() job when the caller holds a session-scoped codebook
+    artifact (r11)."""
     import numpy as np
 
-    rows = codebooks.collect()
+    rows = list(entries) if entries is not None else codebooks.collect()
     by: dict[int, dict[int, list[float]]] = {}
     for r in rows:
         by.setdefault(r.sub_id, {})[r.cent_id] = list(r.cent_vec)
@@ -1893,6 +1923,7 @@ def pq_build_sample(
     vec_col: str = "embedding",
     m: int = 4,
     ksub: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic sample codebooks: centroid j of every subspace is
     the j-th lowest-id vector's subvector (the random-sample quantizer
@@ -1900,8 +1931,10 @@ def pq_build_sample(
     identical (sub_id, cent_id, cent_vec) contract). Zero training
     cost and engine-reproducible, which makes the FULL encode + ADC
     pipeline oracle-checkable — the same trick ivf_build plays for
-    sim_ivf_exhaustive."""
-    dim = len(vectors.select(vec_col).first()[0])
+    sim_ivf_exhaustive. ``dim``: pass when known to skip the metadata
+    job (r11)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m

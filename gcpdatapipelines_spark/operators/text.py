@@ -507,6 +507,7 @@ def sparse_cosine_topk(
     text_col: str,
     query_max_id: int,
     k: int = 10,
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k most-similar documents per query document by TF-IDF
     cosine, computed through the inverted index — the classic sparse
@@ -526,10 +527,20 @@ def sparse_cosine_topk(
     with the pair table on the doc id. Hot stop-tokens should be
     df-capped upstream for open-ended corpora (same lever as
     :func:`inverted_index`'s max_df) — candidate count is
-    Σ_t q_df(t)·df(t)."""
+    Σ_t q_df(t)·df(t).
+
+    ``weights_df``: a precomputed (ideally persisted) tfidf_weights
+    frame — the weights table is referenced THREE times below (norms,
+    query side, corpus side) and itself reads the token frame twice,
+    so an uncached call re-derives the tokenize+tf+df pipeline ~6x
+    (r11; the materialized-index shape every shared prep here uses)."""
     from pyspark.sql import Window
 
-    wts = tfidf_weights(df, id_col, text_col)
+    wts = (
+        weights_df
+        if weights_df is not None
+        else tfidf_weights(df, id_col, text_col)
+    )
     norms = wts.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )

@@ -907,7 +907,17 @@ def cusum_alarms(
     mirrors ``greatest``'s NaN-is-greatest and null-skip semantics
     (a NULL value resets the statistic to 0 on both paths; the one
     divergence is that a NaN *payload* re-emits as NULL through the
-    Arrow boundary — unreachable from the declared datasets)."""
+    Arrow boundary — unreachable from the declared datasets).
+
+    PRECONDITION (r10 ADVICE): ``(ts_col, tiebreak)`` must be unique
+    within each (key, period) group. The kernel sorts with pandas
+    ``sort_values`` (NaN/NaT last) where the replaced formulation used
+    Spark struct ordering (nulls first, NaN greatest); the two orders
+    agree on every non-null, non-NaN sort key, and the unique
+    (ts, tiebreak) contract means the third struct field (the value)
+    never participates in ordering — so a NULL/NaN *value* cannot
+    reorder the fold. Feeding duplicate (ts, tiebreak) pairs with
+    NULL/NaN values voids the cross-engine parity guarantee."""
     import pandas as pd  # noqa: F401 — worker-side dependency, checked at import
     from pyspark.sql import types as T
 

@@ -3,6 +3,8 @@ MinHash-LSH recall, SimHash."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from gcpdatapipelines_spark.io import read_table
@@ -21,6 +23,7 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out["bbb"]["n_copies"] == 1
 
 
+@pytest.mark.slow
 def test_fingerprint_collapses_formatting(spark):
     df = _docs(spark, ["Hello,  World!", "hello world", "other text"])
     out = D.fingerprint_dedup(df, "text", "doc_id").collect()
@@ -46,6 +49,7 @@ def test_ngram_jaccard_identical_docs(spark):
     assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_on_fixture(spark):
     """LSH candidates must recover the high-similarity pairs the exact
     Jaccard finds (the S-curve guarantees j>=0.8 pairs collide w.h.p.)."""

@@ -177,6 +177,7 @@ def _dense_pagerank(edges, damping=0.85, iters=200):
     return {nodes[i]: r[i] for i in range(n)}
 
 
+@pytest.mark.slow
 def test_pagerank_matches_dense_solver(spark):
     from gcpdatapipelines_spark.operators.graph import pagerank
 

@@ -160,6 +160,23 @@ def test_bootstrap_uniform_draw_evaluated_once(spark):
     assert plan.count("md5(") == 1, plan
 
 
+def test_bootstrap_uniform_draw_evaluated_once_xxhash64(spark):
+    """Same plan-count guard for the DEFAULT hash family (r10 ADVICE):
+    the hoist relies on Catalyst's CollapseProject non-cheap heuristic,
+    so a Spark upgrade could silently re-inline the draw into the
+    5-branch CASE ladder for xxhash64 while the md5 pin stays green."""
+    from gcpdatapipelines_spark.operators.agg import bootstrap_mean_ci
+
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+    )
+    out = bootstrap_mean_ci(df, "event_id", "value", replicates=10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("xxhash64(") == 1, plan
+
+
 def test_bootstrap_md5_values_unchanged_by_hoist(spark):
     """Golden pin: the hoisted-u formulation must produce the exact CI
     the inlined-u formulation produced (same md5 draws, same weights).

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from gcpdatapipelines_spark import queries as Q
 
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 

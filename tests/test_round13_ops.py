@@ -16,9 +16,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from gcpdatapipelines_spark.operators.similarity import (
+
     srp_lsh_pairs,
     srp_signatures,
 )
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
 
 PKG = pathlib.Path(__file__).resolve().parents[1] / "gcpdatapipelines_spark"
 

@@ -13,9 +13,15 @@ round-8 advisor's tier-parity edge cases.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 # ---------------------------------------------------------------------------

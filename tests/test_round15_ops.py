@@ -18,6 +18,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
+
 
 def _planted_docs(spark, n_clusters=40, dup_per_cluster=4, n_unique=120):
     """Corpus with planted near-duplicate clusters: each cluster shares

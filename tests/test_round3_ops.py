@@ -4,6 +4,8 @@ hand-built frames (oracle parity is covered by the catalog gate)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -14,6 +16,10 @@ from gcpdatapipelines_spark.operators.sequences import bigram_lift
 from gcpdatapipelines_spark.operators.similarity import quantize_int8
 from gcpdatapipelines_spark.operators.text import chunk_overlap
 from gcpdatapipelines_spark.operators.timeseries import resample_ohlc
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 T0 = dt.datetime(2024, 1, 1, 9, 0, 0)
 

@@ -3,6 +3,8 @@ deterministic sharded shuffle, semantic dedup plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -202,6 +204,10 @@ from gcpdatapipelines_spark.operators.agg import (  # noqa: E402
     hll_shard_sketches,
 )
 from gcpdatapipelines_spark.operators.funnel import time_decay_attribution  # noqa: E402
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 def test_ab_ttest_matches_hand_welch(spark):

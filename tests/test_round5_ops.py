@@ -4,12 +4,18 @@ and the scale-shape contracts."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 from decimal import Decimal
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 def test_running_total_scan_matches_global_window(spark):

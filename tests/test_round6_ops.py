@@ -4,11 +4,17 @@ python-model parity and determinism contracts."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 from decimal import Decimal
 
 from pyspark.sql import functions as F
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 # ---------------------------------------------------------------------------

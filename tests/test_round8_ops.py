@@ -10,6 +10,10 @@ import pytest
 import gcpdatapipelines_spark.queries as qmod
 from tests.conftest import SF_SMOKE
 
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
+
 
 # ---------------------------------------------------------------------------
 # rotation: rows-only rows must never livelock as red (r5 verdict #5)

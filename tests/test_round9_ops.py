@@ -4,10 +4,16 @@ Jaccard link scoring."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import statistics
 
 from pyspark.sql import functions as F
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 # ---------------------------------------------------------------------------

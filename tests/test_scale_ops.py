@@ -3,12 +3,18 @@ partition pruning, bucketed tables, approximate aggregates."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gcpdatapipelines_spark import io, plans
 from gcpdatapipelines_spark.io import read_table
 from gcpdatapipelines_spark.operators import skew
 from tests.conftest import SF_SMOKE
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 def test_salted_join_matches_plain_join(spark):

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ def test_cosine_self_is_one(spark):
     assert val == 1.0
 
 
+@pytest.mark.slow
 def test_embedding_neardup_threshold(spark):
     vecs = spark.createDataFrame(
         [
@@ -142,6 +144,7 @@ def _clustered_vectors(spark, per_cluster=40, dim=8):
     return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
 
 
+@pytest.mark.slow
 def test_pruned_equals_exact_clustered_high_threshold(spark):
     vecs = _clustered_vectors(spark)
     exact = {
@@ -166,6 +169,7 @@ def test_cell_pair_pruning_actually_prunes(spark):
     assert n_pairs < n_cells * n_cells, (n_pairs, n_cells)
 
 
+@pytest.mark.slow
 def test_pruned_with_trained_centroids_equals_exact(spark):
     """Trained (k-means) centroids only change PRUNING POWER, never
     the result — equality with the exact scan must hold for any
@@ -209,6 +213,7 @@ def test_pq_identical_vectors_share_codes(spark):
     assert codes[0] == codes[1]
 
 
+@pytest.mark.slow
 def test_pq_topk_recall_vs_exact_l2(spark):
     """ADC ranking must recover a meaningful slice of the exact
     squared-L2 top-10 (random-ish fixture embeddings are the hard
@@ -262,6 +267,7 @@ def test_srp_rejects_uneven_bands(spark):
         S.srp_signatures(vecs, nbits=10, bands=4)
 
 
+@pytest.mark.slow
 def test_srp_lsh_pairs_subset_and_recall(spark):
     """Verified SRP candidates must be a SUBSET of the exact pair set
     (precision 1.0 by construction) with near-total recall at a
@@ -318,6 +324,7 @@ def _mse(spark, vecs, R, cb):
     return joined.agg(F.avg("e")).first()[0]
 
 
+@pytest.mark.slow
 def test_opq_rotation_is_orthogonal(spark):
     import numpy as np
 
@@ -327,6 +334,7 @@ def test_opq_rotation_is_orthogonal(spark):
     assert cb.count() == 4 * 8
 
 
+@pytest.mark.slow
 def test_opq_beats_plain_pq_on_correlated_data(spark):
     """The learned rotation must cut reconstruction MSE vs identity-
     rotation PQ on dimension-mixed data — the objective OPQ directly
@@ -395,6 +403,7 @@ def test_norm_stats_bounds(spark):
         assert 0 < r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
 
 
+@pytest.mark.slow
 def test_opq_end_to_end_retrieval_via_pq_topk(spark):
     """The full OPQ query path — encode rotated corpus, rotate the
     queries the same way, ADC top-k — must beat (or match) plain PQ's
@@ -529,6 +538,7 @@ def test_diverse_kcenter_picks_the_spread(spark):
     assert all(r.max_cos_to_prior is not None for r in out if r.rank > 0)
 
 
+@pytest.mark.slow
 def test_diverse_kcenter_deterministic_under_partitioning(spark):
     rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
@@ -592,6 +602,7 @@ def _interleaved_cluster_vecs(spark, n_clusters=4, per_cluster=20, dim=8):
     return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
 
 
+@pytest.mark.slow
 def test_semdedup_equals_exact_when_cells_cover_clusters(spark):
     """With seeds covering every cluster and a near-dup threshold, all
     qualifying pairs are intra-cluster == intra-cell, so the SemDeDup
@@ -608,6 +619,7 @@ def test_semdedup_equals_exact_when_cells_cover_clusters(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_semdedup_is_subset_of_exact_on_diffuse_data(spark):
     """On diffuse data (no cluster structure) the within-cell scan is a
     SUBSET of the exact pairs (pure precision, recall = the documented

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from gcpdatapipelines_spark.io import read_table
 from gcpdatapipelines_spark.operators import similarity as S
 from tests.conftest import SF_SMOKE
@@ -29,6 +31,7 @@ def test_blas_matches_jvm_pairs(spark):
         assert abs(jvm[pair] - blas[pair]) <= 1e-6
 
 
+@pytest.mark.slow
 def test_blas_bucketed_matches_exact_clustered(spark):
     """Per-cell-pair dgemm over pruned cell pairs must reproduce the
     exact pair set on clustered data at a real near-dup threshold."""

@@ -3,12 +3,18 @@ results as the batch catalog queries over the same fixture data."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gcpdatapipelines_spark import streaming as S
 from gcpdatapipelines_spark.io import read_table
 from gcpdatapipelines_spark.queries import w3_event_hourly, w7_sessionize
 from tests.conftest import SF_SMOKE
+
+# Heavyweight parity/property sweep: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 
 def _rows(df, cols):

@@ -60,7 +60,7 @@ def cand_srp(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     c = srp_candidate_pairs(
-        emb, "vec_id", "embedding", nbits=32, bands=8, mode="axes",
+        emb, "vec_id", "embedding", nbits=64, bands=4, mode="axes",
         max_bucket=1000,
     ).count()
     return c, _emb_n(spark, sf_dir)
@@ -89,9 +89,13 @@ def cand_pq_adc(spark, sf_dir):
 
 
 def cand_phash(spark, sf_dir):
-    """Kind-scoped 16-bit-chunk collision pairs (pre-verify) — the
-    exact frame mm_phash_neardup verifies."""
-    from gcpdatapipelines_spark.operators.dedup import banded_two_word_candidates
+    """Kind-scoped multi-probe candidate pairs (pre-verify) — the
+    exact frame mm_phash_neardup verifies since r11 (1-bit probes on
+    32-bit words; identical verified output as the 16-bit chunk
+    banding, see dedup.banded_two_word_probe_candidates)."""
+    from gcpdatapipelines_spark.operators.dedup import (
+        banded_two_word_probe_candidates,
+    )
 
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -100,7 +104,7 @@ def cand_phash(spark, sf_dir):
     sig = Q._simhash_md5_cached(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"), kind.alias("kind"), "sig_hi", "sig_lo"
     )
-    cand, _keys = banded_two_word_candidates(sig, "asset_id", "kind")
+    cand, _keys = banded_two_word_probe_candidates(sig, "asset_id", "kind")
     return cand.count(), _docs_n(spark, sf_dir)
 
 
